@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.spark.sql.SparkSession
+
+import graft.api.Api
+import graft.batch.OhlcvBatchJob
+import graft.ingest.FixtureGen
+import graft.ml.Forecaster
+import graft.schema.Schemas
+import graft.store.ServingStore
+
+/** End-to-end pipeline driver: the SURVEY.md §7.2 minimum slice as a
+  * runnable main. Generates crawler-shaped OHLCV CSVs, runs the batch job
+  * (scan → regex metadata → SMA features → keyed upsert), then serves the
+  * reference's API queries and a recursive forecast off the store.
+  *
+  * Usage: sbt "runMain graft.Pipeline [workDir]"
+  */
+object Pipeline {
+  def main(args: Array[String]): Unit = {
+    val work = args.headOption.getOrElse(
+      Files.createTempDirectory("graft-pipeline").toString)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    implicit val s: SparkSession = spark
+
+    // 1. ingest: crawler-shaped fixtures (historical + one hourly update)
+    val rawDir = s"$work/raw_historical_data"
+    val t0 = 1717200000000L // 2024-06-01T00:00:00Z
+    for (sym <- Seq("BTC_USDT", "ETH_USDT")) {
+      FixtureGen.writeCsv(rawDir, FixtureGen.historicalFileName(sym, "1h"),
+        FixtureGen.candles(sym, t0, 3600000L, 24 * 40))
+    }
+    FixtureGen.writeCsv(rawDir,
+      FixtureGen.updateFileName("BTC_USDT", "1h", t0 + 960L * 3600000L),
+      FixtureGen.candles("BTC_USDT", t0 + 958L * 3600000L, 3600000L, 3))
+
+    // 2. batch layer
+    val store = new ServingStore(s"$work/store")
+    val n = OhlcvBatchJob.run(spark, Seq(rawDir), store)
+    println(s"[pipeline] batch upserted rows: $n")
+    println(s"[pipeline] historical table count: " +
+      store.table(Schemas.Tables.Historical).count())
+
+    // 3. serving API
+    val api = new Api(store)
+    val now = Instant.ofEpochMilli(t0 + 960L * 3600000L)
+    println("[pipeline] historical pairs:")
+    api.historicalPairs().show(false)
+    println("[pipeline] historicalData(BTC_USDT,1h,range=1m) tail:")
+    val hist = api.historicalData("BTC_USDT", "1h", "1m", now)
+    api.historicalSeries(hist).orderBy(org.apache.spark.sql.functions
+      .desc("label")).show(5, truncate = false)
+
+    // 4. forecast (M1-M4): recursive 24-step off the last closes
+    val closes = api.lastCloses("BTC_USDT", "1h", 48)
+    val scaler = Forecaster.MinMaxScaler.fit(closes.toSeq)
+    val fc = Forecaster.recursiveForecast(
+      Forecaster.DriftModel(5), scaler, closes,
+      lastKnownMs = now.toEpochMilli, stepMs = 3600000L)
+    println(s"[pipeline] forecast first 3 of ${fc.length}: " +
+      fc.take(3).map(f => f"${f.timestampMs}:${f.predictedPrice}%.4f").mkString(", "))
+
+    println(s"[pipeline] OK work=$work")
+    spark.stop()
+  }
+}
