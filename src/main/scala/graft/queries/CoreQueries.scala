@@ -1,0 +1,302 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The SURVEY.md §2 operator inventory realized over the driver test corpus
+  * (TESTDATA.md tables). Each query has a DuckDB oracle in
+  * [[graft.SparkEntry.oracleSql]]; results are designed to hash-match:
+  *
+  *   - money aggregates go through DECIMAL(18,2) so sums are exact and
+  *     order-independent on both engines (raw double sums drift ~1e-3 at
+  *     sf0.1 — enough to cross a round() boundary);
+  *   - timestamps are projected as epoch seconds (LongType) — identical
+  *     on both engines, no timezone/precision ambiguity;
+  *   - every ordered/limited query orders by a unique key suffix so the
+  *     row SET below the limit is deterministic.
+  *
+  * Scale notes are per-operator; the rule: no global sorts except under a
+  * limit (TakeOrderedAndProject), no collects, joins keyed or broadcast.
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table ships as parquet timestamp[ns], which Spark 4 cannot
+    * read natively (SPARK-40819): read nanos as long, rebuild the
+    * TimestampType column with integral division (exact — double division
+    * would wobble at the epoch-second boundary).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Money-exact sum: cast each value to DECIMAL(18,2) first (exact,
+    * commutative), return as double (cent-exact up to 2^53).
+    */
+  private def moneySum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Discounted price in the DECIMAL domain end-to-end. Computing
+    * `price * (1 - discount)` in doubles and then casting to decimal is NOT
+    * oracle-stable: Spark converts double→decimal via the shortest string
+    * representation (HALF_UP on e.g. "95.285") while DuckDB rounds the
+    * binary value (95.28499999… → 95.28). Casting each INPUT to decimal is
+    * stable (money doubles are within 1e-13 of their decimal value), and
+    * decimal multiply/sum is exact on both engines.
+    */
+  private def discPrice =
+    col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
+
+  /** Deterministic HALF_UP rounding via floor(x*10^s + 0.5)/10^s: identical
+    * double ops on both engines. Spark's round() goes through the shortest
+    * string repr (BigDecimal HALF_UP on "47.44125") while DuckDB rounds the
+    * binary value — they disagree whenever a quotient's shortest repr
+    * terminates in 5 just past the scale. floor is exact on doubles.
+    */
+  private def r4(c: org.apache.spark.sql.Column) =
+    floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+
+  // ===== S/P: scans, projections, filters, scalar expressions ============
+
+  /** S1+P2+P6: pushed-down filter + pruned projection. The parquet scan
+    * must show PushedFilters + a 4-column ReadSchema.
+    */
+  def s1ScanFilterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") < 5 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+
+  /** P1: regexp_extract metadata recovery (batch_processor.py:63 pattern
+    * style) over documents.source.
+    */
+  def p1RegexExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      regexp_extract(col("source"), "^src([0-9]+)$", 1).as("src_num"),
+      col("lang"))
+
+  /** P4/P5: TimestampType → epoch seconds cast chain
+    * (batch_processor.py:91-92).
+    */
+  def p4CastEpoch(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      col("event_id"),
+      col("ts").cast("long").as("ts_s"),
+      col("value"))
+
+  /** P9/P12: deterministic doc_id generation by string concat
+    * (batch_processor.py:132-135).
+    */
+  def p9ConcatKey(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      concat(col("event_type"), lit("_"), col("user_id").cast("string"),
+        lit("_"), col("ts").cast("long").cast("string")).as("doc_id"),
+      col("value"))
+
+  /** P10: replace-in-key (stream_processor.py:134 `replace(symbol,'/','-')`
+    * analog).
+    */
+  def p10ReplaceKey(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      regexp_replace(col("source"), "src", "SRC-").as("src_key"))
+
+  /** P13+A: date_format bucketing + money-exact monthly rollup
+    * (stream_processor.py:154 / app.py label shaping).
+    */
+  def p13DateFormatAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("total_price"))
+
+  // ===== A: aggregations ==================================================
+
+  /** A1: deterministic latest-row-per-key (the `max_by` replacement for the
+    * reference's arrival-order `F.last`, stream_processor.py:80-90).
+    * row_number, not a global sort: one shuffle by user_id.
+    */
+  def a1LatestPerKey(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("latest_event_id"),
+        col("ts").cast("long").as("latest_ts_s"), col("value"))
+  }
+
+  /** A2: event-time tumbling window stats (batch analog of the streaming
+    * sliding-window agg, stream_processor.py:114-130). Window start
+    * projected as epoch seconds.
+    */
+  def a2WindowStats(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(
+        // decimal-sum / count instead of avg(): order-independent, so the
+        // round(4) can't straddle a boundary vs the oracle (value has 2dp)
+        r4(sum(col("value").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        count(lit(1)).as("event_count"))
+      .select(col("w.start").cast("long").as("window_start_s"),
+        col("event_type"), col("avg_value"), col("min_value"),
+        col("max_value"), col("event_count"))
+
+  /** A4: distinct terms listing, sorted, capped (app.py:57). */
+  def a4DistinctTerms(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select("event_type").distinct()
+      .orderBy("event_type").limit(500)
+
+  /** A5: multi_terms pairs formatted `{a}_{b}` with counts (app.py:72). */
+  def a5MultiTermsPairs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority").agg(count(lit(1)).as("cnt"))
+      .select(concat(col("o_orderstatus"), lit("_"), col("o_orderpriority")).as("pair"),
+        col("cnt"))
+      .orderBy("pair").limit(1000)
+
+  /** A6: filtered max-timestamp — the incremental-crawl frontier
+    * (hourly_updater.py:70-97).
+    */
+  def a6IncrementalMaxTs(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("event_type") === "click")
+      .agg(max(col("ts").cast("long")).as("max_ts_s"),
+        count(lit(1)).as("n_rows"))
+
+  // ===== W: window functions / sorts / limits / top-k =====================
+
+  /** W1/W2: rolling SMA-7 and SMA-30 row frames per key, one Window
+    * partitioning → single exchange, both frames in one WindowExec pass
+    * (batch_processor.py:111-115).
+    */
+  def w1RollingSma(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val vDec = col("value").cast("decimal(18,2)")
+    def frameAvg(lo: Int) =
+      r4(sum(vDec).over(w.rowsBetween(lo, 0)).cast("double") /
+        count(lit(1)).over(w.rowsBetween(lo, 0)))
+    events(s, dir)
+      .withColumn("sma_7", frameAvg(-6))
+      .withColumn("sma_30", frameAvg(-29))
+      .select(col("user_id"), col("event_id"), col("sma_7"), col("sma_30"))
+  }
+
+  /** W5: top-1 by sort desc within a filter (app.py:102-104) —
+    * TakeOrderedAndProject, no global sort.
+    */
+  def w5Top1Desc(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(1)
+      .select(col("event_id"), col("ts").cast("long").as("ts_s"), col("value"))
+
+  /** W6: top-k newest rows (model-input fetch, app.py:219-228). */
+  def w6TopkRecent(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(100)
+      .select(col("event_id"), col("ts").cast("long").as("ts_s"), col("value"))
+
+  /** W7: bounded range scan sorted asc with cap (app.py:166-168; chart and
+    * history endpoints). Partition pruning would kick in on a
+    * date-partitioned table.
+    */
+  def w7RangeScanAsc(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("ts") >= lit("2024-01-10 00:00:00") &&
+        col("ts") < lit("2024-01-12 00:00:00"))
+      .orderBy(col("ts"), col("event_id"))
+      .limit(10000)
+      .select(col("event_id"), col("ts").cast("long").as("ts_s"),
+        col("event_type"), col("value"))
+
+  /** W8: get-by-primary-key (app.py:97). */
+  def w8GetByKey(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("event_id") === 4242)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("long").as("ts_s"), col("value"))
+
+  // ===== Relational beyond the reference: joins / set ops =================
+
+  /** TPC-H Q1-shaped rollup: the canonical scan-heavy agg; decimal-exact
+    * money sums, partial aggregation map-side.
+    */
+  def q1LineitemAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        r4(sum(col("l_discount").cast("decimal(4,2)")).cast("double") /
+          count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Broadcast dimension join: fact×dim with explicit broadcast — at 100 TB
+    * the dim side stays far under the broadcast threshold while the fact
+    * side never shuffles.
+    */
+  def j1BroadcastJoinAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("cnt"),
+        sum(discPrice).cast("double").as("revenue"))
+
+  /** Shuffle join on keys + rollup: both sides large at scale → hash
+    * exchange on the join key; AQE handles skew.
+    */
+  def j2ShuffleJoinAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("total_price"))
+
+  /** Left-semi join — EXISTS semantics, no row multiplication. */
+  def j3SemiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_mktsegment")
+
+  /** Left-anti join — NOT EXISTS semantics. */
+  def j4AntiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_nationkey")
+
+  /** UNION ALL of two scans — the S1 multi-path read is exactly this. */
+  def u1UnionAll(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    e.filter(col("event_type") === "click")
+      .unionByName(e.filter(col("event_type") === "error"))
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** M1 as a distributed transform: per-group MinMax scaling via window
+    * min/max (app.py:232 scaler semantics, engine-side).
+    */
+  def m1MinmaxScale(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+    events(s, dir)
+      .withColumn("mn", min(col("value")).over(w))
+      .withColumn("mx", max(col("value")).over(w))
+      .select(col("event_id"), col("event_type"),
+        round((col("value") - col("mn")) / (col("mx") - col("mn")), 6)
+          .as("scaled_value"))
+  }
+}
