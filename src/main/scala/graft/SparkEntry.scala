@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, ExtQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -47,6 +47,23 @@ object SparkEntry {
     "u1_union_all" -> (CoreQueries.u1UnionAll _),
     // ML surface (§2.6)
     "m1_minmax_scale" -> (CoreQueries.m1MinmaxScale _),
+    // §7.4 extensions: dedup / similarity / text analysis / multimodal
+    "d1_dedup_exact" -> (ExtQueries.d1DedupExact _),
+    "d2_fingerprint_md5" -> (ExtQueries.d2FingerprintMd5 _),
+    "d3_ngram_jaccard_pairs" -> (ExtQueries.d3NgramJaccardPairs _),
+    "e1_cosine_topk" -> (ExtQueries.e1CosineTopK _),
+    "e2_cosine_neardup_pairs" -> (ExtQueries.e2CosineNearDupPairs _),
+    "t1_token_counts" -> (ExtQueries.t1TokenCounts _),
+    "t2_quality_scores" -> (ExtQueries.t2QualityScores _),
+    "t3_lang_guess" -> (ExtQueries.t3LangGuess _),
+    "mm1_binary_meta" -> (ExtQueries.mm1BinaryMeta _),
+    // rows-only: native hashes / LSH internals (ScalaTest owns semantics)
+    "x1_fingerprints_native" -> (ExtQueries.x1FingerprintsNative _),
+    "x2_simhash_sketches" -> (ExtQueries.x2SimhashSketches _),
+    "x3_minhash_lsh_pairs" -> (ExtQueries.x3MinhashLshPairs _),
+    "x4_ann_topk" -> (ExtQueries.x4AnnTopK _),
+    "x5_frame_sample" -> (ExtQueries.x5FrameSample _),
+    "x6_media_features" -> (ExtQueries.x6MediaFeatures _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -170,5 +187,103 @@ object SparkEntry {
          FROM (SELECT *, min(value) OVER (PARTITION BY event_type) AS mn,
                       max(value) OVER (PARTITION BY event_type) AS mx
                FROM events)""",
+    "d1_dedup_exact" ->
+      """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+         FROM documents GROUP BY text""",
+    "d2_fingerprint_md5" ->
+      """SELECT doc_id, md5(text) AS md5_hex FROM documents""",
+    "d3_ngram_jaccard_pairs" ->
+      """WITH sh AS (
+           SELECT doc_id, lang, source,
+                  list_distinct(list_transform(
+                    range(0, greatest(length(text)-3, 0)+1),
+                    i -> substr(text, CAST(i+1 AS INT), 3))) AS s
+           FROM documents)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(a.s || b.s)) AS jaccard
+         FROM sh a JOIN sh b
+           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(a.s || b.s)) >= 0.4""",
+    "e1_cosine_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           scored AS (
+             SELECT vec_id, label,
+               list_aggregate(list_transform(list_zip(embedding, qe),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+               / (sqrt(list_aggregate(list_transform(list_zip(embedding, embedding),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'))
+                * sqrt(list_aggregate(list_transform(list_zip(qe, qe),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')))
+               AS cosine
+             FROM embeddings, q WHERE vec_id <> 0)
+         SELECT vec_id, label,
+                floor(cosine * 1000000 + 0.5) / 1000000 AS cosine_r6
+         FROM scored ORDER BY cosine DESC, vec_id LIMIT 20""",
+    "e2_cosine_neardup_pairs" ->
+      """WITH n AS (
+           SELECT vec_id, embedding,
+                  sqrt(list_aggregate(list_transform(list_zip(embedding, embedding),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')) AS nrm
+           FROM embeddings)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                floor(list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                  / (a.nrm * b.nrm) * 1000000 + 0.5) / 1000000 AS cosine_r6
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+               / (a.nrm * b.nrm) >= 0.45""",
+    "t1_token_counts" ->
+      """SELECT doc_id,
+                len(string_split(text, ' ')) AS ws_tokens,
+                len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS bpe_tokens
+         FROM documents""",
+    "t2_quality_scores" ->
+      """SELECT doc_id, length(text) AS n_chars,
+                len(string_split(text, ' ')) AS n_tokens,
+                floor((length(text) - (len(string_split(text, ' ')) - 1))
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                  * 10000 + 0.5) / 10000 AS mean_word_len,
+                floor(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                  / CAST(length(text) AS DOUBLE) * 10000 + 0.5) / 10000
+                  AS digit_ratio,
+                floor(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                  / CAST(length(text) AS DOUBLE) * 10000 + 0.5) / 10000
+                  AS punct_ratio
+         FROM documents""",
+    "t3_lang_guess" ->
+      """WITH sc AS (
+           SELECT doc_id, lang AS labeled_lang,
+             len(list_filter(string_split(text,' '),
+               w -> w IN ('the','a','of','and','is','to','in'))) AS s_en,
+             len(list_filter(string_split(text,' '),
+               w -> w IN ('der','die','das','und','ist','zu'))) AS s_de,
+             len(list_filter(string_split(text,' '),
+               w -> w IN ('le','la','les','et','est','une'))) AS s_fr,
+             len(list_filter(string_split(text,' '),
+               w -> w IN ('el','la','los','y','es','una'))) AS s_es,
+             len(list_filter(string_split(text,' '),
+               w -> w IN ('的','是','了','在'))) AS s_zh
+           FROM documents),
+         f2 AS (SELECT *, CASE WHEN s_de > s_en THEN s_de ELSE s_en END AS s2,
+                       CASE WHEN s_de > s_en THEN 'de' ELSE 'en' END AS l2 FROM sc),
+         f3 AS (SELECT *, CASE WHEN s_fr > s2 THEN s_fr ELSE s2 END AS s3,
+                       CASE WHEN s_fr > s2 THEN 'fr' ELSE l2 END AS l3 FROM f2),
+         f4 AS (SELECT *, CASE WHEN s_es > s3 THEN s_es ELSE s3 END AS s4,
+                       CASE WHEN s_es > s3 THEN 'es' ELSE l3 END AS l4 FROM f3),
+         f5 AS (SELECT *, CASE WHEN s_zh > s4 THEN s_zh ELSE s4 END AS s5,
+                       CASE WHEN s_zh > s4 THEN 'zh' ELSE l4 END AS l5 FROM f4)
+         SELECT doc_id, labeled_lang,
+                CASE WHEN s5 > 0 THEN l5 ELSE 'und' END AS guess
+         FROM f5""",
+    "mm1_binary_meta" ->
+      """SELECT doc_id AS media_id,
+                (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+                octet_length(encode(text)) AS n_bytes,
+                md5(text) AS md5_hex
+         FROM documents""",
   )
 }

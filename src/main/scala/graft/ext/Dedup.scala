@@ -1,0 +1,153 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Expressions.{fnv1a64, simhash64}
+
+/** Document deduplication for large-scale training-data pipelines
+  * (SURVEY.md §7.4). Five strategies, cheapest-first; all shuffle only on
+  * compact keys (hashes / band buckets), never on raw text:
+  *
+  *   1. exact          — hash-groupBy full text
+  *   2. fingerprint    — FNV-1a / MD5 content hash (exact dup via 8-byte key)
+  *   3. SimHash        — 64-bit near-dup sketch, Hamming-close pairs
+  *   4. MinHash + LSH  — shingle → minhash signature → banded buckets →
+  *                       candidate pairs → exact Jaccard verify
+  *   5. n-gram Jaccard — exact shingle-set similarity on candidate pairs
+  *
+  * 100 TB notes: the only all-pairs step (within-bucket pairing) is bounded
+  * by bucket size; band hashing spreads uniformly unless the corpus is
+  * pathological (boilerplate) — production adds a bucket-size cap/salt.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Exact dedup: one row per distinct text, keeping the smallest doc_id
+    * (deterministic — dropDuplicates keeps an arbitrary row).
+    */
+  def exact(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy("text")
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select("keeper_id", "n_copies")
+
+  /** Content fingerprints: 64-bit FNV-1a (native codegen'd expression) +
+    * MD5. Exact-dup detection via 8-byte shuffle keys instead of full text.
+    */
+  def fingerprints(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      fnv1a64(col("text")).as("fnv64"),
+      md5(col("text")).as("md5_hex"))
+
+  /** SimHash near-dup sketch per document. */
+  def simhashes(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), simhash64(col("text")).as("simhash"))
+
+  /** SimHash near-dup pairs: Hamming distance ≤ `maxDist`. Candidate
+    * generation via 4 rotated 16-bit band keys (pigeonhole: distance ≤ 3
+    * guarantees one exact band match), then exact popcount verify —
+    * all-pairs only within tiny band buckets.
+    */
+  def simhashNearDupPairs(s: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    val sh = simhashes(s, dir)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), b * 16)
+            .bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val l = banded.alias("l")
+    val r = banded.alias("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Character shingles (k-gram substrings) hashed to longs — the input to
+    * MinHash and Jaccard. xxhash64 is Spark's codegen'd 64-bit hash; the
+    * set is sorted so downstream intersections are linear merges.
+    */
+  def shingles(df: DataFrame, k: Int = 5): DataFrame =
+    df.withColumn("shingle_hashes",
+      sort_array(array_distinct(transform(
+        sequence(lit(0), greatest(length(col("text")) - k, lit(0))),
+        i => xxhash64(substring(col("text"), lit(1) + i, lit(k)))))))
+
+  /** MinHash signatures: k minima over seeded splitmix64 rehashes (Broder
+    * 1997's independent-permutation approximation), computed in ONE pass by
+    * the native MinHashSig expression — k HOF transforms would allocate k
+    * arrays per row and dominated the sf0.1 bench at 33 s.
+    */
+  def minhashSignatures(df: DataFrame, numHashes: Int = 32): DataFrame =
+    df.select(col("doc_id"), col("shingle_hashes"),
+      graft.functions.Expressions.minhashSig(col("shingle_hashes"), numHashes)
+        .as("sig"))
+
+  /** MinHash LSH near-dup candidate pairs + exact Jaccard verify.
+    * `numHashes` minhashes banded `bands`-ways: docs sharing any band
+    * bucket become candidates (join on the band hash — compact key), then
+    * exact shingle-set Jaccard filters false positives.
+    */
+  def minhashLshPairs(s: SparkSession, dir: String, k: Int = 5,
+      numHashes: Int = 32, bands: Int = 8, jaccardMin: Double = 0.5): DataFrame = {
+    val perBand = numHashes / bands
+    val sig = minhashSignatures(shingles(docs(s, dir), k), numHashes)
+    val banded = sig.select(col("doc_id"), col("shingle_hashes"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          hash(slice(col("sig"), b * perBand + 1, perBand)).as("key"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("shingle_hashes"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val l = banded.alias("l")
+    val r = banded.alias("r")
+    val cand = l.join(r,
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.shingle_hashes").as("sh_a"), col("r.shingle_hashes").as("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    jaccardOfSorted(cand).filter(col("jaccard") >= jaccardMin)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Exact Jaccard over pre-sorted distinct shingle arrays `sh_a`/`sh_b`:
+    * |A∩B| by native linear merge, |A∪B| = |A|+|B|-|A∩B|.
+    */
+  private def jaccardOfSorted(cand: DataFrame): DataFrame =
+    cand
+      .withColumn("common",
+        graft.functions.Expressions.sortedIntersectSize(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+
+  /** Exact n-gram Jaccard similarity for a bounded candidate set (here:
+    * all pairs within the same `(lang, source)` block — at scale the
+    * candidate generator is LSH above; this exercises the exact metric
+    * end-to-end). Jaccard over distinct shingle-hash sets equals Jaccard
+    * over the substring sets themselves (collision-free at corpus scale),
+    * which is what the oracle computes.
+    */
+  def ngramJaccardPairs(s: SparkSession, dir: String, k: Int = 3,
+      jaccardMin: Double = 0.2): DataFrame = {
+    val sh = shingles(docs(s, dir), k).select(
+      col("doc_id"), col("lang"), col("source"), col("shingle_hashes"))
+    val l = sh.alias("l")
+    val r = sh.alias("r")
+    val cand = l.join(r, col("l.lang") === col("r.lang") &&
+        col("l.source") === col("r.source") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.shingle_hashes").as("sh_a"), col("r.shingle_hashes").as("sh_b"))
+    jaccardOfSorted(cand).filter(col("jaccard") >= jaccardMin)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+}

@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Expressions.fnv1a64
+
+/** Text analysis for training-data curation (SURVEY.md §7.4): token
+  * counting, quality scoring, language identification, fingerprinting.
+  * Everything is built from codegen'd string built-ins + the native FNV
+  * expression — no UDFs, so the whole pipeline stays in one
+  * WholeStageCodegen span over the scan.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Token counts: whitespace tokens + a BPE-ish regex token stream
+    * (words / numbers / punctuation runs — the pre-tokenizer shape used by
+    * GPT-style byte-pair encoders).
+    */
+  def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0))).as("bpe_tokens"))
+
+  /** Quality heuristics: length, word stats, punctuation/digit/space
+    * ratios. Scores in [0,1]; downstream filters threshold them.
+    */
+  def qualityScores(s: SparkSession, dir: String): DataFrame = {
+    val nChars = length(col("text"))
+    val nTokens = size(split(col("text"), " "))
+    docs(s, dir).select(
+      col("doc_id"),
+      nChars.as("n_chars"),
+      nTokens.as("n_tokens"),
+      // mean word length: chars excluding separators / tokens
+      (floor((nChars - (nTokens - lit(1))).cast("double") / nTokens
+        * 10000 + lit(0.5)) / 10000).as("mean_word_len"),
+      (floor(length(regexp_replace(col("text"), "[^0-9]", "")).cast("double")
+        / nChars * 10000 + lit(0.5)) / 10000).as("digit_ratio"),
+      (floor(length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("double")
+        / nChars * 10000 + lit(0.5)) / 10000).as("punct_ratio"))
+  }
+
+  /** Language ID by stopword-hit heuristic: count hits from tiny per-
+    * language function-word lists over the token stream; argmax wins, ties
+    * broken by list order. (N-gram profiles are the classic method —
+    * Cavnar & Trenkle 1994 — but function words separate this corpus.)
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "es" -> Seq("el", "la", "los", "y", "es", "una"),
+    "zh" -> Seq("的", "是", "了", "在"),
+  )
+
+  def langScores(s: SparkSession, dir: String): DataFrame = {
+    val tokens = split(col("text"), " ")
+    val scored = stopwords.toSeq.sortBy(_._1).foldLeft(docs(s, dir)) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"score_$lang",
+          size(filter(tokens, t => t.isin(words.map(lit(_)): _*))))
+    }
+    scored.select(col("doc_id"), col("lang").as("labeled_lang"),
+      col("score_en"), col("score_de"), col("score_fr"), col("score_es"),
+      col("score_zh"))
+  }
+
+  /** Argmax language guess from the stopword scores (greatest-wins, fixed
+    * tie order en>de>fr>es>zh via strictly-greater chain).
+    */
+  def langGuess(s: SparkSession, dir: String): DataFrame = {
+    val sc = langScores(s, dir)
+    val langs = Seq("en", "de", "fr", "es", "zh")
+    val best = langs.tail.foldLeft(
+      struct(col("score_en").as("s"), lit("en").as("l"))) { (acc, lang) =>
+      when(col(s"score_$lang") > acc.getField("s"),
+        struct(col(s"score_$lang").as("s"), lit(lang).as("l"))).otherwise(acc)
+    }
+    sc.withColumn("guess",
+        when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und")))
+      .select("doc_id", "labeled_lang", "guess")
+  }
+
+  /** Document fingerprints: FNV-1a content hash (native expression) + MD5,
+    * plus a shingle-set sketch hash (order-insensitive content signature —
+    * robust to token reordering, unlike the rolling hash).
+    */
+  def fingerprints(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      fnv1a64(col("text")).as("fnv64"),
+      md5(col("text")).as("md5_hex"),
+      xxhash64(sort_array(array_distinct(split(col("text"), " ")))).as("bag_hash"))
+}

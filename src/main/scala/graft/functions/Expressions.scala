@@ -1,0 +1,219 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot paths the built-in function
+  * library doesn't cover. Each generates a single static-method call inside
+  * whole-stage codegen (no UDF boxing, no codegen fallback), with an
+  * interpreted `nullSafeEval` for completeness.
+  *
+  * These back the SURVEY.md §7.4 extension operators (dedup, similarity,
+  * fingerprinting) — per-row work on 100 TB lives or dies on staying inside
+  * codegen.
+  */
+
+  /** 64-bit FNV-1a over UTF-8 bytes — the document rolling fingerprint.
+    * Public-domain algorithm (Fowler–Noll–Vo).
+    */
+  object Fnv {
+    final val Offset = 0xcbf29ce484222325L
+    final val Prime = 0x100000001b3L
+    def compute(s: UTF8String): Long = {
+      val bytes = s.getBytes
+      var h = Offset
+      var i = 0
+      while (i < bytes.length) {
+        h ^= (bytes(i) & 0xffL)
+        h *= Prime
+        i += 1
+      }
+      h
+    }
+  }
+
+  case class Fnv1a64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      Fnv.compute(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.Fnv.compute($c)")
+    override protected def withNewChildInternal(c: Expression): Fnv1a64 = copy(c)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: each token's FNV hash votes
+    * ±1 per bit position; the sign vector packs into a Long. Near-duplicate
+    * documents land within a small Hamming distance. (Charikar, STOC 2002 —
+    * public algorithm.)
+    */
+  object SimHash {
+    def compute(s: UTF8String): Long = {
+      val acc = new Array[Int](64)
+      // iterate tokens without materializing a String[]
+      val str = s.toString
+      var start = 0
+      val n = str.length
+      while (start < n) {
+        while (start < n && str.charAt(start) == ' ') start += 1
+        var end = start
+        while (end < n && str.charAt(end) != ' ') end += 1
+        if (end > start) {
+          val h = Fnv.compute(UTF8String.fromString(str.substring(start, end)))
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+            b += 1
+          }
+        }
+        start = end
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) {
+        if (acc(b) > 0) out |= (1L << b)
+        b += 1
+      }
+      out
+    }
+  }
+
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      SimHash.compute(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.SimHash.compute($c)")
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+  }
+
+  /** Dot product over two float arrays, accumulated in double in element
+    * order (deterministic — matches a sequential SQL lambda fold, so it is
+    * oracle-stable). A tight primitive loop: ~50× the HOF-chain
+    * (zip_with+aggregate) equivalent, which allocates per element.
+    */
+  object Vec {
+    def dot(a: ArrayData, b: ArrayData): Double = {
+      val n = math.min(a.numElements(), b.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+        i += 1
+      }
+      acc
+    }
+    def norm(a: ArrayData): Double = math.sqrt(dot(a, a))
+  }
+
+  case class DotF(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Vec.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.Vec.dot($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotF =
+      copy(left = l, right = r)
+  }
+
+// ---- Column-level API ----------------------------------------------------
+
+object Expressions {
+
+  def fnv1a64(c: Column): Column = GraftBridge.column(Fnv1a64(GraftBridge.expression(c)))
+  def simhash64(c: Column): Column = GraftBridge.column(SimHash64(GraftBridge.expression(c)))
+  def dotF(a: Column, b: Column): Column =
+    GraftBridge.column(DotF(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Cosine similarity between two float-array columns, double-accumulated
+    * in element order (oracle-stable).
+    */
+  def cosineF(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    dotF(a, b) / (sqrt(dotF(a, a)) * sqrt(dotF(b, b)))
+  }
+
+  def minhashSig(c: Column, k: Int): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(c), k))
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    GraftBridge.column(SortedIntersectSize(GraftBridge.expression(a), GraftBridge.expression(b)))
+}
+/** One-pass MinHash signature: k minima over splitmix64-mixed shingle
+  * hashes. Replaces k separate `transform(array, xxhash64)` passes (k array
+  * allocations per row) with a single O(n·k) loop and one output array.
+  * splitmix64 finalizer: Steele et al., "Fast Splittable Pseudorandom
+  * Number Generators" (public algorithm); wraps safely on the JVM.
+  */
+object MinHash {
+  @inline private def mix(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  def signature(shingles: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val h = shingles.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = mix(h + (j + 1) * 0x9e3779b97f4a7c15L)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+}
+
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    MinHash.signature(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHash.signature($c, $k)")
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+/** Intersection size of two SORTED long arrays by linear merge — no hash
+  * set allocation (vs array_intersect). Inputs must be sorted + distinct
+  * (sort_array(array_distinct(...)) upstream); union size follows as
+  * |A| + |B| - |A∩B|.
+  */
+object SortedArr {
+  def intersectSize(a: ArrayData, b: ArrayData): Long = {
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedArr.intersectSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SortedArr.intersectSize($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectSize =
+    copy(left = l, right = r)
+}

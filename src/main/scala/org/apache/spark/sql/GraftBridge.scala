@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column ⇄ Expression bridge for Spark 4's connect-compatible Column
+  * (which no longer exposes a public Expression constructor). Lives in the
+  * spark.sql package to reach the `private[sql]` classic converters — the
+  * standard idiom for Catalyst-extending libraries.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

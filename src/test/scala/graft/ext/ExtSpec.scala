@@ -1,0 +1,179 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.SparkSpec
+import graft.functions.{Expressions, Fnv, SimHash}
+
+class ExtSpec extends SparkSpec {
+
+  private val sf001 = sf("sf0.001")
+
+  // ---- native expressions ------------------------------------------------
+
+  test("fnv1a64 matches the FNV-1a reference vectors") {
+    // Known FNV-1a 64 test vectors (public algorithm constants)
+    assert(Fnv.compute(UTF8String.fromString("")) ==
+      0xcbf29ce484222325L)
+    assert(Fnv.compute(UTF8String.fromString("a")) ==
+      0xaf63dc4c8601ec8cL)
+  }
+
+  test("native expressions: codegen result equals interpreted eval") {
+    import spark.implicits._
+    val df = Seq("hello world", "spark graft engine", "").toDF("text")
+    val got = df.select(Expressions.fnv1a64(col("text")).as("f"),
+      Expressions.simhash64(col("text")).as("s")).collect()
+    val exp = df.collect().map { r =>
+      val u = UTF8String.fromString(r.getString(0))
+      (Fnv.compute(u), SimHash.compute(u))
+    }
+    got.zip(exp).foreach { case (row, (f, s)) =>
+      assert(row.getLong(0) == f && row.getLong(1) == s)
+    }
+  }
+
+  test("dotF/cosineF match manual computation") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+    val r = df.select(Expressions.dotF(col("a"), col("b")).as("d"),
+      Expressions.cosineF(col("a"), col("b")).as("c")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 32.0) < 1e-12)
+    val expCos = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(r.getDouble(1) - expCos) < 1e-12)
+  }
+
+  // ---- simhash near-dup mining -------------------------------------------
+
+  test("simhash: near-identical texts are Hamming-close, unrelated are far") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val nearDup = base.replace("again and again", "again and once")
+    val other = "completely unrelated content about databases and query engines"
+    def sh(t: String) = SimHash.compute(UTF8String.fromString(t))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(base), sh(nearDup)) <= 8)
+    assert(ham(sh(base), sh(other)) > 12)
+  }
+
+  test("simhashNearDupPairs finds planted near-duplicates via band join") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("simhash-docs").toString
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = base.replace("token40", "tokenX") // 1-token edit
+    val rows = Seq(
+      (1L, base, "en", "s", base.length.toLong),
+      (2L, nearDup, "en", "s", nearDup.length.toLong),
+      (3L, (100 to 140).map(i => s"word$i").mkString(" "), "en", "s", 10L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.simhashNearDupPairs(spark, tmp, maxDist = 6).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      s"planted pair not found: ${pairs.mkString(",")}")
+    assert(!pairs.exists(r => r.getLong(1) == 3L && r.getInt(2) <= 6))
+  }
+
+  // ---- minhash LSH --------------------------------------------------------
+
+  test("minhashLshPairs finds planted near-duplicates with correct jaccard") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("minhash-docs").toString
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789" * 4
+    val nearDup = base.dropRight(3) + "zzz"
+    val rows = Seq(
+      (1L, base, "en", "s", base.length.toLong),
+      (2L, nearDup, "en", "s", nearDup.length.toLong),
+      (3L, "QRSTUVWXYZ9876543210" * 8, "en", "s", 160L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.minhashLshPairs(spark, tmp, k = 5, numHashes = 32,
+      bands = 8, jaccardMin = 0.3).collect()
+    assert(pairs.length == 1 && pairs(0).getLong(0) == 1L &&
+      pairs(0).getLong(1) == 2L)
+    // exact jaccard against a brute-force shingle-set computation
+    def shingleSet(t: String, k: Int) =
+      (0 to t.length - k).map(i => t.substring(i, i + k)).toSet
+    val (sa, sb) = (shingleSet(base, 5), shingleSet(nearDup, 5))
+    val expJ = sa.intersect(sb).size.toDouble / sa.union(sb).size
+    assert(math.abs(pairs(0).getDouble(2) - expJ) < 1e-12)
+  }
+
+  // ---- similarity search --------------------------------------------------
+
+  test("cosineTopK is exact: matches a driver-side brute force") {
+    val got = Similarity.cosineTopK(spark, sf001, queryId = 0L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // brute force on collected vectors
+    val vecs = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    val q = vecs(0L)
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map(p => p._1 * p._2).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val exp = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10)
+      .map { case (id, c) => (id, math.floor(c * 1e6 + 0.5) / 1e6) }
+    assert(got.toSeq == exp)
+  }
+
+  test("annTopK candidates are a subset of brute-force ranking with high recall") {
+    val ann = Similarity.annTopK(spark, sf001, queryId = 0L, k = 10,
+      nPlanes = 8).collect().map(_.getLong(0)).toSet
+    val brute = Similarity.cosineTopK(spark, sf001, queryId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    // LSH with hamming-1 probing: expect some overlap with the true top-10
+    assert(ann.nonEmpty, "ANN returned no candidates")
+    assert(ann.intersect(brute).nonEmpty, "ANN recall is zero")
+  }
+
+  // ---- text analysis ------------------------------------------------------
+
+  test("langGuess is deterministic and respects stopword argmax") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("lang-docs").toString
+    Seq(
+      (1L, "the cat and the dog is in a house of the king", "en", "s", 10L),
+      (2L, "der hund und die katze ist zu haus", "de", "s", 10L),
+      (3L, "xyzzy plugh quux", "??", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.langGuess(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+    assert(got(3L) == "und")
+  }
+
+  // ---- multimodal ---------------------------------------------------------
+
+  test("media features are deterministic and entropy is sane") {
+    val feats = Multimodal.extractFeatures(spark, sf001).collect()
+    assert(feats.length == 500)
+    feats.foreach { f =>
+      assert(f.byte_entropy >= 0.0 && f.byte_entropy <= 8.0)
+      assert(f.width >= 16 && f.height >= 16)
+      assert(f.kind == "video" || f.n_frames == 1)
+    }
+    // determinism: re-run equals first run
+    val again = Multimodal.extractFeatures(spark, sf001).collect()
+    assert(feats.map(_.checksum).sorted.sameElements(again.map(_.checksum).sorted))
+  }
+
+  test("frame sampling yields ceil(chunks/stride) frames per video row") {
+    val media = Multimodal.mediaTable(spark, sf001)
+      .filter(col("kind") === "video").collect()
+    val frames = Multimodal.sampleFrames(spark, sf001, chunk = 64, stride = 4)
+      .groupBy("media_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    media.foreach { r =>
+      val nBytes = r.getAs[Long]("n_bytes")
+      val nChunks = math.max(1, nBytes.toInt / 64)
+      val expected = (0 until nChunks by 4).size.toLong
+      assert(frames(r.getAs[Long]("media_id")) == expected)
+    }
+  }
+}

@@ -1,0 +1,144 @@
+package graft.stream
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ingest.FixtureGen
+import graft.schema.Schemas
+import graft.store.ServingStore
+
+/** Speed-layer tests: producer-shaped JSON through MemoryStream (the test
+  * stand-in for the Kafka source, SURVEY.md §5.4) into the three streaming
+  * queries, verifying watermark drops, sliding-window contents,
+  * latest-candle determinism, and doc_id idempotency on replay.
+  */
+class OhlcvStreamJobSpec extends SparkSpec {
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  private val t0 = 1717200000000L // 2024-06-01T00:00:00Z
+
+  private def candleJson(symbol: String, minute: Int, close: Double,
+      volume: Double = 10.0): String = {
+    val ts = t0 + minute * 60000L
+    FixtureGen.streamJson(symbol, "1m",
+      FixtureGen.Candle(ts, close - 1, close + 1, close - 2, close, volume))
+  }
+
+  /** Run one micro-batch of JSON lines through a streaming query built by
+    * `build`, collecting each batch into the store.
+    */
+  private def runStream(lines: Seq[String]*)(
+      build: (org.apache.spark.sql.DataFrame, ServingStore) => Unit): ServingStore = {
+    implicit val s = spark
+    import spark.implicits._
+    val store = new ServingStore(tmp("stream-store"))
+    val mem = MemoryStream[String](1)(implicitly, spark.sqlContext)
+    val parsed = OhlcvStreamJob.parse(mem.toDF().withColumnRenamed("value", "value"))
+    build(parsed, store)
+    val queries = spark.streams.active
+    lines.foreach { batch =>
+      mem.addData(batch: _*)
+      queries.foreach(_.processAllAvailable())
+    }
+    queries.foreach(_.stop())
+    store
+  }
+
+  test("q1 latest: deterministic max_by over event time, complete mode") {
+    val store = runStream(
+      Seq(candleJson("BTC/USDT", 5, 100.0), candleJson("BTC/USDT", 3, 99.0),
+        candleJson("ETH/USDT", 4, 50.0)),
+      Seq(candleJson("BTC/USDT", 6, 101.0)))( (parsed, store) =>
+      OhlcvStreamJob.latestAgg(parsed).writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", tmp("ckpt-latest"))
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          store.upsert(Schemas.Tables.Latest, "doc_id", df)
+        }.start()
+    )
+    val rows = store.table(Schemas.Tables.Latest).collect()
+      .map(r => r.getAs[String]("symbol") ->
+        (r.getAs[Double]("current_price"), r.getAs[Long]("timestamp_ms"))).toMap
+    assert(rows("BTC/USDT") == (101.0, t0 + 6 * 60000L),
+      "latest candle must be the max event-time row, not arrival order")
+    assert(rows("ETH/USDT")._1 == 50.0)
+  }
+
+  test("q2 stats: sliding windows contain correct avg/min/max/count; " +
+    "late rows beyond watermark are dropped") {
+    val store = runStream(
+      // batch 1: two candles in minute 10-11
+      Seq(candleJson("BTC/USDT", 10, 100.0), candleJson("BTC/USDT", 11, 110.0)),
+      // batch 2: advance watermark far ahead (minute 40), plus a LATE row
+      // at minute 0 (older than watermark 40min - 2min) in batch 3
+      Seq(candleJson("BTC/USDT", 40, 200.0)),
+      Seq(candleJson("BTC/USDT", 0, 999.0)))( (parsed, store) =>
+      OhlcvStreamJob.statsAgg(OhlcvStreamJob.withWatermarked(parsed))
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", tmp("ckpt-stats"))
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          store.upsert(Schemas.Tables.Stats, "doc_id", df)
+        }.start()
+    )
+    val rows = store.table(Schemas.Tables.Stats).collect()
+    // the 10-min sliding window [min 2..12) etc: find a window containing
+    // both minute-10 and minute-11 candles
+    val both = rows.filter(r => r.getAs[Long]("event_count_in_window") == 2)
+    assert(both.nonEmpty, "no window aggregated both candles")
+    both.foreach { r =>
+      assert(r.getAs[Double]("avg_price") == 105.0)
+      assert(r.getAs[Double]("min_price") == 100.0)
+      assert(r.getAs[Double]("max_price") == 110.0)
+    }
+    // the late 999 row (minute 0, watermark at ~minute 38) must NOT appear
+    assert(!rows.exists(r => r.getAs[Double]("max_price") == 999.0),
+      "late row past the watermark leaked into window state")
+    // doc_id formula: symbol with '/'→'-'
+    assert(rows.forall(_.getAs[String]("doc_id").startsWith("BTC-USDT_stats_")))
+  }
+
+  test("q3 chart: append rows partitioned by event date, idempotent replay") {
+    implicit val s = spark
+    val store = runStream(
+      Seq(candleJson("BTC/USDT", 1, 100.0), candleJson("ETH/USDT", 2, 50.0)),
+      // replay the same candle (same timestamp → same doc_id): upsert must
+      // not duplicate (T9 exactly-once effect)
+      Seq(candleJson("BTC/USDT", 1, 100.0)))( (parsed, store) =>
+      OhlcvStreamJob.chartRows(OhlcvStreamJob.withWatermarked(parsed))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", tmp("ckpt-chart"))
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          store.upsertPartitioned(Schemas.Tables.ChartData, "doc_id", "dt", df)
+        }.start()
+    )
+    val rows = store.table(Schemas.Tables.ChartData).collect()
+    assert(rows.length == 2, s"replayed candle duplicated: ${rows.length} rows")
+    // partition values read back type-inferred (string "2024-06-01" → Date)
+    assert(rows.forall(r => String.valueOf(r.getAs[Any]("dt")) == "2024-06-01"))
+    val btc = rows.find(_.getAs[String]("symbol") == "BTC/USDT").get
+    assert(btc.getAs[String]("doc_id") == s"BTC-USDT_1m_${t0 + 60000L}")
+  }
+
+  test("three concurrent queries from one parsed stream (T7 fan-out)") {
+    implicit val s = spark
+    import spark.implicits._
+    val store = new ServingStore(tmp("fanout-store"))
+    val mem = MemoryStream[String](2)(implicitly, spark.sqlContext)
+    val parsed = OhlcvStreamJob.parse(mem.toDF())
+    val qs = OhlcvStreamJob.start(parsed, store, tmp("fanout-ckpt"))
+    try {
+      mem.addData(candleJson("BTC/USDT", 1, 100.0),
+        candleJson("BTC/USDT", 2, 101.0))
+      qs.foreach(_.processAllAvailable())
+      assert(store.table(Schemas.Tables.Latest).count() == 1)
+      assert(store.table(Schemas.Tables.Stats).count() > 0)
+      assert(store.table(Schemas.Tables.ChartData).count() == 2)
+    } finally qs.foreach(_.stop())
+  }
+}
