@@ -45,6 +45,10 @@ object SparkEntry {
     "j3_semi_join" -> (CoreQueries.j3SemiJoin _),
     "j4_anti_join" -> (CoreQueries.j4AntiJoin _),
     "u1_union_all" -> (CoreQueries.u1UnionAll _),
+    "q3_shipping_priority" -> (CoreQueries.q3ShippingPriority _),
+    "r1_rollup" -> (CoreQueries.r1Rollup _),
+    "cd1_count_distinct" -> (CoreQueries.cd1CountDistinct _),
+    "x7_approx_distinct" -> (CoreQueries.x7ApproxDistinct _),
     // ML surface (§2.6)
     "m1_minmax_scale" -> (CoreQueries.m1MinmaxScale _),
     // §7.4 extensions: dedup / similarity / text analysis / multimodal
@@ -175,6 +179,27 @@ object SparkEntry {
     "j4_anti_join" ->
       """SELECT c_custkey, c_nationkey FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                  AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND l_shipdate >= TIMESTAMP '2000-08-01 00:00:00'
+         GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "r1_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+                count(*) AS cnt
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "cd1_count_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+                count(*) AS n_orders
+         FROM orders GROUP BY o_orderstatus""",
     "u1_union_all" ->
       """SELECT event_type, count(*) AS cnt FROM (
            SELECT event_type FROM events WHERE event_type = 'click'

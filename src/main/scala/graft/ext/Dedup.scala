@@ -100,22 +100,27 @@ object Dedup {
       numHashes: Int = 32, bands: Int = 8, jaccardMin: Double = 0.5): DataFrame = {
     val perBand = numHashes / bands
     val sig = minhashSignatures(shingles(docs(s, dir), k), numHashes)
-    val banded = sig.select(col("doc_id"), col("shingle_hashes"),
+    // Band join carries ONLY (doc_id, band, key) — shipping the shingle
+    // arrays through the exploded self-join multiplies shuffle bytes by
+    // bands×2; they are attached once per side to the deduped candidates.
+    val banded = sig.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           hash(slice(col("sig"), b * perBand + 1, perBand)).as("key"))): _*))
         .as("bk"))
-      .select(col("doc_id"), col("shingle_hashes"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    val l = banded.alias("l")
-    val r = banded.alias("r")
-    val cand = l.join(r,
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.alias("l").join(banded.alias("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        col("l.shingle_hashes").as("sh_a"), col("r.shingle_hashes").as("sh_b"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    jaccardOfSorted(cand).filter(col("jaccard") >= jaccardMin)
+    val sh = sig.select(col("doc_id"), col("shingle_hashes"))
+    val withSets = cand
+      .join(sh.select(col("doc_id").as("doc_a"),
+        col("shingle_hashes").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"),
+        col("shingle_hashes").as("sh_b")), Seq("doc_b"))
+    jaccardOfSorted(withSets).filter(col("jaccard") >= jaccardMin)
       .select("doc_a", "doc_b", "jaccard")
   }
 

@@ -287,6 +287,49 @@ object CoreQueries {
       .groupBy("event_type").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Three-way join + top-k by aggregate (TPC-H Q3 shape): filters pushed
+    * to all three scans, joins keyed, final top-10 via
+    * TakeOrderedAndProject — no global sort at any scale.
+    */
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .join(t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01")),
+        col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem").filter(col("l_shipdate") >= lit("2000-08-01")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+
+  /** ROLLUP grouping sets over the Q1 dimensions — subtotals + grand total
+    * in one pass (Expand + partial agg, still a single shuffle).
+    */
+  def r1Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+
+  /** Exact distinct-count per group (two-phase: distinct shuffle then
+    * count — Catalyst plans the expand/aggregate automatically).
+    */
+  def cd1CountDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+
+  /** HLL approximate distinct — the sketch the reference's terms-agg would
+    * need at real cardinalities. Sketch values are engine-specific (no SQL
+    * oracle); ScalaTest bounds the relative error instead.
+    */
+  def x7ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n_rows"))
+
   /** M1 as a distributed transform: per-group MinMax scaling via window
     * min/max (app.py:232 scaler semantics, engine-side).
     */
