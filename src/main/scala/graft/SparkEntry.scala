@@ -61,6 +61,7 @@ object SparkEntry {
     "t2_quality_scores" -> (ExtQueries.t2QualityScores _),
     "t3_lang_guess" -> (ExtQueries.t3LangGuess _),
     "mm1_binary_meta" -> (ExtQueries.mm1BinaryMeta _),
+    "sk1_salted_sum" -> (ExtQueries.sk1SaltedSum _),
     // rows-only: native hashes / LSH internals (ScalaTest owns semantics)
     "x1_fingerprints_native" -> (ExtQueries.x1FingerprintsNative _),
     "x2_simhash_sketches" -> (ExtQueries.x2SimhashSketches _),
@@ -304,6 +305,14 @@ object SparkEntry {
          SELECT doc_id, labeled_lang,
                 CASE WHEN s5 > 0 THEN l5 ELSE 'und' END AS guess
          FROM f5""",
+    "sk1_salted_sum" ->
+      """SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                AS total
+         FROM events GROUP BY user_id""",
+    "sk1_salted_sum" ->
+      """SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                AS total
+         FROM events GROUP BY user_id""",
     "mm1_binary_meta" ->
       """SELECT doc_id AS media_id,
                 (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,

@@ -72,14 +72,12 @@ object Dedup {
   }
 
   /** Character shingles (k-gram substrings) hashed to longs — the input to
-    * MinHash and Jaccard. xxhash64 is Spark's codegen'd 64-bit hash; the
-    * set is sorted so downstream intersections are linear merges.
+    * MinHash and Jaccard: one native pass producing the sorted distinct
+    * hash set, so downstream intersections are linear merges.
     */
   def shingles(df: DataFrame, k: Int = 5): DataFrame =
     df.withColumn("shingle_hashes",
-      sort_array(array_distinct(transform(
-        sequence(lit(0), greatest(length(col("text")) - k, lit(0))),
-        i => xxhash64(substring(col("text"), lit(1) + i, lit(k)))))))
+      graft.functions.Expressions.shingleHashes(col("text"), k))
 
   /** MinHash signatures: k minima over seeded splitmix64 rehashes (Broder
     * 1997's independent-permutation approximation), computed in ONE pass by

@@ -138,6 +138,8 @@ object Expressions {
     dotF(a, b) / (sqrt(dotF(a, a)) * sqrt(dotF(b, b)))
   }
 
+  def shingleHashes(c: Column, k: Int): Column =
+    GraftBridge.column(ShingleHashes(GraftBridge.expression(c), k))
   def minhashSig(c: Column, k: Int): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(c), k))
   def sortedIntersectSize(a: Column, b: Column): Column =
@@ -216,4 +218,54 @@ case class SortedIntersectSize(left: Expression, right: Expression)
       (a, b) => s"graft.functions.SortedArr.intersectSize($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectSize =
     copy(left = l, right = r)
+}
+
+/** One-pass character-shingle set: hashes every k-char substring (FNV-1a
+  * over chars), then sorts + dedupes in place — replacing the
+  * sequence→transform→substring→array_distinct→sort_array chain, which
+  * allocates one UTF8String per shingle and three intermediate arrays per
+  * row. Texts shorter than k yield the single hash of the whole text
+  * (mirroring substring() semantics of the HOF version).
+  */
+object Shingle {
+  def hashes(s: UTF8String, k: Int): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    val count = math.max(1, n - k + 1)
+    val out = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      var h = Fnv.Offset
+      var j = i
+      val end = math.min(i + k, n)
+      while (j < end) {
+        val c = str.charAt(j)
+        h ^= (c & 0xffL); h *= Fnv.Prime
+        h ^= ((c >> 8) & 0xffL); h *= Fnv.Prime
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    // compact distinct in place
+    var w = 0
+    var r = 0
+    while (r < count) {
+      if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, w))
+  }
+}
+
+case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Shingle.hashes(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Shingle.hashes($c, $k)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
 }

@@ -61,6 +61,18 @@ object ExtQueries {
   def mm1BinaryMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.binaryMeta(s, dir)
 
+  /** Skew-safe two-phase salted sum — must equal the plain groupBy sum
+    * (the oracle computes the plain one).
+    */
+  def sk1SaltedSum(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_id"),
+        col("value").cast("decimal(18,2)").as("v"))
+    graft.ext.SkewSafe.saltedSum(e, col("user_id"), col("v"),
+      col("event_id"), salts = 16)
+      .select(col("k").as("user_id"), col("total").cast("double").as("total"))
+  }
+
   // ---- rows-only (native hashing / LSH — not SQL-expressible) ------------
 
   /** Native fingerprint sketches: FNV-1a + SimHash + order-insensitive

@@ -1,0 +1,56 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom streaming state beyond windowed aggregation:
+  * `flatMapGroupsWithState` per-key state machines (SURVEY §2.7 T-series;
+  * the primitive the built-in window/watermark operators can't express).
+  *
+  * [[emaUpdates]] maintains an exponential moving average per symbol across
+  * micro-batches — the streaming analog of the batch SMA features
+  * (batch_processor.py:111-115), recursive like the forecast loop
+  * (app.py:233-239) but distributed and fault-tolerant: state lives in the
+  * state store, scales with #symbols, and survives restarts via the
+  * checkpoint.
+  */
+object StatefulOps {
+
+  final case class CandleEvent(symbol: String, timestampMs: Long, close: Double)
+  final case class EmaState(lastTs: Long, ema: Double)
+  final case class EmaUpdate(symbol: String, timestampMs: Long, close: Double,
+      ema: Double)
+
+  /** Per-symbol EMA over the candle stream. Events inside a batch are
+    * folded in event-time order (the state machine is order-sensitive, so
+    * we sort the group's batch — bounded by trigger size, not stream
+    * length). alpha is the standard smoothing factor.
+    */
+  def emaUpdates(parsed: DataFrame, alpha: Double = 0.3): Dataset[EmaUpdate] = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    parsed.selectExpr("symbol", "timestamp_ms AS timestampMs",
+        "close_price AS close")
+      .as[CandleEvent]
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (symbol: String, events: Iterator[CandleEvent],
+         state: GroupState[EmaState]) => {
+          val sorted = events.toSeq.sortBy(e => (e.timestampMs, e.close))
+          var st = state.getOption.getOrElse(EmaState(Long.MinValue, Double.NaN))
+          val out = sorted.flatMap { e =>
+            if (e.timestampMs <= st.lastTs) {
+              None // stale/duplicate candle: state never goes backwards
+            } else {
+              val ema =
+                if (st.ema.isNaN) e.close
+                else alpha * e.close + (1 - alpha) * st.ema
+              st = EmaState(e.timestampMs, ema)
+              Some(EmaUpdate(symbol, e.timestampMs, e.close, ema))
+            }
+          }
+          if (out.nonEmpty) state.update(st)
+          out.iterator
+        })
+  }
+}

@@ -1,0 +1,80 @@
+package graft.store
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** ServingStore semantics + the sliding-window assignment property from
+  * SURVEY.md §5.4.
+  */
+class ServingStoreSpec extends SparkSpec {
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  test("upsertPartitioned only rewrites touched partitions") {
+    implicit val s = spark
+    import spark.implicits._
+    val store = new ServingStore(tmp("part-store"))
+    store.upsertPartitioned("t", "id", "dt", Seq(
+      ("a", "2024-06-01", 1.0), ("b", "2024-06-02", 2.0))
+      .toDF("id", "dt", "v"))
+    val d1 = Paths.get(store.root, "t", "dt=2024-06-01")
+    val before = Files.getLastModifiedTime(
+      Files.list(d1).filter(_.toString.endsWith(".parquet")).findFirst().get())
+    Thread.sleep(20)
+    // touch only 2024-06-02
+    store.upsertPartitioned("t", "id", "dt",
+      Seq(("b", "2024-06-02", 20.0), ("c", "2024-06-02", 3.0))
+        .toDF("id", "dt", "v"))
+    val after = Files.getLastModifiedTime(
+      Files.list(d1).filter(_.toString.endsWith(".parquet")).findFirst().get())
+    assert(before == after, "untouched partition was rewritten")
+    val rows = store.table("t").collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[Double]("v")).toMap
+    assert(rows == Map("a" -> 1.0, "b" -> 20.0, "c" -> 3.0))
+  }
+
+  test("dropPartitionsBefore removes only expired partitions (retention)") {
+    implicit val s = spark
+    import spark.implicits._
+    val store = new ServingStore(tmp("ret-store"))
+    store.upsertPartitioned("t", "id", "dt", Seq(
+      ("a", "2024-06-01", 1.0), ("b", "2024-06-02", 2.0),
+      ("c", "2024-06-03", 3.0)).toDF("id", "dt", "v"))
+    store.dropPartitionsBefore("t", "dt", "2024-06-02")
+    val dts = store.table("t").select("dt").collect()
+      .map(r => String.valueOf(r.get(0))).sorted
+    assert(dts.toSeq == Seq("2024-06-02", "2024-06-03"))
+  }
+
+  test("overwrite replaces the whole table atomically") {
+    implicit val s = spark
+    import spark.implicits._
+    val store = new ServingStore(tmp("ow-store"))
+    store.overwrite("t", Seq((1, "x")).toDF("id", "v"))
+    store.overwrite("t", Seq((2, "y"), (3, "z")).toDF("id", "v"))
+    assert(store.table("t").count() == 2)
+    assert(!Files.exists(Paths.get(store.root, "t.staging")))
+    assert(!Files.exists(Paths.get(store.root, "t.retired")))
+  }
+
+  test("property: every event lands in exactly window/slide sliding windows") {
+    import spark.implicits._
+    // 10-minute window, 1-minute slide → every event in exactly 10 windows
+    val gen = Gen.chooseNum(0L, 100000000L)
+    val samples = (0 until 20).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)))
+    val df = samples.distinct.map(sec => java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(sec))).toDF("ts")
+    // window() in a non-agg select expands to one row per assigned window
+    val counts = df.select(col("ts"),
+      window(col("ts"), "10 minutes", "1 minute")).groupBy("ts").count()
+      .collect()
+    assert(counts.forall(_.getLong(1) == 10L),
+      s"events not in exactly 10 sliding windows: ${counts.mkString(",")}")
+  }
+}

@@ -1,0 +1,49 @@
+package graft.stream
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.ingest.FixtureGen
+
+/** flatMapGroupsWithState EMA: recursion must carry across micro-batches
+  * via the state store, stale events must be ignored.
+  */
+class StatefulOpsSpec extends SparkSpec {
+
+  private val t0 = 1717200000000L
+
+  private def js(sym: String, minute: Int, close: Double): String =
+    FixtureGen.streamJson(sym, "1m",
+      FixtureGen.Candle(t0 + minute * 60000L, close, close, close, close, 1.0))
+
+  test("EMA folds across micro-batches with state-store persistence") {
+    import spark.implicits._
+    val mem = MemoryStream[String](11)(implicitly, spark.sqlContext)
+    val updates = StatefulOps.emaUpdates(
+      OhlcvStreamJob.parse(mem.toDF()), alpha = 0.5)
+    val q = updates.writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ema-ckpt").toString)
+      .format("memory").queryName("ema_out")
+      .start()
+    try {
+      mem.addData(js("BTC/USDT", 1, 100.0), js("BTC/USDT", 2, 110.0))
+      q.processAllAvailable()
+      // batch 2: continues from batch-1 state; includes a stale minute-1 dup
+      mem.addData(js("BTC/USDT", 3, 120.0), js("BTC/USDT", 1, 100.0),
+        js("ETH/USDT", 1, 50.0))
+      q.processAllAvailable()
+      val rows = spark.table("ema_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+      val btc = rows.filter(_._1 == "BTC/USDT").sortBy(_._2).map(_._3)
+      // ema1=100; ema2=.5*110+.5*100=105; ema3=.5*120+.5*105=112.5
+      assert(btc.toSeq == Seq(100.0, 105.0, 112.5),
+        s"EMA recursion broken: ${btc.mkString(",")}")
+      assert(rows.count(_._1 == "BTC/USDT") == 3, "stale dup not dropped")
+      assert(rows.filter(_._1 == "ETH/USDT").map(_._3).toSeq == Seq(50.0))
+    } finally q.stop()
+  }
+}
