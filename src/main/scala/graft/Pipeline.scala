@@ -35,12 +35,18 @@ object Pipeline {
     spark.sparkContext.setLogLevel("WARN")
     implicit val s: SparkSession = spark
 
-    // 1. ingest: crawler-shaped fixtures (historical + one hourly update)
+    // 1. ingest: paginated crawl (S9 contract — cursor pages of 1000,
+    // bounded retries) against a deterministic in-memory exchange, then
+    // crawler-shaped CSV (S7)
     val rawDir = s"$work/raw_historical_data"
     val t0 = 1717200000000L // 2024-06-01T00:00:00Z
     for (sym <- Seq("BTC_USDT", "ETH_USDT")) {
+      val exchange = FixtureGen.candles(sym, t0, 3600000L, 24 * 40)
+      val crawled = ingest.Paginator.crawl(
+        (since, limit) => exchange.filter(_.timestamp >= since).take(limit),
+        sinceMs = t0, untilMs = t0 + 24L * 40 * 3600000L, stepMs = 3600000L)
       FixtureGen.writeCsv(rawDir, FixtureGen.historicalFileName(sym, "1h"),
-        FixtureGen.candles(sym, t0, 3600000L, 24 * 40))
+        crawled)
     }
     FixtureGen.writeCsv(rawDir,
       FixtureGen.updateFileName("BTC_USDT", "1h", t0 + 960L * 3600000L),
@@ -63,13 +69,14 @@ object Pipeline {
     api.historicalSeries(hist).orderBy(org.apache.spark.sql.functions
       .desc("label")).show(5, truncate = false)
 
-    // 4. forecast (M1-M4): recursive 24-step off the last closes
-    val closes = api.lastCloses("BTC_USDT", "1h", 48)
-    val scaler = Forecaster.MinMaxScaler.fit(closes.toSeq)
+    // 4. forecast (M1-M4): MLlib GBT over lag windows + recursive 24 steps
+    val history = api.lastCloses("BTC_USDT", "1h", 500)
+    val scaler = Forecaster.MinMaxScaler.fit(history.toSeq)
+    val gbt = graft.ml.GbtLagModel.train(spark, history.map(scaler.transform),
+      windowSize = 24, maxIter = 10)
     val fc = Forecaster.recursiveForecast(
-      Forecaster.DriftModel(5), scaler, closes,
-      lastKnownMs = now.toEpochMilli, stepMs = 3600000L)
-    println(s"[pipeline] forecast first 3 of ${fc.length}: " +
+      gbt, scaler, history, lastKnownMs = now.toEpochMilli, stepMs = 3600000L)
+    println(s"[pipeline] GBT forecast first 3 of ${fc.length}: " +
       fc.take(3).map(f => f"${f.timestampMs}:${f.predictedPrice}%.4f").mkString(", "))
 
     println(s"[pipeline] OK work=$work")
