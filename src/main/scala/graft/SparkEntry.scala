@@ -62,11 +62,13 @@ object SparkEntry {
     "t3_lang_guess" -> (ExtQueries.t3LangGuess _),
     "mm1_binary_meta" -> (ExtQueries.mm1BinaryMeta _),
     "sk1_salted_sum" -> (ExtQueries.sk1SaltedSum _),
+    "c1_curation_pipeline" -> (ExtQueries.c1CurationPipeline _),
     // rows-only: native hashes / LSH internals (ScalaTest owns semantics)
     "x1_fingerprints_native" -> (ExtQueries.x1FingerprintsNative _),
     "x2_simhash_sketches" -> (ExtQueries.x2SimhashSketches _),
     "x3_minhash_lsh_pairs" -> (ExtQueries.x3MinhashLshPairs _),
     "x4_ann_topk" -> (ExtQueries.x4AnnTopK _),
+    "x8_ivf_topk" -> (ExtQueries.x8IvfTopK _),
     "x5_frame_sample" -> (ExtQueries.x5FrameSample _),
     "x6_media_features" -> (ExtQueries.x6MediaFeatures _),
   )
@@ -309,10 +311,56 @@ object SparkEntry {
       """SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                 AS total
          FROM events GROUP BY user_id""",
+    "c1_curation_pipeline" ->
+      """WITH sc AS (
+           SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(regexp_replace(text, '[^0-9]', '', 'g'))
+               / CAST(length(text) AS DOUBLE) AS digit_ratio,
+             len(list_filter(string_split(text,' '),
+               w -> w IN ('the','a','of','and','is','to','in'))) AS s_en,
+             len(list_filter(string_split(text,' '),
+               w -> w IN ('der','die','das','und','ist','zu'))) AS s_de,
+             len(list_filter(string_split(text,' '),
+               w -> w IN ('le','la','les','et','est','une'))) AS s_fr,
+             len(list_filter(string_split(text,' '),
+               w -> w IN ('el','la','los','y','es','una'))) AS s_es,
+             len(list_filter(string_split(text,' '),
+               w -> w IN ('的','是','了','在'))) AS s_zh
+           FROM documents)
+         SELECT min(doc_id) AS doc_id, min(n_tokens) AS ws_tokens
+         FROM sc
+         WHERE n_tokens >= 20 AND digit_ratio <= 0.2
+           AND s_en > 0 AND s_de <= s_en AND s_fr <= s_en
+           AND s_es <= s_en AND s_zh <= s_en
+         GROUP BY text""",
     "sk1_salted_sum" ->
       """SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                 AS total
          FROM events GROUP BY user_id""",
+    "c1_curation_pipeline" ->
+      """WITH sc AS (
+           SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             length(regexp_replace(text, '[^0-9]', '', 'g'))
+               / CAST(length(text) AS DOUBLE) AS digit_ratio,
+             len(list_filter(string_split(text,' '),
+               w -> w IN ('the','a','of','and','is','to','in'))) AS s_en,
+             len(list_filter(string_split(text,' '),
+               w -> w IN ('der','die','das','und','ist','zu'))) AS s_de,
+             len(list_filter(string_split(text,' '),
+               w -> w IN ('le','la','les','et','est','une'))) AS s_fr,
+             len(list_filter(string_split(text,' '),
+               w -> w IN ('el','la','los','y','es','una'))) AS s_es,
+             len(list_filter(string_split(text,' '),
+               w -> w IN ('的','是','了','在'))) AS s_zh
+           FROM documents)
+         SELECT min(doc_id) AS doc_id, min(n_tokens) AS ws_tokens
+         FROM sc
+         WHERE n_tokens >= 20 AND digit_ratio <= 0.2
+           AND s_en > 0 AND s_de <= s_en AND s_fr <= s_en
+           AND s_es <= s_en AND s_zh <= s_en
+         GROUP BY text""",
     "mm1_binary_meta" ->
       """SELECT doc_id AS media_id,
                 (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,

@@ -71,6 +71,43 @@ object Similarity {
     emb(s, dir).withColumn("bucket", sigBits.reduce(_ + _))
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer (MLlib, seeded) →
+    * each vector assigned to its nearest of `nlist` centroids → a query
+    * probes the `nprobe` nearest centroid cells and exact-reranks inside.
+    * At 100 TB the cell id is a partition/cluster key: the scan prunes to
+    * nprobe/nlist of the corpus. Centroid training is distributed; the
+    * tiny centroid table (nlist × dim floats) broadcasts to the probe.
+    */
+  def ivfTopK(s: SparkSession, dir: String, queryId: Long = 0L, k: Int = 20,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = emb(s, dir).withColumn("fv",
+      array_to_vector(col("embedding").cast("array<double>")))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(e)
+    val assigned = model.transform(e)
+    val qRow = assigned.filter(col("vec_id") === queryId)
+      .select("embedding", "fv").head()
+    val qVec = qRow.getAs[org.apache.spark.ml.linalg.Vector]("fv")
+    val cells = model.clusterCenters.zipWithIndex
+      .map { case (c, i) =>
+        (i, org.apache.spark.ml.linalg.Vectors.sqdist(c, qVec))
+      }
+      .sortBy(_._2).take(nprobe).map(_._1)
+    val q = assigned.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    assigned
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*) &&
+        col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", cosineF(col("embedding"), col("q_embedding")))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), col("cell"), col("cosine"))
+  }
+
   /** ANN top-k via LSH: score only vectors in the query's bucket (plus
     * Hamming-1 neighbor buckets for recall), exact cosine re-rank inside.
     * At 100 TB: bucket column is a partition/cluster key → the scan prunes

@@ -87,6 +87,34 @@ object TextAnalysis {
       .select("doc_id", "labeled_lang", "guess")
   }
 
+  /** Full curation pipeline — the composed training-data filter chain:
+    * quality gate (length + token count + digit ratio) → language gate
+    * (stopword argmax = en) → exact dedup (min-doc_id keeper per text) →
+    * token accounting. One declarative plan: Catalyst fuses the gates into
+    * the scan, the only shuffle is the dedup groupBy.
+    */
+  def curationPipeline(s: SparkSession, dir: String, minTokens: Int = 20,
+      maxDigitRatio: Double = 0.2): DataFrame = {
+    val tokens = split(col("text"), " ")
+    val nTokens = size(tokens)
+    val digitRatio =
+      length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+        length(col("text"))
+    def score(lang: String) = size(filter(tokens,
+      t => t.isin(stopwords(lang).map(lit(_)): _*)))
+    // argmax == en (fold order en>de>fr>es>zh: en wins ties)
+    val isEnglish = score("en") > 0 &&
+      Seq("de", "fr", "es", "zh").map(l => score(l) <= score("en"))
+        .reduce(_ && _)
+    docs(s, dir)
+      .filter(nTokens >= minTokens && digitRatio <= maxDigitRatio &&
+        isEnglish)
+      .groupBy("text")
+      .agg(min("doc_id").as("doc_id"),
+        min(nTokens).cast("long").as("ws_tokens"))
+      .select("doc_id", "ws_tokens")
+  }
+
   /** Document fingerprints: FNV-1a content hash (native expression) + MD5,
     * plus a shingle-set sketch hash (order-insensitive content signature —
     * robust to token reordering, unlike the rolling hash).

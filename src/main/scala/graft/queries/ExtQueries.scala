@@ -56,6 +56,12 @@ object ExtQueries {
   def t3LangGuess(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langGuess(s, dir)
 
+  /** Composed curation chain: quality gate → language gate → dedup →
+    * token accounting (fully SQL-expressible, so oracle-checked).
+    */
+  def c1CurationPipeline(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.curationPipeline(s, dir)
+
   // ---- multimodal --------------------------------------------------------
 
   def mm1BinaryMeta(s: SparkSession, dir: String): DataFrame =
@@ -99,6 +105,10 @@ object ExtQueries {
   /** LSH-bucketed approximate nearest neighbors. */
   def x4AnnTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.annTopK(s, dir, queryId = 0L, k = 20, nPlanes = 8)
+
+  /** IVF coarse-quantized ANN (k-means cells + nprobe probing). */
+  def x8IvfTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(s, dir, queryId = 0L, k = 20, nlist = 8, nprobe = 3)
 
   /** Frame-sampling stub over video payloads (1 row in → N frames out). */
   def x5FrameSample(s: SparkSession, dir: String): DataFrame =

@@ -49,6 +49,15 @@ object OhlcvStreamJob {
   def withWatermarked(parsed: DataFrame, delay: String = DefaultWatermark): DataFrame =
     parsed.withWatermark("event_timestamp", delay) // T1
 
+  /** Streaming deduplication: drop re-delivered candles by (symbol,
+    * timestamp_ms) with watermark-bounded state — the streaming form of
+    * exact dedup (a training-data pipeline ingesting a feed needs this
+    * before anything else). State holds only keys newer than the
+    * watermark; older re-deliveries are already filtered by it.
+    */
+  def dedupedStream(watermarked: DataFrame): DataFrame =
+    watermarked.dropDuplicates("symbol", "timestamp_ms")
+
   /** q1 aggregate: latest candle per symbol — deterministic `max_by` over
     * event time with timestamp_ms as tiebreaker (replaces nondeterministic
     * `F.last`, stream_processor.py:80-90 / A1). Output schema matches

@@ -130,6 +130,18 @@ class ExtSpec extends SparkSpec {
     assert(ann.intersect(brute).nonEmpty, "ANN recall is zero")
   }
 
+  test("ivfTopK probes a subset of cells yet finds most true neighbors") {
+    val ivf = Similarity.ivfTopK(spark, sf001, queryId = 0L, k = 10,
+      nlist = 8, nprobe = 3).collect()
+    assert(ivf.nonEmpty && ivf.length <= 10)
+    val cells = ivf.map(_.getAs[Int]("cell")).toSet
+    assert(cells.size <= 3, "results must come from probed cells only")
+    val brute = Similarity.cosineTopK(spark, sf001, queryId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = ivf.map(_.getLong(0)).count(brute.contains) / 10.0
+    assert(recall >= 0.3, s"IVF recall too low: $recall")
+  }
+
   // ---- text analysis ------------------------------------------------------
 
   test("langGuess is deterministic and respects stopword argmax") {

@@ -125,6 +125,33 @@ class OhlcvStreamJobSpec extends SparkSpec {
     assert(btc.getAs[String]("doc_id") == s"BTC-USDT_1m_${t0 + 60000L}")
   }
 
+  test("streaming dedup drops re-delivered candles within the watermark") {
+    implicit val s = spark
+    val store = runStream(
+      Seq(candleJson("BTC/USDT", 5, 100.0), candleJson("BTC/USDT", 5, 100.0),
+        candleJson("BTC/USDT", 6, 101.0)),
+      // batch 2 re-delivers minute-5 (same key) → must be dropped by state
+      Seq(candleJson("BTC/USDT", 5, 100.0), candleJson("BTC/USDT", 7, 102.0)))(
+      (parsed, store) =>
+        OhlcvStreamJob.dedupedStream(OhlcvStreamJob.withWatermarked(parsed))
+          .select("symbol", "timestamp_ms", "close_price")
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", tmp("ckpt-dedup"))
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            // plain append table keyed on nothing: dedup already happened
+            if (!df.isEmpty) {
+              val prev = store.tableOr("dedup_out", df.limit(0))
+              store.overwrite("dedup_out", prev.unionByName(df))
+            }
+          }.start()
+    )
+    val rows = store.table("dedup_out").collect()
+    assert(rows.length == 3, s"expected 3 unique candles, got ${rows.length}")
+    assert(rows.map(_.getAs[Long]("timestamp_ms")).toSet ==
+      Set(5, 6, 7).map(m => t0 + m * 60000L))
+  }
+
   test("three concurrent queries from one parsed stream (T7 fan-out)") {
     implicit val s = spark
     import spark.implicits._
