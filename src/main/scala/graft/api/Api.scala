@@ -113,6 +113,24 @@ final class Api(store: ServingStore) {
       .map((r: Row) => r.getDouble(0))
       .reverse
 
+  /** `/api/predict_xgboost/<sym_tf>` (Q4, app.py:195-244): last-w closes →
+    * MinMax scale → recursive multi-step forecast → (timestamp, price)
+    * series. The regressor is pluggable ([[graft.ml.Forecaster.LagModel]]);
+    * window size per symbol mirrors app.py:203-206.
+    */
+  def predict(symbol: String, timeframe: String,
+      model: graft.ml.Forecaster.LagModel, stepMs: Long,
+      steps: Int = 24): Seq[graft.ml.Forecaster.Forecast] = {
+    val closes = lastCloses(symbol, timeframe, math.max(model.windowSize, 48))
+    if (closes.isEmpty)
+      throw new NoSuchElementException(s"no history for $symbol/$timeframe")
+    val scaler = graft.ml.Forecaster.MinMaxScaler.fit(closes.toSeq)
+    val lastTs = latestStoredTimestamp(symbol, timeframe)
+      .getOrElse(throw new NoSuchElementException(s"$symbol/$timeframe"))
+    graft.ml.Forecaster.recursiveForecast(model, scaler, closes,
+      lastKnownMs = lastTs * 1000L, stepMs = stepMs, steps = steps)
+  }
+
   /** Latest stored timestamp for a (symbol, timeframe) — drives incremental
     * crawling (hourly_updater.py:70-97 / A6).
     */

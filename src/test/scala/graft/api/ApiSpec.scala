@@ -82,6 +82,20 @@ class ApiSpec extends SparkSpec {
     assert(math.abs(sc.inverse(sc.transform(17.3)) - 17.3) < 1e-12)
   }
 
+  test("Q4 predict endpoint: full chain off the store with injected model") {
+    val fc = api.predict("BTC_USDT", "1h", Forecaster.PersistenceModel(5),
+      stepMs = 3600000L)
+    assert(fc.length == 24)
+    val lastTs = api.latestStoredTimestamp("BTC_USDT", "1h").get * 1000L
+    assert(fc.head.timestampMs == lastTs + 3600000L,
+      "forecast timestamps continue from the stored frontier")
+    val lastClose = api.lastCloses("BTC_USDT", "1h", 1).head
+    assert(math.abs(fc.head.predictedPrice - lastClose) < 1e-9)
+    intercept[NoSuchElementException] {
+      api.predict("NOPE", "1h", Forecaster.PersistenceModel(5), 3600000L)
+    }
+  }
+
   test("drift model forecast moves in the direction of recent trend (M2-M3)") {
     val rising = Array(1.0, 2.0, 3.0, 4.0, 5.0)
     val scaler = Forecaster.MinMaxScaler.fit(rising.toSeq)
