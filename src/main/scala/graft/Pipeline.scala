@@ -74,8 +74,7 @@ object Pipeline {
     val scaler = Forecaster.MinMaxScaler.fit(history.toSeq)
     val gbt = graft.ml.GbtLagModel.train(spark, history.map(scaler.transform),
       windowSize = 24, maxIter = 10)
-    val fc = Forecaster.recursiveForecast(
-      gbt, scaler, history, lastKnownMs = now.toEpochMilli, stepMs = 3600000L)
+    val fc = api.predict("BTC_USDT", "1h", gbt, stepMs = 3600000L)
     println(s"[pipeline] GBT forecast first 3 of ${fc.length}: " +
       fc.take(3).map(f => f"${f.timestampMs}:${f.predictedPrice}%.4f").mkString(", "))
 
