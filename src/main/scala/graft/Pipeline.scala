@@ -78,6 +78,15 @@ object Pipeline {
     println(s"[pipeline] GBT forecast first 3 of ${fc.length}: " +
       fc.take(3).map(f => f"${f.timestampMs}:${f.predictedPrice}%.4f").mkString(", "))
 
+    // 5. endpoint JSON (reference response shapes, app.py:184-189,240)
+    val histJson = graft.api.Responses.historicalData("BTC_USDT", "1h",
+      api.historicalData("BTC_USDT", "1h", "1m", now).orderBy("timestamp")
+        .collect().takeRight(2).toSeq)
+    println(s"[pipeline] historical_data JSON tail-2: " +
+      histJson.take(400))
+    println(s"[pipeline] predict JSON head: " +
+      graft.api.Responses.predictions(fc.take(2)))
+
     println(s"[pipeline] OK work=$work")
     spark.stop()
   }

@@ -82,7 +82,7 @@ final class Api(store: ServingStore) {
     */
   def historicalSeries(df: DataFrame): DataFrame =
     df.select(
-      date_format((col("timestamp")).cast("timestamp"), "yyyy-MM-dd HH:mm").as("label"),
+      date_format((col("timestamp")).cast("timestamp"), "yyyy-MM-dd HH:mm:ss").as("label"),
       col("close"), col("sma_7"), col("sma_30"))
 
   /** `/` dropdown: distinct symbols, sorted, cap 500 (app.py:57 / A4). */
