@@ -42,8 +42,10 @@ object StreamBench {
 
     val store = new ServingStore(Files.createTempDirectory("sb-store").toString)
     val mem = MemoryStream[String](1)(implicitly, spark.sqlContext)
+    val appendMode = args.drop(3).headOption.contains("append")
     val qs = OhlcvStreamJob.start(OhlcvStreamJob.parse(mem.toDF()), store,
-      Files.createTempDirectory("sb-ckpt").toString)
+      Files.createTempDirectory("sb-ckpt").toString,
+      chartAppendLog = appendMode)
     // split into micro-batches of ~2000 to exercise incremental state
     val batchSize = args.drop(2).headOption.map(_.toInt).getOrElse(2000)
     val batches = messages.grouped(batchSize).toSeq
@@ -57,9 +59,10 @@ object StreamBench {
     val sec = (System.nanoTime() - start) / 1e9
     val total = messages.size
     val latest = store.table(graft.schema.Schemas.Tables.Latest).count()
+    if (appendMode) store.compact(graft.schema.Schemas.Tables.ChartData, "doc_id")
     val chart = store.table(graft.schema.Schemas.Tables.ChartData).count()
     println(s"""{"metric":"stream_candles_per_sec","value":${(total / sec).round},""" +
-      s""""candles":$total,"batches":${batches.size},"seconds":${f"$sec%.1f"},""" +
+      s""""candles":$total,"batches":${batches.size},"chart_sink":"${if (appendMode) "append" else "merge"}","seconds":${f"$sec%.1f"},""" +
       s""""latest_rows":$latest,"chart_rows":$chart}""")
     spark.stop()
   }

@@ -128,6 +128,31 @@ final class ServingStore(val root: String)(implicit spark: SparkSession) {
     }
   }
 
+  /** Append-log sink: O(batch) per micro-batch — each batch lands as new
+    * files, duplicates (foreachBatch replays) are tolerated in the log and
+    * removed by [[compact]] or at read time via [[tableDeduped]]. This is
+    * the high-throughput streaming path: the merge-on-write [[upsert]]
+    * costs O(partition) per batch, which dominates micro-batch latency
+    * once partitions outgrow batches (measured in StreamBench).
+    */
+  def appendLog(name: String, incoming: DataFrame): Unit =
+    incoming.write.mode(SaveMode.Append).parquet(tableDir(name).toString)
+
+  /** Read the append-log with exactly-once semantics restored: keep one row
+    * per key, newest file wins is not defined — so the log must be
+    * value-deterministic per key (true for our doc_id-keyed candles, where
+    * a replay writes identical values).
+    */
+  def tableDeduped(name: String, keyCol: String): DataFrame =
+    table(name).dropDuplicates(keyCol)
+
+  /** Compaction: rewrite the log as one deduped snapshot (run periodically
+    * or by a janitor; readers see either the old or the new snapshot —
+    * atomic swap).
+    */
+  def compact(name: String, keyCol: String): Unit =
+    atomicSwapWrite(tableDir(name), tableDeduped(name, keyCol))
+
   /** Full overwrite (for `es.write.operation=index` complete-mode sinks on
     * tiny tables, e.g. latest-candle-per-symbol).
     */

@@ -121,7 +121,8 @@ object OhlcvStreamJob {
     * "crypto_ohlcv_1m")` / S3); tests inject a MemoryStream-backed frame.
     */
   def start(parsed: DataFrame, store: ServingStore, checkpointRoot: String,
-      triggerMs: Option[Long] = None): Seq[StreamingQuery] = {
+      triggerMs: Option[Long] = None,
+      chartAppendLog: Boolean = false): Seq[StreamingQuery] = {
     val wm = withWatermarked(parsed)
     def trig[T](b: org.apache.spark.sql.streaming.DataStreamWriter[T]) =
       triggerMs.fold(b)(ms => b.trigger(Trigger.ProcessingTime(ms)))
@@ -144,7 +145,8 @@ object OhlcvStreamJob {
       .outputMode("append") // stream_processor.py:172
       .option("checkpointLocation", s"$checkpointRoot/raw_ohlcv_chart")
       .foreachBatch { (df: DataFrame, _: Long) =>
-        store.upsertPartitioned(Schemas.Tables.ChartData, "doc_id", "dt", df)
+        if (chartAppendLog) store.appendLog(Schemas.Tables.ChartData, df)
+        else store.upsertPartitioned(Schemas.Tables.ChartData, "doc_id", "dt", df)
       }).start()
 
     Seq(q1, q2, q3)

@@ -62,6 +62,20 @@ class ServingStoreSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(store.root, "t.retired")))
   }
 
+  test("append-log sink tolerates replays; compact restores exactly-once") {
+    implicit val s = spark
+    import spark.implicits._
+    val store = new ServingStore(tmp("log-store"))
+    store.appendLog("log", Seq(("a", 1.0), ("b", 2.0)).toDF("id", "v"))
+    store.appendLog("log", Seq(("b", 2.0), ("c", 3.0)).toDF("id", "v")) // replayed b
+    assert(store.table("log").count() == 4, "log keeps duplicates")
+    assert(store.tableDeduped("log", "id").count() == 3)
+    store.compact("log", "id")
+    assert(store.table("log").count() == 3, "compaction rewrote the snapshot")
+    assert(store.table("log").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("a", "b", "c"))
+  }
+
   test("property: every event lands in exactly window/slide sliding windows") {
     import spark.implicits._
     // 10-minute window, 1-minute slide → every event in exactly 10 windows
