@@ -38,6 +38,9 @@ object Pipeline {
     // 1. ingest: paginated crawl (S9 contract — cursor pages of 1000,
     // bounded retries) against a deterministic in-memory exchange, then
     // crawler-shaped CSV (S7)
+    // crawler writes locally, ships to the lake dir (S7+S8), batch scans
+    // the lake — the reference's local→HDFS→scan flow
+    val localDir = s"$work/crawler_local"
     val rawDir = s"$work/raw_historical_data"
     val t0 = 1717200000000L // 2024-06-01T00:00:00Z
     for (sym <- Seq("BTC_USDT", "ETH_USDT")) {
@@ -45,8 +48,9 @@ object Pipeline {
       val crawled = ingest.Paginator.crawl(
         (since, limit) => exchange.filter(_.timestamp >= since).take(limit),
         sinceMs = t0, untilMs = t0 + 24L * 40 * 3600000L, stepMs = 3600000L)
-      FixtureGen.writeCsv(rawDir, FixtureGen.historicalFileName(sym, "1h"),
-        crawled)
+      val local = FixtureGen.writeCsv(localDir,
+        FixtureGen.historicalFileName(sym, "1h"), crawled)
+      ingest.FileShip.put(local, rawDir)
     }
     FixtureGen.writeCsv(rawDir,
       FixtureGen.updateFileName("BTC_USDT", "1h", t0 + 960L * 3600000L),

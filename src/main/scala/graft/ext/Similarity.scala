@@ -63,7 +63,7 @@ object Similarity {
     val dim = 64 // embeddings fixture dim (TESTDATA.md)
     val rnd = new scala.util.Random(seed)
     val planes = Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian().toFloat))
-    val planeCols = planes.map(p => array(p.map(x => lit(x)): _*))
+    val planeCols = planes.map(p => array(p.toIndexedSeq.map(x => lit(x)): _*))
     val sigBits = planeCols.zipWithIndex.map { case (p, i) =>
       when(dotF(col("embedding"), p.cast("array<float>")) >= 0,
         lit(1L << i)).otherwise(lit(0L))
@@ -99,7 +99,7 @@ object Similarity {
     val q = assigned.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding"))
     assigned
-      .filter(col("cell").isin(cells.map(Integer.valueOf): _*) &&
+      .filter(col("cell").isin(cells.toIndexedSeq.map(Integer.valueOf): _*) &&
         col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .withColumn("cosine", cosineF(col("embedding"), col("q_embedding")))

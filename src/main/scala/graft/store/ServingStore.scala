@@ -83,7 +83,7 @@ final class ServingStore(val root: String)(implicit spark: SparkSession) {
         .collect().map(_.get(0))
       val old = spark.read.option("basePath", dir.toString)
         .parquet(dir.toString)
-        .filter(col(partCol).isin(touched: _*)) // partition-pruned scan
+        .filter(col(partCol).isin(touched.toIndexedSeq: _*)) // partition-pruned scan
       val merged = old
         .join(incomingDedup.select(keyCol), Seq(keyCol), "left_anti")
         .unionByName(incomingDedup)

@@ -54,6 +54,19 @@ class PaginatorSpec extends AnyFunSuite {
     assert(e.attempts == 3)
   }
 
+  test("file shipping puts and removes via the FileSystem API (S8)") {
+    val tmp = java.nio.file.Files.createTempDirectory("ship").toString
+    val src = java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tmp, "BTC_USDT_1h.csv"), "timestamp,open\n1,2")
+    val destDir = java.nio.file.Files.createTempDirectory("ship-dest").toString
+    val dest = FileShip.put(src.toString, destDir)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(destDir, "BTC_USDT_1h.csv")))
+    // overwrite like -f
+    FileShip.put(src.toString, destDir)
+    assert(FileShip.rm(dest))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(destDir, "BTC_USDT_1h.csv")))
+  }
+
   test("producer message is the LAST of the latest candles (report §5.2.1)") {
     val latest = series.slice(10, 12)
     val msg = Paginator.latestMessage("BTC/USDT", "1m", latest.reverse).get
