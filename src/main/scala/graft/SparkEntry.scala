@@ -49,6 +49,9 @@ object SparkEntry {
     "r1_rollup" -> (CoreQueries.r1Rollup _),
     "cd1_count_distinct" -> (CoreQueries.cd1CountDistinct _),
     "x7_approx_distinct" -> (CoreQueries.x7ApproxDistinct _),
+    "s2_sessionize" -> (CoreQueries.s2Sessionize _),
+    "q6_revenue_delta" -> (CoreQueries.q6RevenueDelta _),
+    "p14_pivot" -> (CoreQueries.p14Pivot _),
     // ML surface (§2.6)
     "m1_minmax_scale" -> (CoreQueries.m1MinmaxScale _),
     // §7.4 extensions: dedup / similarity / text analysis / multimodal
@@ -150,6 +153,70 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type,
                 CAST(epoch_ms(ts)//1000 AS BIGINT) AS ts_s, value
          FROM events WHERE event_id = 4242""",
+    "s2_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, event_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_ms(ts)//1000 - epoch_ms(lag(ts) OVER w)//1000 > 1800
+                       THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT user_id, ts,
+                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM g)
+         SELECT user_id, session_id, count(*) AS n_events,
+                min(CAST(epoch_ms(ts)//1000 AS BIGINT)) AS session_start_s,
+                max(CAST(epoch_ms(ts)//1000 AS BIGINT)) AS session_end_s
+         FROM sess GROUP BY user_id, session_id""",
+    "q6_revenue_delta" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                  AS revenue_delta,
+                count(*) AS n_rows
+         FROM lineitem
+         WHERE l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""",
+    "p14_pivot" ->
+      """SELECT user_id,
+                count(*) FILTER (event_type = 'click') AS click,
+                count(*) FILTER (event_type = 'error') AS error,
+                count(*) FILTER (event_type = 'purchase') AS purchase,
+                count(*) FILTER (event_type = 'signup') AS signup,
+                count(*) FILTER (event_type = 'view') AS view
+         FROM events GROUP BY user_id""",
+    "s2_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, event_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_ms(ts)//1000 - epoch_ms(lag(ts) OVER w)//1000 > 1800
+                       THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT user_id, ts,
+                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM g)
+         SELECT user_id, session_id, count(*) AS n_events,
+                min(CAST(epoch_ms(ts)//1000 AS BIGINT)) AS session_start_s,
+                max(CAST(epoch_ms(ts)//1000 AS BIGINT)) AS session_end_s
+         FROM sess GROUP BY user_id, session_id""",
+    "q6_revenue_delta" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                  AS revenue_delta,
+                count(*) AS n_rows
+         FROM lineitem
+         WHERE l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""",
+    "p14_pivot" ->
+      """SELECT user_id,
+                count(*) FILTER (event_type = 'click') AS click,
+                count(*) FILTER (event_type = 'error') AS error,
+                count(*) FILTER (event_type = 'purchase') AS purchase,
+                count(*) FILTER (event_type = 'signup') AS signup,
+                count(*) FILTER (event_type = 'view') AS view
+         FROM events GROUP BY user_id""",
     "q1_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)

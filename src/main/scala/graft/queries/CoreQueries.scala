@@ -330,6 +330,49 @@ object CoreQueries {
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         count(lit(1)).as("n_rows"))
 
+  /** Sessionization: gap-based session ids per user (new session when
+    * > 30 min since the previous event) via lag + running sum — one
+    * shuffle on user_id, both window functions share the sort.
+    */
+  def s2Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts").cast("long")).as("session_start_s"),
+        max(col("ts").cast("long")).as("session_end_s"))
+  }
+
+  /** TPC-H Q6 shape: tight filter + single global agg — the all-pushdown
+    * query (no groupBy shuffle at all; partial sums merge at the driver).
+    */
+  def q6RevenueDelta(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
+      .agg(
+        sum((col("l_extendedprice").cast("decimal(12,2)") *
+          col("l_discount").cast("decimal(4,2)"))).cast("double")
+          .as("revenue_delta"),
+        count(lit(1)).as("n_rows"))
+
+  /** Pivot: events count per user × event_type — Expand + single agg
+    * shuffle; the pivoted column set is declared, not inferred (an
+    * inference pass would scan twice).
+    */
+  def p14Pivot(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+
   /** M1 as a distributed transform: per-group MinMax scaling via window
     * min/max (app.py:232 scaler semantics, engine-side).
     */
