@@ -66,6 +66,7 @@ object SparkEntry {
     "mm1_binary_meta" -> (ExtQueries.mm1BinaryMeta _),
     "sk1_salted_sum" -> (ExtQueries.sk1SaltedSum _),
     "c1_curation_pipeline" -> (ExtQueries.c1CurationPipeline _),
+    "v1_vocab_topk" -> (ExtQueries.v1VocabTopk _),
     // rows-only: native hashes / LSH internals (ScalaTest owns semantics)
     "x1_fingerprints_native" -> (ExtQueries.x1FingerprintsNative _),
     "x2_simhash_sketches" -> (ExtQueries.x2SimhashSketches _),
@@ -428,6 +429,13 @@ object SparkEntry {
            AND s_en > 0 AND s_de <= s_en AND s_fr <= s_en
            AND s_es <= s_en AND s_zh <= s_en
          GROUP BY text""",
+    "v1_vocab_topk" ->
+      """SELECT token, count(*) AS term_freq,
+                count(DISTINCT doc_id) AS doc_freq
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+               FROM documents)
+         GROUP BY token
+         ORDER BY term_freq DESC, token LIMIT 1000""",
     "mm1_binary_meta" ->
       """SELECT doc_id AS media_id,
                 (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,

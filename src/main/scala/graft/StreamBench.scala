@@ -45,7 +45,7 @@ object StreamBench {
     val appendMode = args.drop(3).headOption.contains("append")
     val qs = OhlcvStreamJob.start(OhlcvStreamJob.parse(mem.toDF()), store,
       Files.createTempDirectory("sb-ckpt").toString,
-      chartAppendLog = appendMode)
+      chartAppendLog = appendMode, statsVersionedLog = appendMode)
     // split into micro-batches of ~2000 to exercise incremental state
     val batchSize = args.drop(2).headOption.map(_.toInt).getOrElse(2000)
     val batches = messages.grouped(batchSize).toSeq
@@ -61,9 +61,12 @@ object StreamBench {
     val latest = store.table(graft.schema.Schemas.Tables.Latest).count()
     if (appendMode) store.compact(graft.schema.Schemas.Tables.ChartData, "doc_id")
     val chart = store.table(graft.schema.Schemas.Tables.ChartData).count()
+    val stats = if (appendMode)
+      store.tableLatestByEpoch(graft.schema.Schemas.Tables.Stats, "doc_id").count()
+    else store.table(graft.schema.Schemas.Tables.Stats).count()
     println(s"""{"metric":"stream_candles_per_sec","value":${(total / sec).round},""" +
       s""""candles":$total,"batches":${batches.size},"chart_sink":"${if (appendMode) "append" else "merge"}","seconds":${f"$sec%.1f"},""" +
-      s""""latest_rows":$latest,"chart_rows":$chart}""")
+      s""""latest_rows":$latest,"chart_rows":$chart,"stats_windows":$stats}""")
     spark.stop()
   }
 }

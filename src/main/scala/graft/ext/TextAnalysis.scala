@@ -115,6 +115,21 @@ object TextAnalysis {
       .select("doc_id", "ws_tokens")
   }
 
+  /** Vocabulary building: global token counts and document frequency, top
+    * `size` by (count desc, token) — the tokenizer-training precursor. The
+    * explode shuffles one row per token occurrence; at 100 TB pre-aggregate
+    * per partition first (Catalyst's partial aggregation already does
+    * exactly that for the count).
+    */
+  def vocabulary(s: SparkSession, dir: String, size: Int = 1000): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("term_freq"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("term_freq").desc, col("token"))
+      .limit(size)
+
   /** Document fingerprints: FNV-1a content hash (native expression) + MD5,
     * plus a shingle-set sketch hash (order-insensitive content signature —
     * robust to token reordering, unlike the rolling hash).

@@ -62,6 +62,10 @@ object ExtQueries {
   def c1CurationPipeline(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.curationPipeline(s, dir)
 
+  /** Vocabulary top-k with term and document frequencies. */
+  def v1VocabTopk(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabulary(s, dir, size = 1000)
+
   // ---- multimodal --------------------------------------------------------
 
   def mm1BinaryMeta(s: SparkSession, dir: String): DataFrame =

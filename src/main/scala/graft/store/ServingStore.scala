@@ -153,6 +153,35 @@ final class ServingStore(val root: String)(implicit spark: SparkSession) {
   def compact(name: String, keyCol: String): Unit =
     atomicSwapWrite(tableDir(name), tableDeduped(name, keyCol))
 
+  /** Epoch-tagged append-log for UPDATE-mode sinks: each batch appends with
+    * its epoch id; the latest epoch per key wins at read. This extends the
+    * O(batch) log pattern to sinks whose values change per key (window
+    * corrections), where plain dedup can't pick the newest.
+    */
+  def appendLogVersioned(name: String, incoming: DataFrame, epochId: Long): Unit =
+    appendLog(name, incoming.withColumn("_epoch", lit(epochId)))
+
+  /** Latest-epoch-wins read over a versioned log. */
+  def tableLatestByEpoch(name: String, keyCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col("_epoch").desc)
+    table(name)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_epoch")
+  }
+
+  /** Compact a versioned log to its latest-epoch snapshot (epoch column
+    * retained so further appends keep working).
+    */
+  def compactVersioned(name: String, keyCol: String): Unit = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col("_epoch").desc)
+    atomicSwapWrite(tableDir(name),
+      table(name).withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn"))
+  }
+
   /** Full overwrite (for `es.write.operation=index` complete-mode sinks on
     * tiny tables, e.g. latest-candle-per-symbol).
     */

@@ -103,6 +103,22 @@ object OhlcvStreamJob {
       .withColumn("doc_id",
         expr("concat(replace(symbol,'/','-'), '_stats_', cast(window_end as long))"))
 
+  /** Session-window aggregate (T3 — the window kind the reference never
+    * used): per-symbol activity sessions that close after `gap` of event-
+    * time silence. Watermark required: session state is merged/evicted as
+    * event time advances.
+    */
+  def sessionAgg(watermarked: DataFrame, gap: String = "5 minutes"): DataFrame =
+    watermarked
+      .groupBy(col("symbol"), session_window(col("event_timestamp"), gap))
+      .agg(count(lit(1)).as("n_candles"),
+        min(col("close_price")).as("min_price"),
+        max(col("close_price")).as("max_price"))
+      .select(col("symbol"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_candles"), col("min_price"), col("max_price"))
+
   /** q3 projection: raw chart rows, `event_timestamp` → `@timestamp`,
     * doc_id per stream_processor.py:156-163; plus the EVENT-date partition
     * column for the day-partitioned sink (S6).
@@ -122,7 +138,8 @@ object OhlcvStreamJob {
     */
   def start(parsed: DataFrame, store: ServingStore, checkpointRoot: String,
       triggerMs: Option[Long] = None,
-      chartAppendLog: Boolean = false): Seq[StreamingQuery] = {
+      chartAppendLog: Boolean = false,
+      statsVersionedLog: Boolean = false): Seq[StreamingQuery] = {
     val wm = withWatermarked(parsed)
     def trig[T](b: org.apache.spark.sql.streaming.DataStreamWriter[T]) =
       triggerMs.fold(b)(ms => b.trigger(Trigger.ProcessingTime(ms)))
@@ -137,8 +154,10 @@ object OhlcvStreamJob {
     val q2 = trig(statsAgg(wm).writeStream
       .outputMode("update") // stream_processor.py:143
       .option("checkpointLocation", s"$checkpointRoot/ohlcv_stats")
-      .foreachBatch { (df: DataFrame, _: Long) =>
-        store.upsert(Schemas.Tables.Stats, "doc_id", df)
+      .foreachBatch { (df: DataFrame, epochId: Long) =>
+        if (statsVersionedLog)
+          store.appendLogVersioned(Schemas.Tables.Stats, df, epochId)
+        else store.upsert(Schemas.Tables.Stats, "doc_id", df)
       }).start()
 
     val q3 = trig(chartRows(wm).writeStream

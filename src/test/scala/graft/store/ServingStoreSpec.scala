@@ -76,6 +76,23 @@ class ServingStoreSpec extends SparkSpec {
       Seq("a", "b", "c"))
   }
 
+  test("versioned append-log: latest epoch wins, compaction preserves it") {
+    implicit val s = spark
+    import spark.implicits._
+    val store = new ServingStore(tmp("vlog-store"))
+    store.appendLogVersioned("t", Seq(("w1", 10.0), ("w2", 20.0)).toDF("id", "v"), 1L)
+    store.appendLogVersioned("t", Seq(("w1", 11.0)).toDF("id", "v"), 2L) // correction
+    val latest = store.tableLatestByEpoch("t", "id").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(latest == Map("w1" -> 11.0, "w2" -> 20.0))
+    store.compactVersioned("t", "id")
+    assert(store.table("t").count() == 2)
+    store.appendLogVersioned("t", Seq(("w2", 21.0)).toDF("id", "v"), 3L)
+    assert(store.tableLatestByEpoch("t", "id").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap ==
+      Map("w1" -> 11.0, "w2" -> 21.0))
+  }
+
   test("property: every event lands in exactly window/slide sliding windows") {
     import spark.implicits._
     // 10-minute window, 1-minute slide → every event in exactly 10 windows
