@@ -67,6 +67,7 @@ object SparkEntry {
     "sk1_salted_sum" -> (ExtQueries.sk1SaltedSum _),
     "c1_curation_pipeline" -> (ExtQueries.c1CurationPipeline _),
     "v1_vocab_topk" -> (ExtQueries.v1VocabTopk _),
+    "t5_tfidf_top_terms" -> (ExtQueries.t5TfidfTopTerms _),
     // rows-only: native hashes / LSH internals (ScalaTest owns semantics)
     "x1_fingerprints_native" -> (ExtQueries.x1FingerprintsNative _),
     "x2_simhash_sketches" -> (ExtQueries.x2SimhashSketches _),
@@ -436,6 +437,25 @@ object SparkEntry {
                FROM documents)
          GROUP BY token
          ORDER BY term_freq DESC, token LIMIT 1000""",
+    "t5_tfidf_top_terms" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf
+                FROM toks GROUP BY doc_id, token),
+         df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks
+                GROUP BY token),
+         n AS (SELECT count(*) AS n FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.token,
+                  floor(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df)
+                    * 1000000 + 0.5) / 1000000 AS tfidf_r6
+           FROM tf JOIN df USING (token) CROSS JOIN n)
+         SELECT doc_id, token, tfidf_r6 FROM (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY tfidf_r6 DESC, token) AS rn
+           FROM scored)
+         WHERE rn <= 3""",
     "mm1_binary_meta" ->
       """SELECT doc_id AS media_id,
                 (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,

@@ -130,6 +130,30 @@ object TextAnalysis {
       .orderBy(col("term_freq").desc, col("token"))
       .limit(size)
 
+  /** TF-IDF top terms per document: tf = in-doc count, idf = ln(N/df),
+    * top `k` per doc by score. Two shuffles (token agg, doc window) —
+    * both on compact keys. ln of identical doubles is identical on both
+    * engines; the floor-round keeps the oracle exact.
+    */
+  def tfidfTopTerms(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val n = docs(s, dir).count()
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("tfidf_r6").desc, col("token"))
+    tf.join(df, "token")
+      .withColumn("tfidf_r6",
+        floor(col("tf") * log(lit(n.toDouble) / col("df")) * 1000000 + 0.5)
+          / 1000000)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("token"), col("tfidf_r6"))
+  }
+
   /** Document fingerprints: FNV-1a content hash (native expression) + MD5,
     * plus a shingle-set sketch hash (order-insensitive content signature —
     * robust to token reordering, unlike the rolling hash).

@@ -66,6 +66,10 @@ object ExtQueries {
   def v1VocabTopk(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabulary(s, dir, size = 1000)
 
+  /** TF-IDF top-3 terms per document. */
+  def t5TfidfTopTerms(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(s, dir, k = 3)
+
   // ---- multimodal --------------------------------------------------------
 
   def mm1BinaryMeta(s: SparkSession, dir: String): DataFrame =
