@@ -49,6 +49,7 @@ object SparkEntry {
     "r1_rollup" -> (CoreQueries.r1Rollup _),
     "cd1_count_distinct" -> (CoreQueries.cd1CountDistinct _),
     "x7_approx_distinct" -> (CoreQueries.x7ApproxDistinct _),
+    "x9_kmv_distinct" -> (CoreQueries.x9KmvDistinct _),
     "s2_sessionize" -> (CoreQueries.s2Sessionize _),
     "q6_revenue_delta" -> (CoreQueries.q6RevenueDelta _),
     "p14_pivot" -> (CoreQueries.p14Pivot _),

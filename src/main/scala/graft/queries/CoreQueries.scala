@@ -373,6 +373,17 @@ object CoreQueries {
       .count()
       .na.fill(0L)
 
+  /** KMV bottom-k distinct sketch (custom TypedImperativeAggregate) next
+    * to the exact count — at |users| < k the sketch must BE exact, which
+    * doubles as its driver-checkable contract.
+    */
+  def x9KmvDistinct(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(graft.functions.KmvSketch.kmvDistinct(col("user_id"), 256)
+        .as("kmv_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+
   /** M1 as a distributed transform: per-group MinMax scaling via window
     * min/max (app.py:232 scaler semantics, engine-side).
     */
