@@ -81,8 +81,17 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
+    * Built from a Seq so duplicate keys fail loudly instead of the last
+    * copy silently winning.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val m = oracleSqlPairs.toMap
+    require(m.size == oracleSqlPairs.size,
+      s"duplicate oracleSql keys: ${oracleSqlPairs.map(_._1).diff(m.keys.toSeq).distinct.mkString(", ")}")
+    m
+  }
+
+  private val oracleSqlPairs: Seq[(String, String)] = Seq(
     "s1_scan_filter_project" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
          FROM lineitem WHERE l_quantity < 5 AND l_returnflag = 'R'""",
@@ -156,6 +165,8 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type,
                 CAST(epoch_ms(ts)//1000 AS BIGINT) AS ts_s, value
          FROM events WHERE event_id = 4242""",
+    // DuckDB's sum(int) yields HUGEINT; CAST to BIGINT so the driver's
+    // type-sensitive hash matches Spark's LongType session_id.
     "s2_sessionize" ->
       """WITH g AS (
            SELECT user_id, event_id, ts,
@@ -166,40 +177,8 @@ object SparkEntry {
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          sess AS (
            SELECT user_id, ts,
-                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-           FROM g)
-         SELECT user_id, session_id, count(*) AS n_events,
-                min(CAST(epoch_ms(ts)//1000 AS BIGINT)) AS session_start_s,
-                max(CAST(epoch_ms(ts)//1000 AS BIGINT)) AS session_end_s
-         FROM sess GROUP BY user_id, session_id""",
-    "q6_revenue_delta" ->
-      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                  * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
-                  AS revenue_delta,
-                count(*) AS n_rows
-         FROM lineitem
-         WHERE l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""",
-    "p14_pivot" ->
-      """SELECT user_id,
-                count(*) FILTER (event_type = 'click') AS click,
-                count(*) FILTER (event_type = 'error') AS error,
-                count(*) FILTER (event_type = 'purchase') AS purchase,
-                count(*) FILTER (event_type = 'signup') AS signup,
-                count(*) FILTER (event_type = 'view') AS view
-         FROM events GROUP BY user_id""",
-    "s2_sessionize" ->
-      """WITH g AS (
-           SELECT user_id, event_id, ts,
-                  CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch_ms(ts)//1000 - epoch_ms(lag(ts) OVER w)//1000 > 1800
-                       THEN 1 ELSE 0 END AS new_session
-           FROM events
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         sess AS (
-           SELECT user_id, ts,
-                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
            FROM g)
          SELECT user_id, session_id, count(*) AS n_events,
                 min(CAST(epoch_ms(ts)//1000 AS BIGINT)) AS session_start_s,
@@ -377,33 +356,6 @@ object SparkEntry {
          SELECT doc_id, labeled_lang,
                 CASE WHEN s5 > 0 THEN l5 ELSE 'und' END AS guess
          FROM f5""",
-    "sk1_salted_sum" ->
-      """SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-                AS total
-         FROM events GROUP BY user_id""",
-    "c1_curation_pipeline" ->
-      """WITH sc AS (
-           SELECT doc_id, text,
-             len(string_split(text, ' ')) AS n_tokens,
-             length(regexp_replace(text, '[^0-9]', '', 'g'))
-               / CAST(length(text) AS DOUBLE) AS digit_ratio,
-             len(list_filter(string_split(text,' '),
-               w -> w IN ('the','a','of','and','is','to','in'))) AS s_en,
-             len(list_filter(string_split(text,' '),
-               w -> w IN ('der','die','das','und','ist','zu'))) AS s_de,
-             len(list_filter(string_split(text,' '),
-               w -> w IN ('le','la','les','et','est','une'))) AS s_fr,
-             len(list_filter(string_split(text,' '),
-               w -> w IN ('el','la','los','y','es','una'))) AS s_es,
-             len(list_filter(string_split(text,' '),
-               w -> w IN ('的','是','了','在'))) AS s_zh
-           FROM documents)
-         SELECT min(doc_id) AS doc_id, min(n_tokens) AS ws_tokens
-         FROM sc
-         WHERE n_tokens >= 20 AND digit_ratio <= 0.2
-           AND s_en > 0 AND s_de <= s_en AND s_fr <= s_en
-           AND s_es <= s_en AND s_zh <= s_en
-         GROUP BY text""",
     "sk1_salted_sum" ->
       """SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                 AS total

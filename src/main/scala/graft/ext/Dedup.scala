@@ -132,12 +132,63 @@ object Dedup {
       .withColumn("jaccard", col("common").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("common")))
 
+  /** Exact n-gram Jaccard pairs via PREFIX FILTERING (Chaudhuri et al.
+    * SSJoin 2006 / Bayardo et al. AllPairs 2007) — the scale-safe exact
+    * set-similarity join. Provably complete, no all-pairs step:
+    *
+    * Lemma: if |a∩b| ≥ α and both sets are sorted by one global total
+    * order, the (|a|−α+1)-prefix of a and (|b|−α+1)-prefix of b share a
+    * token (the smallest common element has ≥ α−1 common elements after
+    * it, so it sits within the first |x|−α+1 of each). J(a,b) ≥ t implies
+    * |a∩b| ≥ t·|a∪b| ≥ t·|x| for both x, so prefix length
+    * |x| − ⌊t·|x|⌋ + 1 suffices (⌊·⌋ is conservative vs ⌈·⌉ — immune to
+    * float rounding).
+    *
+    * The global order is (document frequency ASC, hash) — rarest shingles
+    * first — so prefixes hold rare tokens and the equi-join on
+    * (lang, source, shingle) has small buckets. Candidates then get the
+    * exact linear-merge Jaccard verify. 100 TB shape: two compact-key
+    * shuffles (df agg, prefix join) + one candidate join — no quadratic
+    * block, no broadcast of a whole table.
+    */
+  def prefixJaccardPairs(s: SparkSession, dir: String, k: Int = 3,
+      jaccardMin: Double = 0.2): DataFrame = {
+    val sh = shingles(docs(s, dir), k).select(
+      col("doc_id"), col("lang"), col("source"), col("shingle_hashes"))
+    val tok = sh.select(col("doc_id"), col("lang"), col("source"),
+      explode(col("shingle_hashes")).as("h"))
+    val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
+    // Per doc: shingles sorted by (df, h); keep the prefix.
+    val ordered = tok.join(dfreq, "h")
+      .groupBy("doc_id", "lang", "source")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("arr"))
+      .withColumn("n", size(col("arr")))
+      .withColumn("plen",
+        (col("n") - floor(lit(jaccardMin) * col("n")) + 1).cast("int"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(expr("slice(transform(arr, x -> x.h), 1, plen)")).as("h"))
+    val cand = ordered.alias("l").join(ordered.alias("r"),
+        col("l.lang") === col("r.lang") && col("l.source") === col("r.source") &&
+        col("l.h") === col("r.h") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val sets = sh.select(col("doc_id"), col("shingle_hashes"))
+    val withSets = cand
+      .join(sets.select(col("doc_id").as("doc_a"),
+        col("shingle_hashes").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"),
+        col("shingle_hashes").as("sh_b")), Seq("doc_b"))
+    jaccardOfSorted(withSets).filter(col("jaccard") >= jaccardMin)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Exact n-gram Jaccard similarity for a bounded candidate set (here:
-    * all pairs within the same `(lang, source)` block — at scale the
-    * candidate generator is LSH above; this exercises the exact metric
-    * end-to-end). Jaccard over distinct shingle-hash sets equals Jaccard
-    * over the substring sets themselves (collision-free at corpus scale),
-    * which is what the oracle computes.
+    * all pairs within the same `(lang, source)` block — kept as the
+    * brute-force baseline that [[prefixJaccardPairs]] must equal; the
+    * declared d3 query routes through the prefix-filter join). Jaccard
+    * over distinct shingle-hash sets equals Jaccard over the substring
+    * sets themselves (collision-free at corpus scale), which is what the
+    * oracle computes.
     */
   def ngramJaccardPairs(s: SparkSession, dir: String, k: Int = 3,
       jaccardMin: Double = 0.2): DataFrame = {

@@ -54,6 +54,50 @@ object Similarity {
           .as("cosine_r6"))
   }
 
+  /** Exact near-duplicate pairs via an evenly-BLOCKED pair join — the
+    * scale-safe shape for exact all-pairs similarity. An unconditioned
+    * `a.id < b.id` self-join plans as BroadcastNestedLoopJoin: it must
+    * broadcast one entire side (OOM at cluster scale) and pins the
+    * quadratic work on however many partitions the stream side has.
+    * Instead: hash every vector into one of `blocks` even blocks, build
+    * the tiny ordered block-pair table {(i,j) : i ≤ j} on the driver
+    * (B(B+1)/2 rows), and expand via two equi-joins:
+    *
+    *   vectors ⋈⟨blk=bi⟩ blockPairs ⋈⟨bj=blk⟩ vectors
+    *
+    * Each task scores one block-pair — n²/B² dot products, bounded memory
+    * — and the B(B+1)/2 tasks spread evenly across the cluster (blocks
+    * are hash-assigned, so no skew). Pair uniqueness: for bi < bj every
+    * (l, r) combination is a distinct unordered pair; for bi = bj keep
+    * l.vec_id < r.vec_id. Total work stays Θ(n²) dot products — exact
+    * low-threshold similarity admits no complete sub-quadratic candidate
+    * generator (at the 0.45 oracle threshold, hyperplane-LSH band recall
+    * is ~42% per band — unusable) — but the plan is now two equi-joins
+    * with no full-table broadcast and no single-task hotspot. For
+    * realistic near-dup thresholds (≥0.85) use [[lshBuckets]] candidates.
+    */
+  def cosineNearDupPairsBlocked(s: SparkSession, dir: String,
+      minCosine: Double = 0.8, blocks: Int = 16): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("blk", pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int"))
+    val blockPairs = (for { i <- 0 until blocks; j <- i until blocks }
+      yield (i, j)).toDF("bi", "bj")
+    val l = e.alias("l")
+    val r = e.alias("r")
+    l.join(broadcast(blockPairs), col("l.blk") === col("bi"))
+      .join(r, col("bj") === col("r.blk"))
+      .filter(col("bi") < col("bj") ||
+        (col("bi") === col("bj") && col("l.vec_id") < col("r.vec_id")))
+      .withColumn("cosine", cosineF(col("l.embedding"), col("r.embedding")))
+      .filter(col("cosine") >= minCosine)
+      .select(
+        least(col("l.vec_id"), col("r.vec_id")).as("vec_a"),
+        greatest(col("l.vec_id"), col("r.vec_id")).as("vec_b"),
+        (floor(col("cosine") * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+          .as("cosine_r6"))
+  }
+
   /** Random-hyperplane LSH signature (Charikar 2002): `nPlanes` seeded
     * hyperplanes; bit i = sign(v · plane_i). Embeds as one integer bucket
     * key — cosine-close vectors collide with high probability.

@@ -25,16 +25,21 @@ object ExtQueries {
   def d2FingerprintMd5(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), md5(col("text")).as("md5_hex"))
 
+  /** Prefix-filter set-similarity join (complete — no all-pairs step);
+    * equals [[Dedup.ngramJaccardPairs]] on every corpus by the prefix
+    * lemma, which the oracle verifies.
+    */
   def d3NgramJaccardPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(s, dir, k = 3, jaccardMin = 0.4)
+    Dedup.prefixJaccardPairs(s, dir, k = 3, jaccardMin = 0.4)
 
   // ---- similarity search -------------------------------------------------
 
   def e1CosineTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineTopK(s, dir, queryId = 0L, k = 20)
 
+  /** Blocked exact pair join — equi-joins only, no full-table broadcast. */
   def e2CosineNearDupPairs(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosineNearDupPairs(s, dir, minCosine = 0.45)
+    Similarity.cosineNearDupPairsBlocked(s, dir, minCosine = 0.45, blocks = 8)
 
   // ---- text analysis -----------------------------------------------------
 

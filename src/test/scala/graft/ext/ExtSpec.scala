@@ -10,6 +10,41 @@ class ExtSpec extends SparkSpec {
 
   private val sf001 = sf("sf0.001")
 
+  // ---- scale-safe near-dup paths -----------------------------------------
+
+  /** The executed plan of a declared near-dup query must contain no
+    * cartesian / broadcast-nested-loop join (VERDICT r1 item 2).
+    */
+  private def assertNoAllPairsJoin(df: org.apache.spark.sql.DataFrame,
+      name: String): Unit = {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val plan = df.queryExecution.executedPlan
+    val bad = plan.collect {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b
+    }
+    assert(bad.isEmpty, s"$name plans an all-pairs join:\n$plan")
+  }
+
+  test("prefixJaccardPairs equals brute-force ngramJaccardPairs, no all-pairs join") {
+    val brute = Dedup.ngramJaccardPairs(spark, sf001, k = 3, jaccardMin = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pf = Dedup.prefixJaccardPairs(spark, sf001, k = 3, jaccardMin = 0.4)
+    assertNoAllPairsJoin(pf, "prefixJaccardPairs")
+    val got = pf.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+  }
+
+  test("blocked cosine pair join equals brute-force self-join, no all-pairs join") {
+    val brute = Similarity.cosineNearDupPairs(spark, sf001, minCosine = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blocked = Similarity.cosineNearDupPairsBlocked(spark, sf001,
+      minCosine = 0.45, blocks = 8)
+    assertNoAllPairsJoin(blocked, "cosineNearDupPairsBlocked")
+    val got = blocked.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+  }
+
   // ---- native expressions ------------------------------------------------
 
   test("fnv1a64 matches the FNV-1a reference vectors") {
