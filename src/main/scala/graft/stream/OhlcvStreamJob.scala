@@ -132,26 +132,39 @@ object OhlcvStreamJob {
       col("open"), col("high"), col("low"), col("close"), col("volume"))
       .withColumn("dt", date_format(col("@timestamp"), "yyyy-MM-dd"))
 
+  /** Per-query trigger cadences (T5). The reference runs the three
+    * queries at distinct rates — latest 15 s (stream_processor.py:111),
+    * stats 60 s (:146), chart 15 s (:175); `None` = as-fast-as-possible
+    * (what MemoryStream tests want).
+    */
+  final case class Triggers(latestMs: Option[Long], statsMs: Option[Long],
+      chartMs: Option[Long])
+  object Triggers {
+    val AsFastAsPossible: Triggers = Triggers(None, None, None)
+    /** The reference's production cadences: 15 s / 60 s / 15 s. */
+    val Reference: Triggers = Triggers(Some(15000L), Some(60000L), Some(15000L))
+  }
+
   /** Start all three queries against a store; returns the running queries.
-    * Kafka in production (`readStream.format("kafka").option("subscribe",
-    * "crypto_ohlcv_1m")` / S3); tests inject a MemoryStream-backed frame.
+    * Kafka in production ([[KafkaSource]] / S3); tests inject a
+    * MemoryStream-backed frame.
     */
   def start(parsed: DataFrame, store: ServingStore, checkpointRoot: String,
-      triggerMs: Option[Long] = None,
+      triggers: Triggers = Triggers.AsFastAsPossible,
       chartAppendLog: Boolean = false,
       statsVersionedLog: Boolean = false): Seq[StreamingQuery] = {
     val wm = withWatermarked(parsed)
-    def trig[T](b: org.apache.spark.sql.streaming.DataStreamWriter[T]) =
-      triggerMs.fold(b)(ms => b.trigger(Trigger.ProcessingTime(ms)))
+    def trig[T](ms: Option[Long])(b: org.apache.spark.sql.streaming.DataStreamWriter[T]) =
+      ms.fold(b)(m => b.trigger(Trigger.ProcessingTime(m)))
 
-    val q1 = trig(latestAgg(parsed).writeStream
+    val q1 = trig(triggers.latestMs)(latestAgg(parsed).writeStream
       .outputMode("complete") // stream_processor.py:108; state = 1 row/symbol
       .option("checkpointLocation", s"$checkpointRoot/latest_ohlcv")
       .foreachBatch { (df: DataFrame, _: Long) =>
         store.upsert(Schemas.Tables.Latest, "doc_id", df)
       }).start()
 
-    val q2 = trig(statsAgg(wm).writeStream
+    val q2 = trig(triggers.statsMs)(statsAgg(wm).writeStream
       .outputMode("update") // stream_processor.py:143
       .option("checkpointLocation", s"$checkpointRoot/ohlcv_stats")
       .foreachBatch { (df: DataFrame, epochId: Long) =>
@@ -160,7 +173,7 @@ object OhlcvStreamJob {
         else store.upsert(Schemas.Tables.Stats, "doc_id", df)
       }).start()
 
-    val q3 = trig(chartRows(wm).writeStream
+    val q3 = trig(triggers.chartMs)(chartRows(wm).writeStream
       .outputMode("append") // stream_processor.py:172
       .option("checkpointLocation", s"$checkpointRoot/raw_ohlcv_chart")
       .foreachBatch { (df: DataFrame, _: Long) =>

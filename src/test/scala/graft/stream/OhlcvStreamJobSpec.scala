@@ -152,6 +152,44 @@ class OhlcvStreamJobSpec extends SparkSpec {
       Set(5, 6, 7).map(m => t0 + m * 60000L))
   }
 
+  test("kafka source option plumbing matches the reference consumer (S3)") {
+    val c = KafkaSource.Config(bootstrapServers = "broker-1:9092",
+      maxOffsetsPerTrigger = Some(1000L))
+    val o = KafkaSource.options(c)
+    assert(o("kafka.bootstrap.servers") == "broker-1:9092")
+    assert(o("subscribe") == "crypto_ohlcv_1m")      // stream_processor.py:58
+    assert(o("startingOffsets") == "latest")         // stream_processor.py:59
+    assert(o("failOnDataLoss") == "false")           // stream_processor.py:60
+    assert(o("maxOffsetsPerTrigger") == "1000")
+    assert(!KafkaSource.options(KafkaSource.Config())
+      .contains("maxOffsetsPerTrigger"))
+    // builder composes without resolving the source (that happens at load())
+    KafkaSource.reader(spark, c)
+  }
+
+  test("per-query triggers: q1/q2/q3 run at the reference's distinct cadences (T5)") {
+    import org.apache.spark.sql.execution.streaming.runtime.{StreamExecution, StreamingQueryWrapper}
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val s = spark
+    import spark.implicits._
+    assert(OhlcvStreamJob.Triggers.Reference ==
+      OhlcvStreamJob.Triggers(Some(15000L), Some(60000L), Some(15000L)))
+    val store = new ServingStore(tmp("trig-store"))
+    val mem = MemoryStream[String](3)(implicitly, spark.sqlContext)
+    val parsed = OhlcvStreamJob.parse(mem.toDF())
+    val qs = OhlcvStreamJob.start(parsed, store, tmp("trig-ckpt"),
+      OhlcvStreamJob.Triggers.Reference)
+    try {
+      def triggerOf(q: org.apache.spark.sql.streaming.StreamingQuery): Trigger =
+        q.asInstanceOf[StreamingQueryWrapper].streamingQuery
+          .asInstanceOf[StreamExecution].trigger
+      assert(qs.map(triggerOf) == Seq(
+        Trigger.ProcessingTime(15000L),
+        Trigger.ProcessingTime(60000L),
+        Trigger.ProcessingTime(15000L)))
+    } finally qs.foreach(_.stop())
+  }
+
   test("three concurrent queries from one parsed stream (T7 fan-out)") {
     implicit val s = spark
     import spark.implicits._
