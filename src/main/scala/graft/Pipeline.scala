@@ -8,7 +8,6 @@ import org.apache.spark.sql.SparkSession
 import graft.api.Api
 import graft.batch.OhlcvBatchJob
 import graft.ingest.FixtureGen
-import graft.ml.Forecaster
 import graft.schema.Schemas
 import graft.store.ServingStore
 
@@ -73,11 +72,14 @@ object Pipeline {
     api.historicalSeries(hist).orderBy(org.apache.spark.sql.functions
       .desc("label")).show(5, truncate = false)
 
-    // 4. forecast (M1-M4): MLlib GBT over lag windows + recursive 24 steps
+    // 4. forecast (M1-M4): MLlib GBT over lag windows + recursive 24 steps.
+    // Train → persist → load-for-serving (the reference's artifact flow,
+    // app.py:211-218): serving uses the loaded pair, never a refit scaler.
     val history = api.lastCloses("BTC_USDT", "1h", 500)
-    val scaler = Forecaster.MinMaxScaler.fit(history.toSeq)
-    val gbt = graft.ml.GbtLagModel.train(spark, history.map(scaler.transform),
+    val trained = graft.ml.GbtLagModel.trainBundle(spark, history,
       windowSize = 24, maxIter = 10)
+    graft.ml.GbtLagModel.save(trained, s"$work/models/btc_usdt_1h")
+    val gbt = graft.ml.GbtLagModel.load(spark, s"$work/models/btc_usdt_1h")
     val fc = api.predict("BTC_USDT", "1h", gbt, stepMs = 3600000L)
     println(s"[pipeline] GBT forecast first 3 of ${fc.length}: " +
       fc.take(3).map(f => f"${f.timestampMs}:${f.predictedPrice}%.4f").mkString(", "))

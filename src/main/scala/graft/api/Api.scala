@@ -114,20 +114,22 @@ final class Api(store: ServingStore) {
       .reverse
 
   /** `/api/predict_xgboost/<sym_tf>` (Q4, app.py:195-244): last-w closes →
-    * MinMax scale → recursive multi-step forecast → (timestamp, price)
-    * series. The regressor is pluggable ([[graft.ml.Forecaster.LagModel]]);
-    * window size per symbol mirrors app.py:203-206.
+    * MinMax scale with the TRAINING-time scaler → recursive multi-step
+    * forecast → (timestamp, price) series. The model+scaler arrive as the
+    * persisted pair ([[graft.ml.Forecaster.Bundle]], app.py:211-218) —
+    * refitting a scaler on the serve tail would skew features vs training.
+    * Window size per symbol mirrors app.py:203-206.
     */
   def predict(symbol: String, timeframe: String,
-      model: graft.ml.Forecaster.LagModel, stepMs: Long,
+      bundle: graft.ml.Forecaster.Bundle, stepMs: Long,
       steps: Int = 24): Seq[graft.ml.Forecaster.Forecast] = {
-    val closes = lastCloses(symbol, timeframe, math.max(model.windowSize, 48))
+    val closes = lastCloses(symbol, timeframe,
+      math.max(bundle.model.windowSize, 48))
     if (closes.isEmpty)
       throw new NoSuchElementException(s"no history for $symbol/$timeframe")
-    val scaler = graft.ml.Forecaster.MinMaxScaler.fit(closes.toSeq)
     val lastTs = latestStoredTimestamp(symbol, timeframe)
       .getOrElse(throw new NoSuchElementException(s"$symbol/$timeframe"))
-    graft.ml.Forecaster.recursiveForecast(model, scaler, closes,
+    graft.ml.Forecaster.recursiveForecast(bundle.model, bundle.scaler, closes,
       lastKnownMs = lastTs * 1000L, stepMs = stepMs, steps = steps)
   }
 

@@ -60,6 +60,13 @@ object Forecaster {
     }
   }
 
+  /** A regressor and the EXACT scaler its training series was scaled
+    * with. The reference persists and loads them as a pair
+    * (app.py:211-218); fitting a fresh scaler on the serve-time tail
+    * would feed the model mis-scaled windows (train/serve skew).
+    */
+  final case class Bundle(model: LagModel, scaler: MinMaxScaler)
+
   final case class Forecast(timestampMs: Long, predictedPrice: Double)
 
   /** M3: recursive multi-step forecast. `closes` is the chronological tail

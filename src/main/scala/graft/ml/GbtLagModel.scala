@@ -40,4 +40,53 @@ object GbtLagModel {
       .fit(df)
     Wrapped(m, windowSize)
   }
+
+  /** Fit the scaler on the raw series, train on the scaled series, return
+    * the pair that must travel together (Forecaster.Bundle).
+    */
+  def trainBundle(spark: SparkSession, closes: Array[Double], windowSize: Int,
+      maxIter: Int = 20, maxDepth: Int = 3): Forecaster.Bundle = {
+    val scaler = Forecaster.MinMaxScaler.fit(closes.toSeq)
+    Forecaster.Bundle(train(spark, closes.map(scaler.transform), windowSize,
+      maxIter, maxDepth), scaler)
+  }
+
+  /** Persist the trained pair: MLlib writer for the GBT trees + a
+    * properties file for the scaler bounds and window size — the M-series
+    * analogue of the reference's pickled (model, scaler) artifacts
+    * (app.py:211-218).
+    */
+  def save(bundle: Forecaster.Bundle, path: String): Unit = {
+    val wrapped = bundle.model match {
+      case w: Wrapped => w
+      case other => throw new IllegalArgumentException(
+        s"can only persist GBT-backed models, got ${other.getClass.getName}")
+    }
+    wrapped.model.write.overwrite().save(s"$path/gbt")
+    val props = new java.util.Properties()
+    props.setProperty("windowSize", wrapped.windowSize.toString)
+    props.setProperty("dataMin", bundle.scaler.dataMin.toString)
+    props.setProperty("dataMax", bundle.scaler.dataMax.toString)
+    val out = java.nio.file.Files.newOutputStream(
+      java.nio.file.Paths.get(path, "scaler.properties"))
+    try props.store(out, "graft forecaster bundle") finally out.close()
+  }
+
+  /** Load a persisted pair; validates model arity against the stored
+    * window size (M4 — the reference refuses a model whose n_features
+    * disagrees with its lag window, app.py:214-217).
+    */
+  def load(spark: SparkSession, path: String): Forecaster.Bundle = {
+    val m = GBTRegressionModel.load(s"$path/gbt")
+    val props = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(
+      java.nio.file.Paths.get(path, "scaler.properties"))
+    try props.load(in) finally in.close()
+    val windowSize = props.getProperty("windowSize").toInt
+    require(m.numFeatures == windowSize,
+      s"model expects ${m.numFeatures} features but bundle window is $windowSize") // M4
+    Forecaster.Bundle(Wrapped(m, windowSize),
+      Forecaster.MinMaxScaler(props.getProperty("dataMin").toDouble,
+        props.getProperty("dataMax").toDouble))
+  }
 }

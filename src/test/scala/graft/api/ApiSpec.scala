@@ -83,8 +83,11 @@ class ApiSpec extends SparkSpec {
   }
 
   test("Q4 predict endpoint: full chain off the store with injected model") {
-    val fc = api.predict("BTC_USDT", "1h", Forecaster.PersistenceModel(5),
-      stepMs = 3600000L)
+    // serve with a training-time scaler bundled with the model (no refit)
+    val trainScaler = Forecaster.MinMaxScaler.fit(
+      api.lastCloses("BTC_USDT", "1h", 48).toSeq)
+    val bundle = Forecaster.Bundle(Forecaster.PersistenceModel(5), trainScaler)
+    val fc = api.predict("BTC_USDT", "1h", bundle, stepMs = 3600000L)
     assert(fc.length == 24)
     val lastTs = api.latestStoredTimestamp("BTC_USDT", "1h").get * 1000L
     assert(fc.head.timestampMs == lastTs + 3600000L,
@@ -92,7 +95,9 @@ class ApiSpec extends SparkSpec {
     val lastClose = api.lastCloses("BTC_USDT", "1h", 1).head
     assert(math.abs(fc.head.predictedPrice - lastClose) < 1e-9)
     intercept[NoSuchElementException] {
-      api.predict("NOPE", "1h", Forecaster.PersistenceModel(5), 3600000L)
+      api.predict("NOPE", "1h",
+        Forecaster.Bundle(Forecaster.PersistenceModel(5), trainScaler),
+        3600000L)
     }
   }
 

@@ -26,4 +26,26 @@ class GbtLagModelSpec extends SparkSpec {
       assert(math.abs(got - exp) < 0.2, s"recursion diverged: got $got want $exp")
     }
   }
+
+  test("bundle persistence round-trip: identical forecasts, M4 load validation") {
+    val series = Array.tabulate(300)(i => 50.0 + (i % 5).toDouble)
+    val trained = GbtLagModel.trainBundle(spark, series, windowSize = 5,
+      maxIter = 5)
+    val dir = java.nio.file.Files.createTempDirectory("gbt-bundle").toString
+    GbtLagModel.save(trained, dir)
+    val loaded = GbtLagModel.load(spark, dir)
+    assert(loaded.scaler == trained.scaler, "scaler must round-trip exactly")
+    assert(loaded.model.windowSize == 5)
+    val tail = series.takeRight(5)
+    val a = Forecaster.recursiveForecast(trained.model, trained.scaler, tail,
+      0L, 1000L, steps = 6)
+    val b = Forecaster.recursiveForecast(loaded.model, loaded.scaler, tail,
+      0L, 1000L, steps = 6)
+    assert(a == b, "loaded bundle must forecast identically to the trained one")
+    // M4: a tampered windowSize fails arity validation at load
+    val props = java.nio.file.Paths.get(dir, "scaler.properties")
+    java.nio.file.Files.writeString(props,
+      "windowSize=7\ndataMin=50.0\ndataMax=54.0\n")
+    intercept[IllegalArgumentException] { GbtLagModel.load(spark, dir) }
+  }
 }
