@@ -69,6 +69,12 @@ object SparkEntry {
     "c1_curation_pipeline" -> (ExtQueries.c1CurationPipeline _),
     "v1_vocab_topk" -> (ExtQueries.v1VocabTopk _),
     "t5_tfidf_top_terms" -> (ExtQueries.t5TfidfTopTerms _),
+    // oracle-checked invariants over the approximate operators
+    "x3v_lsh_subset_exact" -> (ExtQueries.x3vLshSubsetExact _),
+    "x4v_ann_scores_match_brute" -> (ExtQueries.x4vAnnScoresMatchBrute _),
+    "x8v_ivf_subset_exact" -> (ExtQueries.x8vIvfSubsetExact _),
+    "x9v_kmv_exact_small" -> (CoreQueries.x9vKmvExactSmall _),
+    "x7v_hll_error_bound" -> (CoreQueries.x7vHllErrorBound _),
     // rows-only: native hashes / LSH internals (ScalaTest owns semantics)
     "x1_fingerprints_native" -> (ExtQueries.x1FingerprintsNative _),
     "x2_simhash_sketches" -> (ExtQueries.x2SimhashSketches _),
@@ -409,6 +415,26 @@ object SparkEntry {
              ORDER BY tfidf_r6 DESC, token) AS rn
            FROM scored)
          WHERE rn <= 3""",
+    // Invariant oracles: the Spark side computes the approximate
+    // structure's guarantee (subset anti-join / exactness-below-k / error
+    // bound); the oracle states what it must equal. Subset violations are
+    // empty by construction of a correct sketch, so the oracle is the
+    // matching empty relation.
+    "x3v_lsh_subset_exact" ->
+      """SELECT doc_id AS doc_a, doc_id AS doc_b FROM documents WHERE FALSE""",
+    "x4v_ann_scores_match_brute" ->
+      """SELECT vec_id, CAST(0.0 AS DOUBLE) AS cosine_r6
+         FROM embeddings WHERE FALSE""",
+    "x8v_ivf_subset_exact" ->
+      """SELECT vec_id FROM embeddings WHERE FALSE""",
+    "x9v_kmv_exact_small" ->
+      """SELECT event_type,
+                count(DISTINCT event_id % 199) AS kmv_mod,
+                count(DISTINCT event_id % 199) AS exact_mod
+         FROM events GROUP BY event_type""",
+    "x7v_hll_error_bound" ->
+      """SELECT event_type, CAST(1 AS INT) AS within_bound
+         FROM events GROUP BY event_type""",
     "mm1_binary_meta" ->
       """SELECT doc_id AS media_id,
                 (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,

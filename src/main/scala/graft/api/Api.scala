@@ -23,7 +23,7 @@ import graft.store.ServingStore
   * Time-dependent queries take `now` explicitly (injected Clock —
   * SURVEY.md §7.5.4) so golden tests are deterministic.
   */
-final class Api(store: ServingStore) {
+final class Api(val store: ServingStore) {
 
   /** `/api/realtime_stats/<sym>` part 1: get-by-id on the latest table
     * (app.py:97 / W8). Key = symbol with '/' (e.g. "BTC/USDT").

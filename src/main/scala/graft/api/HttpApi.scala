@@ -1,0 +1,173 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.time.Instant
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.ml.{Forecaster, GbtLagModel}
+
+/** HTTP serving surface: the reference's six Flask routes (app.py:86,92,
+  * 109,138,153,195) over [[Api]] + [[Responses]], on the JDK's built-in
+  * HTTP server — zero added dependencies, byte-identical endpoint JSON.
+  *
+  *   GET /                                  → realtime dropdown symbols
+  *   GET /historical                        → historical dropdown pairs
+  *   GET /api/realtime_stats/{sym}          → {"latest":{...},"stats":{...}}
+  *   GET /api/chart_data_1m/{sym}           → [[ts_ms, close], ...]
+  *   GET /api/historical_data/{sym_tf}?range= → Chart.js {labels, datasets}
+  *   GET /api/predict_xgboost/{sym_tf}      → [{timestamp, predicted_price}]
+  *
+  * The two page routes serve the dropdown DATA as JSON rather than
+  * rendering the reference's HTML templates (dashboards are out of scope —
+  * SURVEY.md §1.3); everything a dashboard polls is served verbatim.
+  *
+  * Deviations mirrored from the reference, not improved: URL symbols are
+  * '-'-encoded and decoded with replace('-','/') (app.py:94); predict
+  * serves only the 1h timeframe, with per-symbol window sizes BTC=5 /
+  * ETH=24 (app.py:203-206); model/scaler pairs load from `modelsDir` and
+  * missing artifacts are 404s (app.py:211-213).
+  *
+  * The driver query runs on Spark (`api` calls collect only top-k /
+  * single-row results); the HTTP layer is a thin shell. `now` is injected
+  * for deterministic tests (SURVEY.md §7.5.4).
+  */
+final class HttpApi(api: Api, modelsDir: Option[String] = None,
+    now: () => Instant = () => Instant.now()) {
+
+  private val bundles =
+    new java.util.concurrent.ConcurrentHashMap[String, Either[String, Forecaster.Bundle]]()
+
+  private[api] var server: HttpServer = _
+
+  /** Start on `port` (0 = ephemeral); returns the bound port. */
+  def start(port: Int = 0): Int = {
+    server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/api/realtime_stats/", exchange { path =>
+      val symbol = path.stripPrefix("/api/realtime_stats/").replace('-', '/')
+      // absent tables → empty {} objects, like the reference's NotFound
+      // handling (app.py:96-106)
+      val latest = scala.util.Try(api.latestCandle(symbol).collect())
+        .toOption.flatMap(_.headOption)
+      val stats = scala.util.Try(api.latestStats(symbol).collect())
+        .toOption.flatMap(_.headOption)
+      Right(Responses.realtimeStats(latest, stats))
+    })
+    server.createContext("/api/chart_data_1m/", exchange { path =>
+      val symbol = path.stripPrefix("/api/chart_data_1m/").replace('-', '/')
+      Right(Responses.chartData1m(
+        api.chartData1m(symbol, now()).collect().toSeq))
+    })
+    server.createContext("/api/historical_data/", exchange { (path, query) =>
+      val symTf = path.stripPrefix("/api/historical_data/")
+      splitSymTf(symTf) match {
+        case None => Left(400 -> """{"error": "Invalid symbol_timeframe format."}""")
+        case Some((symbol, timeframe)) =>
+          val range = query.getOrElse("range", "all")
+          val rows = api.historicalData(symbol, timeframe, range, now())
+            .orderBy("timestamp").collect().toSeq
+          Right(Responses.historicalData(symbol, timeframe, rows))
+      }
+    })
+    server.createContext("/api/predict_xgboost/", exchange { path =>
+      predict(path.stripPrefix("/api/predict_xgboost/"))
+    })
+    server.createContext("/historical", exchange { _ =>
+      Right(Responses.JArr(api.historicalPairs().collect().toIndexedSeq
+        .map(r => Responses.JStr(r.getString(0)))).render)
+    })
+    server.createContext("/", exchange { _ =>
+      Right(Responses.JArr(api.realtimeSymbols().collect().toIndexedSeq
+        .map(r => Responses.JStr(r.getString(0)))).render)
+    })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  /** app.py:156-159: timeframe = last '_' part, symbol = the rest. */
+  private def splitSymTf(s: String): Option[(String, String)] = {
+    val i = s.lastIndexOf('_')
+    if (i <= 0 || i == s.length - 1) None
+    else Some((s.substring(0, i), s.substring(i + 1)))
+  }
+
+  /** app.py:195-244 semantics: 1h-only, per-symbol window config, persisted
+    * (model, scaler) pair, 404 on missing artifacts, M4 arity validation.
+    */
+  private def predict(symTf: String): Either[(Int, String), String] =
+    splitSymTf(symTf) match {
+      case None => Left(400 ->
+        """{"error": "Invalid format. Expected SYMBOL_TIMEFRAME (e.g., BTC_USDT_1h)"}""")
+      case Some((symbol, timeframe)) =>
+        if (timeframe != "1h")
+          Left(400 -> s"""{"error": "Prediction only for 1h timeframe. Requested: $timeframe"}""")
+        else {
+          val windowSize =
+            if (symbol.contains("BTC_USDT")) 5
+            else if (symbol.contains("ETH_USDT")) 24
+            else 0
+          if (windowSize == 0)
+            Left(400 -> s"""{"error": "No window size configured for symbol $symbol."}""")
+          else loadBundle(symbol, timeframe) match {
+            case Left(err) => Left(404 -> s"""{"error": "$err"}""")
+            case Right(b) if b.model.windowSize != windowSize =>
+              Left(500 -> s"""{"error": "Model feature mismatch. Expects ${b.model.windowSize}, config $windowSize."}""")
+            case Right(b) =>
+              try Right(Responses.predictions(
+                api.predict(symbol, timeframe, b, stepMs = 3600000L)))
+              catch {
+                case e: NoSuchElementException =>
+                  Left(404 -> s"""{"error": "${e.getMessage}"}""")
+              }
+          }
+        }
+    }
+
+  private def loadBundle(symbol: String,
+      timeframe: String): Either[String, Forecaster.Bundle] =
+    bundles.computeIfAbsent(s"${symbol}_$timeframe", _ =>
+      modelsDir match {
+        case None => Left(s"Model for $symbol not found.")
+        case Some(dir) =>
+          val path = s"$dir/${symbol}_$timeframe"
+          if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)))
+            Left(s"Model for $symbol not found.")
+          else
+            try Right(GbtLagModel.load(api.store.spark, path))
+            catch { case e: Exception => Left(s"Failed to load model: ${e.getMessage}") }
+      })
+
+  // ---- plumbing -----------------------------------------------------------
+
+  private def exchange(f: String => Either[(Int, String), String])(
+      implicit d: DummyImplicit): com.sun.net.httpserver.HttpHandler =
+    exchange((path, _) => f(path))
+
+  private def exchange(
+      f: (String, Map[String, String]) => Either[(Int, String), String])
+      : com.sun.net.httpserver.HttpHandler =
+    (ex: HttpExchange) => {
+      val (status, body) =
+        try {
+          val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+            .split('&').filter(_.contains("=")).map { kv =>
+              val Array(k, v) = kv.split("=", 2); k -> v
+            }.toMap
+          f(ex.getRequestURI.getPath, q) match {
+            case Right(ok) => 200 -> ok
+            case Left((code, err)) => code -> err
+          }
+        } catch {
+          case e: Exception => 500 -> s"""{"error": "${e.getMessage}"}"""
+        }
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(status, bytes.length.toLong)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    }
+}

@@ -152,24 +152,28 @@ object Dedup {
     * block, no broadcast of a whole table.
     */
   def prefixJaccardPairs(s: SparkSession, dir: String, k: Int = 3,
-      jaccardMin: Double = 0.2): DataFrame = {
+      jaccardMin: Double = 0.2,
+      blockCols: Seq[String] = Seq("lang", "source")): DataFrame = {
     val sh = shingles(docs(s, dir), k).select(
-      col("doc_id"), col("lang"), col("source"), col("shingle_hashes"))
-    val tok = sh.select(col("doc_id"), col("lang"), col("source"),
-      explode(col("shingle_hashes")).as("h"))
+      (Seq(col("doc_id")) ++ blockCols.map(col) :+ col("shingle_hashes")): _*)
+    val tok = sh.select(
+      (Seq(col("doc_id")) ++ blockCols.map(col) :+
+        explode(col("shingle_hashes")).as("h")): _*)
     val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
     // Per doc: shingles sorted by (df, h); keep the prefix.
     val ordered = tok.join(dfreq, "h")
-      .groupBy("doc_id", "lang", "source")
+      .groupBy("doc_id", blockCols: _*)
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("arr"))
       .withColumn("n", size(col("arr")))
       .withColumn("plen",
         (col("n") - floor(lit(jaccardMin) * col("n")) + 1).cast("int"))
-      .select(col("doc_id"), col("lang"), col("source"),
-        explode(expr("slice(transform(arr, x -> x.h), 1, plen)")).as("h"))
-    val cand = ordered.alias("l").join(ordered.alias("r"),
-        col("l.lang") === col("r.lang") && col("l.source") === col("r.source") &&
-        col("l.h") === col("r.h") && col("l.doc_id") < col("r.doc_id"))
+      .select(
+        (Seq(col("doc_id")) ++ blockCols.map(col) :+
+          explode(expr("slice(transform(arr, x -> x.h), 1, plen)")).as("h")): _*)
+    val joinCond = (blockCols.map(c => col(s"l.$c") === col(s"r.$c")) :+
+      (col("l.h") === col("r.h")) :+ (col("l.doc_id") < col("r.doc_id")))
+      .reduce(_ && _)
+    val cand = ordered.alias("l").join(ordered.alias("r"), joinCond)
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     val sets = sh.select(col("doc_id"), col("shingle_hashes"))

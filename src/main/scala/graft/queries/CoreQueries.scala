@@ -384,6 +384,31 @@ object CoreQueries {
         .as("kmv_users"),
         countDistinct(col("user_id")).as("exact_users"))
 
+  /** x9 invariant (oracle-checked): a KMV sketch whose heap never fills
+    * (domain 199 < k=256) IS the exact distinct count at every scale —
+    * DuckDB computes the same count(DISTINCT) directly.
+    */
+  def x9vKmvExactSmall(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(graft.functions.KmvSketch
+        .kmvDistinct(pmod(col("event_id"), lit(199L)), 256).as("kmv_mod"),
+        countDistinct(pmod(col("event_id"), lit(199L))).as("exact_mod"))
+
+  /** x7 invariant (oracle-checked): the HLL estimate must land within a
+    * conservative 5% of the exact count per group; the oracle pins the
+    * verdict column to all-ones.
+    */
+  def x7vHllErrorBound(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx"),
+        countDistinct(col("user_id")).as("exact"))
+      .select(col("event_type"),
+        when(abs(col("approx") - col("exact")) <=
+          ceil(col("exact") * lit(0.05)), lit(1)).otherwise(lit(0))
+          .cast("int").as("within_bound"))
+
   /** M1 as a distributed transform: per-group MinMax scaling via window
     * min/max (app.py:232 scaler semantics, engine-side).
     */

@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
   * are the streaming defaults; [[upsertPartitioned]] day-partitions so a
   * batch merge touches only the event-dates it contains.
   */
-final class ServingStore(val root: String)(implicit spark: SparkSession) {
+final class ServingStore(val root: String)(implicit val spark: SparkSession) {
 
   private def tableDir(table: String): Path = Paths.get(root, table)
 

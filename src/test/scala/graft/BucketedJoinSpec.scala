@@ -31,7 +31,7 @@ class BucketedJoinSpec extends SparkSpec {
         .join(spark.table("b_customer"),
           col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
-      val plan = joined.queryExecution.executedPlan
+      val plan = joined.queryExecution.sparkPlan // pre-AQE: real operators
       def shufflesBelowJoin(p: org.apache.spark.sql.execution.SparkPlan): Int =
         p.collect { case e: ShuffleExchangeExec => e }.size
       // one exchange allowed for the final groupBy; the JOIN itself must

@@ -18,7 +18,13 @@ class ExtSpec extends SparkSpec {
   private def assertNoAllPairsJoin(df: org.apache.spark.sql.DataFrame,
       name: String): Unit = {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
-    val plan = df.queryExecution.executedPlan
+    // executedPlan under AQE is a leaf wrapper — inspect the pre-AQE
+    // physical plan, which contains the real join operators
+    val plan = df.queryExecution.sparkPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty, s"$name: expected join operators in\n$plan")
     val bad = plan.collect {
       case c: CartesianProductExec => c
       case b: BroadcastNestedLoopJoinExec => b
@@ -178,6 +184,20 @@ class ExtSpec extends SparkSpec {
   }
 
   // ---- text analysis ------------------------------------------------------
+
+  test("ivf probe scan is partition-pruned on cell") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val probe = Similarity.ivfTopK(spark, sf001, queryId = 0L, k = 5,
+      nlist = 8, nprobe = 3)
+    val scans = probe.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    val pruned = scans.filter(_.partitionFilters.exists(
+      _.references.exists(_.name == "cell")))
+    assert(pruned.nonEmpty, "probe scan has no partition filter on cell")
+    // the pruned scan reads at most nprobe of the nlist cell partitions
+    assert(pruned.head.relation.partitionSchema.fieldNames.contains("cell"))
+  }
 
   test("langGuess is deterministic and respects stopword argmax") {
     import spark.implicits._

@@ -190,6 +190,38 @@ class OhlcvStreamJobSpec extends SparkSpec {
     } finally qs.foreach(_.stop())
   }
 
+  test("q2 update-mode window state is bounded by the watermark") {
+    implicit val s = spark
+    import spark.implicits._
+    val mem = MemoryStream[String](4)(implicitly, spark.sqlContext)
+    val parsed = OhlcvStreamJob.parse(mem.toDF())
+    val q = OhlcvStreamJob.statsAgg(OhlcvStreamJob.withWatermarked(parsed))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", tmp("ckpt-state"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.count(): Unit
+      }.start()
+    try {
+      // minutes 0..5 → ~15 open sliding windows in state
+      mem.addData((0 to 5).map(m => candleJson("BTC/USDT", m, 100.0)): _*)
+      q.processAllAvailable()
+      val early = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(early >= 10, s"expected open windows in state, got $early")
+      // jump event time far ahead; the next batches advance the watermark
+      // past every early window's end → they must be EVICTED, not retained
+      mem.addData(candleJson("BTC/USDT", 120, 101.0))
+      q.processAllAvailable()
+      mem.addData(candleJson("BTC/USDT", 121, 102.0))
+      q.processAllAvailable()
+      val late = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(late < early,
+        s"watermark did not evict expired windows: $early -> $late")
+      assert(late <= 12, s"state should hold only windows near the " +
+        s"frontier (~11 for one symbol), got $late")
+    } finally q.stop()
+  }
+
   test("three concurrent queries from one parsed stream (T7 fan-out)") {
     implicit val s = spark
     import spark.implicits._
