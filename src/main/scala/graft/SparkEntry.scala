@@ -51,6 +51,7 @@ object SparkEntry {
     "x7_approx_distinct" -> (CoreQueries.x7ApproxDistinct _),
     "x9_kmv_distinct" -> (CoreQueries.x9KmvDistinct _),
     "s2_sessionize" -> (CoreQueries.s2Sessionize _),
+    "aj1_asof_join" -> (CoreQueries.aj1AsofJoin _),
     "q6_revenue_delta" -> (CoreQueries.q6RevenueDelta _),
     "p14_pivot" -> (CoreQueries.p14Pivot _),
     // ML surface (§2.6)
@@ -190,6 +191,20 @@ object SparkEntry {
                 min(CAST(epoch_ms(ts)//1000 AS BIGINT)) AS session_start_s,
                 max(CAST(epoch_ms(ts)//1000 AS BIGINT)) AS session_end_s
          FROM sess GROUP BY user_id, session_id""",
+    "aj1_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+                    WHERE event_type = 'purchase'),
+              c AS (SELECT user_id, ts, max(event_id) AS click_id,
+                           max_by(value, event_id) AS click_value
+                    FROM events WHERE event_type = 'click'
+                    GROUP BY user_id, ts)
+         SELECT p.event_id, p.user_id,
+                CAST(epoch_ms(p.ts)//1000 AS BIGINT) AS ts_s, p.value,
+                c.click_id,
+                CAST(epoch_ms(c.ts)//1000 AS BIGINT) AS click_ts_s,
+                c.click_value
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND p.ts >= c.ts""",
     "q6_revenue_delta" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
                   * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)

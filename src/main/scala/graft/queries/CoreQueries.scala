@@ -409,6 +409,29 @@ object CoreQueries {
           ceil(col("exact") * lit(0.05)), lit(1)).otherwise(lit(0))
           .cast("int").as("within_bound"))
 
+  /** As-of join (point-in-time): each purchase matched to the user's
+    * latest click at or before it — [[graft.operators.AsOfJoin]], the
+    * union+window form (one shuffle, no range nested-loop). Clicks are
+    * pre-deduped per (user, ts) with a max_by tiebreak so the match is
+    * deterministic; DuckDB's native ASOF LEFT JOIN is the oracle.
+    */
+  def aj1AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("c_ts"))
+      .agg(max(col("event_id")).as("click_id"),
+        max_by(col("value"), col("event_id")).as("click_value"))
+    graft.operators.AsOfJoin.leftAsOf(purchases, clicks,
+      on = Seq("user_id"), leftTime = "ts", rightTime = "c_ts",
+      rightPayload = Seq("c_ts", "click_id", "click_value"))
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("long").as("ts_s"), col("value"),
+        col("click_id"), col("c_ts").cast("long").as("click_ts_s"),
+        col("click_value"))
+  }
+
   /** M1 as a distributed transform: per-group MinMax scaling via window
     * min/max (app.py:232 scaler semantics, engine-side).
     */
