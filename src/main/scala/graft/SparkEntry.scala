@@ -68,6 +68,7 @@ object SparkEntry {
     "mm1_binary_meta" -> (ExtQueries.mm1BinaryMeta _),
     "sk1_salted_sum" -> (ExtQueries.sk1SaltedSum _),
     "c1_curation_pipeline" -> (ExtQueries.c1CurationPipeline _),
+    "c2_consistent_sample" -> (ExtQueries.c2ConsistentSample _),
     "v1_vocab_topk" -> (ExtQueries.v1VocabTopk _),
     "t5_tfidf_top_terms" -> (ExtQueries.t5TfidfTopTerms _),
     // oracle-checked invariants over the approximate operators
@@ -404,6 +405,12 @@ object SparkEntry {
            AND s_en > 0 AND s_de <= s_en AND s_fr <= s_en
            AND s_es <= s_en AND s_zh <= s_en
          GROUP BY text""",
+    "c2_consistent_sample" ->
+      """SELECT doc_id, lang,
+                CASE WHEN substr(md5(text), 1, 1) < '8'
+                     THEN 'train' ELSE 'eval' END AS split
+         FROM documents
+         WHERE substr(md5(text), 1, 2) < 'c0'""",
     "v1_vocab_topk" ->
       """SELECT token, count(*) AS term_freq,
                 count(DISTINCT doc_id) AS doc_freq

@@ -160,18 +160,22 @@ object Dedup {
       (Seq(col("doc_id")) ++ blockCols.map(col) :+
         explode(col("shingle_hashes")).as("h")): _*)
     val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
-    // Per doc: shingles sorted by (df, h); keep the prefix.
+    // Per doc: rank shingles by (df, h) — rarest first — and keep the
+    // prefix rows directly (window rank over one doc-keyed exchange; no
+    // array rebuild + re-explode round trip).
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val ordered = tok.join(dfreq, "h")
-      .groupBy("doc_id", blockCols: _*)
-      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("arr"))
-      .withColumn("n", size(col("arr")))
-      .withColumn("plen",
-        (col("n") - floor(lit(jaccardMin) * col("n")) + 1).cast("int"))
-      .select(
-        (Seq(col("doc_id")) ++ blockCols.map(col) :+
-          explode(expr("slice(transform(arr, x -> x.h), 1, plen)")).as("h")): _*)
-    val joinCond = (blockCols.map(c => col(s"l.$c") === col(s"r.$c")) :+
-      (col("l.h") === col("r.h")) :+ (col("l.doc_id") < col("r.doc_id")))
+      .withColumn("rn", row_number().over(byDoc.orderBy("df", "h")))
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .filter(col("rn") <=
+        col("n") - floor(lit(jaccardMin) * col("n")) + 1)
+      .select((Seq(col("doc_id"), col("n")) ++ blockCols.map(col) :+ col("h")): _*)
+    // size filter: J(a,b) >= t forces t·|a| <= |b| <= |a|/t — prunes
+    // candidate pairs between very different-sized sets in the join itself
+    val joinCond = (blockCols.map(c => col(s"l.$c") === col(s"r.$c")) ++ Seq(
+      col("l.h") === col("r.h"), col("l.doc_id") < col("r.doc_id"),
+      col("l.n") * lit(jaccardMin) <= col("r.n"),
+      col("r.n") * lit(jaccardMin) <= col("l.n")))
       .reduce(_ && _)
     val cand = ordered.alias("l").join(ordered.alias("r"), joinCond)
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
