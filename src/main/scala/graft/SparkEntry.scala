@@ -52,6 +52,8 @@ object SparkEntry {
     "x9_kmv_distinct" -> (CoreQueries.x9KmvDistinct _),
     "s2_sessionize" -> (CoreQueries.s2Sessionize _),
     "aj1_asof_join" -> (CoreQueries.aj1AsofJoin _),
+    "rj1_interval_join" -> (CoreQueries.rj1IntervalJoin _),
+    "x10v_percentile_bound" -> (CoreQueries.x10vPercentileBound _),
     "q6_revenue_delta" -> (CoreQueries.q6RevenueDelta _),
     "p14_pivot" -> (CoreQueries.p14Pivot _),
     // ML surface (§2.6)
@@ -206,6 +208,18 @@ object SparkEntry {
                 c.click_value
          FROM p ASOF LEFT JOIN c
            ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    "rj1_interval_join" ->
+      """SELECT e.event_id AS err_id,
+                CAST(epoch_ms(e.ts)//1000 AS BIGINT) AS err_ts_s,
+                count(*) AS n_clicks
+         FROM events e JOIN events c
+           ON c.event_type = 'click'
+          AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 30 MINUTE
+         WHERE e.event_type = 'error'
+         GROUP BY 1, 2""",
+    "x10v_percentile_bound" ->
+      """SELECT event_type, CAST(1 AS INT) AS within_bound
+         FROM events GROUP BY event_type""",
     "q6_revenue_delta" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
                   * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)

@@ -432,6 +432,42 @@ object CoreQueries {
         col("click_value"))
   }
 
+  /** Interval join via [[graft.operators.RangeJoin]]: clicks landing in
+    * the 30-minute window after any error event, counted per error — a
+    * keyless range join executed as a granule equi-join (no nested loop).
+    * Inner semantics: errors with zero clicks in-window don't appear.
+    */
+  def rj1IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("ts").as("err_ts"))
+      .withColumn("end_ts", col("err_ts") + expr("INTERVAL 30 MINUTES"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("click_ts"))
+    graft.operators.RangeJoin.pointsInIntervals(
+      clicks, "click_ts", errors, "err_ts", "end_ts",
+      granuleSeconds = 1800L)
+      .groupBy(col("err_id"),
+        col("err_ts").cast("long").as("err_ts_s"))
+      .agg(count(lit(1)).as("n_clicks"))
+  }
+
+  /** x10 invariant (oracle-checked): the approx-percentile sketch's
+    * median must land between the exact 45th and 55th percentiles per
+    * group — far looser than its rank-error guarantee at accuracy 1000,
+    * so the flag is deterministically 1.
+    */
+  def x10vPercentileBound(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("med_approx"),
+        expr("percentile(value, 0.45)").as("q45"),
+        expr("percentile(value, 0.55)").as("q55"))
+      .select(col("event_type"),
+        when(col("med_approx").between(col("q45"), col("q55")), lit(1))
+          .otherwise(lit(0)).cast("int").as("within_bound"))
+
   /** M1 as a distributed transform: per-group MinMax scaling via window
     * min/max (app.py:232 scaler semantics, engine-side).
     */
