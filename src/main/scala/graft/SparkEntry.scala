@@ -86,6 +86,7 @@ object SparkEntry {
     "x4_ann_topk" -> (ExtQueries.x4AnnTopK _),
     "x8_ivf_topk" -> (ExtQueries.x8IvfTopK _),
     "x5_frame_sample" -> (ExtQueries.x5FrameSample _),
+    "t6_token_batches" -> (graft.ext.BatchPacking.t6TokenBatches _),
     "x6_media_features" -> (ExtQueries.x6MediaFeatures _),
   )
 

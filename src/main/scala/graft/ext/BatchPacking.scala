@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Token-budget batch packing: group documents into training batches whose
+  * token totals stay under a budget — the shard-construction step of an
+  * LLM data pipeline (sequence packing à la T5/GPT data loaders).
+  *
+  * Exact global bin packing is inherently sequential; the distributed form
+  * packs WITHIN partitions (batches never span partitions — exactly how
+  * per-worker training shards are built). Documents are routed to a
+  * partition by a deterministic key hash and packed greedily in doc-id
+  * order, so the batch assignment is reproducible run-to-run and
+  * independent of cluster parallelism (the shard key, not
+  * `spark.default.parallelism`, decides placement).
+  *
+  * A document larger than the budget gets a batch of its own (callers
+  * truncate/split upstream if that is not acceptable).
+  */
+object BatchPacking {
+
+  /** Pack (id, tokens) rows into batches of at most `budget` tokens within
+    * each of `shards` deterministic shards. Output: (shard, batch_in_shard,
+    * batch_id, doc_id, n_tokens).
+    */
+  def packByTokenBudget(docs: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, shards: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(budget > 0 && shards > 0)
+    val keyed = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(tokensCol).cast("long").as("n_tokens"))
+      .withColumn("shard", pmod(col("doc_id"), lit(shards)).cast("int"))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .as[(Long, Long, Int)]
+    keyed.mapPartitions { it =>
+      // a partition may hold several shards (hash collisions): reset the
+      // packer at shard boundaries so output is partitioning-independent
+      var curShard = -1
+      var batch = -1L
+      var used = 0L
+      it.map { case (docId, nTokens, shard) =>
+        if (shard != curShard) { curShard = shard; batch = -1L; used = 0L }
+        if (batch < 0 || used + nTokens > budget) { batch += 1; used = 0L }
+        used += nTokens
+        (shard, batch, s"$shard-$batch", docId, nTokens)
+      }
+    }.toDF("shard", "batch_in_shard", "batch_id", "doc_id", "n_tokens")
+  }
+
+  /** Declared query: documents packed by whitespace token count under a
+    * 2 000-token budget. Batch ids are deterministic (shard = doc_id mod
+    * 32, greedy in doc-id order) but the packing recurrence is not
+    * SQL-expressible — ScalaTest owns the invariants (budget respected,
+    * every doc exactly once, greedy tightness).
+    */
+  def t6TokenBatches(s: SparkSession, dir: String): DataFrame = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    packByTokenBudget(d, "doc_id", "n_tokens", budget = 2000L)
+  }
+}

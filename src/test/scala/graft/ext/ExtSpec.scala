@@ -199,6 +199,31 @@ class ExtSpec extends SparkSpec {
     assert(pruned.head.relation.partitionSchema.fieldNames.contains("cell"))
   }
 
+  test("token-budget packing: budget respected, total coverage, greedy tightness") {
+    val out = BatchPacking.t6TokenBatches(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").count()
+    assert(out.length == docs, "every doc must be packed exactly once")
+    assert(out.map(_._3).distinct.length == out.length)
+    val byBatch = out.groupBy(t => (t._1, t._2))
+    byBatch.foreach { case ((shard, b), rows) =>
+      val total = rows.map(_._4).sum
+      assert(total <= 2000L || rows.length == 1,
+        s"batch $shard-$b over budget: $total tokens in ${rows.length} docs")
+    }
+    // greedy tightness: consecutive batches within a shard can't be merged
+    byBatch.groupBy(_._1._1).foreach { case (_, batches) =>
+      val sums = batches.toSeq.sortBy(_._1._2).map(_._2.map(_._4).sum)
+      sums.sliding(2).foreach {
+        case Seq(a, b) => assert(a + b > 2000L,
+          "adjacent batches fit in one budget — packing not greedy")
+        case _ =>
+      }
+    }
+    // determinism: shard assignment is content-keyed, not partition-keyed
+    assert(out.forall(t => t._1 == (t._3 % 32)))
+  }
+
   test("langGuess is deterministic and respects stopword argmax") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("lang-docs").toString

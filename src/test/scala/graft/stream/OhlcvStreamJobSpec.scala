@@ -1,6 +1,7 @@
 package graft.stream
 
 import java.nio.file.Files
+import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -188,6 +189,47 @@ class OhlcvStreamJobSpec extends SparkSpec {
         Trigger.ProcessingTime(60000L),
         Trigger.ProcessingTime(15000L)))
     } finally qs.foreach(_.stop())
+  }
+
+  test("stream-stream interval join matches in-window alerts; state stays bounded") {
+    implicit val s = spark
+    import spark.implicits._
+    val candleMem = MemoryStream[String](5)(implicitly, spark.sqlContext)
+    val alertMem = MemoryStream[(String, Timestamp, String)](6)(implicitly, spark.sqlContext)
+    val candles = OhlcvStreamJob.parse(candleMem.toDF())
+    val alerts = alertMem.toDF().toDF("alert_symbol", "alert_time", "alert_kind")
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = StreamJoins.candlesWithRecentAlerts(candles, alerts)
+      .select(col("timestamp_ms"), col("alert_kind"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmp("ckpt-ssj"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= df.collect().map(r => (r.getLong(0), r.getString(1)))
+        }: Unit
+      }.start()
+    try {
+      def t(m: Int) = new Timestamp(t0 + m * 60000L)
+      alertMem.addData(("BTC/USDT", t(5), "spike"), ("ETH/USDT", t(5), "dip"))
+      // candle at minute 6: BTC alert 1 min earlier is in the 10-min window;
+      // candle at minute 20: alert is 15 min stale → no match
+      candleMem.addData(candleJson("BTC/USDT", 6, 100.0),
+        candleJson("BTC/USDT", 20, 101.0))
+      q.processAllAvailable()
+      assert(out.synchronized(out.toSet) ==
+        Set((t0 + 6 * 60000L, "spike")),
+        s"got ${out.mkString(",")}")
+      // advance both watermarks far ahead → old buffered rows evicted
+      alertMem.addData(("BTC/USDT", t(500), "late-wm")) : Unit
+      candleMem.addData(candleJson("BTC/USDT", 500, 102.0))
+      q.processAllAvailable()
+      candleMem.addData(candleJson("BTC/USDT", 501, 103.0))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateRows <= 8,
+        s"join state must be bounded by watermark+interval, got $stateRows")
+    } finally q.stop()
   }
 
   test("q2 update-mode window state is bounded by the watermark") {
