@@ -79,6 +79,7 @@ object SparkEntry {
     "x8v_ivf_subset_exact" -> (ExtQueries.x8vIvfSubsetExact _),
     "x9v_kmv_exact_small" -> (CoreQueries.x9vKmvExactSmall _),
     "x7v_hll_error_bound" -> (CoreQueries.x7vHllErrorBound _),
+    "x11v_quant_cosine_bound" -> (ExtQueries.x11vQuantCosineBound _),
     // rows-only: native hashes / LSH internals (ScalaTest owns semantics)
     "x1_fingerprints_native" -> (ExtQueries.x1FingerprintsNative _),
     "x2_simhash_sketches" -> (ExtQueries.x2SimhashSketches _),
@@ -472,6 +473,8 @@ object SparkEntry {
     "x7v_hll_error_bound" ->
       """SELECT event_type, CAST(1 AS INT) AS within_bound
          FROM events GROUP BY event_type""",
+    "x11v_quant_cosine_bound" ->
+      """SELECT vec_id, CAST(1 AS INT) AS within_bound FROM embeddings""",
     "mm1_binary_meta" ->
       """SELECT doc_id AS media_id,
                 (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,

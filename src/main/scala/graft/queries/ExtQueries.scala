@@ -205,6 +205,28 @@ object ExtQueries {
       .join(Similarity.cosineTopK(s, dir, queryId = 0L, k = 50)
         .select("vec_id"), Seq("vec_id"), "left_anti")
 
+  /** x11 invariant: int8 symmetric per-vector quantization (scale =
+    * max|x|/127 — the standard embedding-compression step; 4× smaller
+    * scans for every ANN probe) must preserve self-cosine ≥ 0.999 after
+    * dequantization. All arithmetic is Spark higher-order functions plus
+    * the native cosine; the oracle pins the verdict column.
+    */
+  def x11vQuantCosineBound(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val scale = greatest(
+      expr("aggregate(embedding, CAST(0.0 AS DOUBLE)," +
+        " (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))") / lit(127.0),
+      lit(1e-12))
+    e.withColumn("_scale", scale)
+      .withColumn("deq", expr(
+        "transform(embedding," +
+          " x -> CAST(round(CAST(x AS DOUBLE) / _scale) * _scale AS FLOAT))"))
+      .select(col("vec_id"),
+        when(graft.functions.Expressions.cosineF(col("embedding"),
+          col("deq")) >= 0.999, lit(1)).otherwise(lit(0))
+          .cast("int").as("within_bound"))
+  }
+
   /** Frame-sampling stub over video payloads (1 row in → N frames out). */
   def x5FrameSample(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(s, dir)

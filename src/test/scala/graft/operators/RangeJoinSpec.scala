@@ -34,6 +34,28 @@ class RangeJoinSpec extends SparkSpec {
       (1L, 10L), (2L, 10L), (2L, 11L), (2L, 12L), (3L, 14L)))
   }
 
+  test("randomized cross-check against driver-side brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val ivs = (1 to 80).map { i =>
+      val s = rnd.nextInt(5000).toLong
+      (i.toLong, ts(s), ts(s + 1 + rnd.nextInt(400)))
+    }
+    val pts = (1 to 400).map(i => (100L + i, ts(rnd.nextInt(5500).toLong)))
+    val got = RangeJoin.pointsInIntervals(
+      pts.toDF("pt_id", "pt_ts"), "pt_ts",
+      ivs.toDF("iv_id", "start_ts", "end_ts"), "start_ts", "end_ts",
+      granuleSeconds = 97L) // deliberately unaligned granule width
+      .select("iv_id", "pt_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val expect = (for {
+      (iv, s, e) <- ivs
+      (p, t) <- pts
+      if !t.before(s) && t.before(e)
+    } yield (iv, p)).sorted
+    assert(got == expect)
+  }
+
   test("plan: granule equi-join, no nested loop") {
     import spark.implicits._
     val intervals = Seq((1L, ts(0), ts(100))).toDF("iv_id", "start_ts", "end_ts")
