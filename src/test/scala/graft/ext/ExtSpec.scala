@@ -41,6 +41,44 @@ class ExtSpec extends SparkSpec {
     assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
   }
 
+  test("property: prefix-filter join is complete on adversarial random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    // 3-char alphabet → every doc shares most 3-grams with every other:
+    // worst case for candidate pruning, best case for finding recall bugs
+    def randDoc(): String =
+      (0 until (6 + rnd.nextInt(50))).map(_ => "ab "(rnd.nextInt(3))).mkString
+    val texts = scala.collection.mutable.ArrayBuffer[String]()
+    (0 until 120).foreach { i =>
+      if (i > 0 && i % 3 == 0) { // planted near-dup: single-char edit
+        val base = texts(rnd.nextInt(texts.length))
+        val pos = rnd.nextInt(base.length)
+        texts += base.updated(pos, "ab "(rnd.nextInt(3)))
+      } else texts += randDoc()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("pf-prop").toString
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, "en", "s1", t) }.toSeq
+      .toDF("doc_id", "lang", "source", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    // driver-side brute force over distinct 3-gram string sets
+    def sh(t: String): Set[String] =
+      if (t.length < 3) Set.empty else t.sliding(3).toSet
+    for (thr <- Seq(0.3, 0.6)) {
+      val expect = (for {
+        a <- texts.indices; b <- texts.indices if a < b
+        sa = sh(texts(a)); sb = sh(texts(b))
+        u = (sa ++ sb).size if u > 0
+        j = sa.intersect(sb).size.toDouble / u if j >= thr
+      } yield (a.toLong, b.toLong)).toSet
+      val got = Dedup.prefixJaccardPairs(spark, dir, k = 3, jaccardMin = thr,
+        blockCols = Nil)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expect,
+        s"thr=$thr missing=${expect -- got} extra=${got -- expect}")
+    }
+  }
+
   test("blocked cosine pair join equals brute-force self-join, no all-pairs join") {
     val brute = Similarity.cosineNearDupPairs(spark, sf001, minCosine = 0.45)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
