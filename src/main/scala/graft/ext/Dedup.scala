@@ -153,23 +153,35 @@ object Dedup {
     */
   def prefixJaccardPairs(s: SparkSession, dir: String, k: Int = 3,
       jaccardMin: Double = 0.2,
-      blockCols: Seq[String] = Seq("lang", "source")): DataFrame = {
+      blockCols: Seq[String] = Seq("lang", "source"),
+      rarestFirst: Boolean = true): DataFrame = {
     val sh = shingles(docs(s, dir), k).select(
       (Seq(col("doc_id")) ++ blockCols.map(col) :+ col("shingle_hashes")): _*)
-    val tok = sh.select(
-      (Seq(col("doc_id")) ++ blockCols.map(col) :+
-        explode(col("shingle_hashes")).as("h")): _*)
-    val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
-    // Per doc: rank shingles by (df, h) — rarest first — and keep the
-    // prefix rows directly (window rank over one doc-keyed exchange; no
-    // array rebuild + re-explode round trip).
-    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    val ordered = tok.join(dfreq, "h")
-      .withColumn("rn", row_number().over(byDoc.orderBy("df", "h")))
-      .withColumn("n", count(lit(1)).over(byDoc))
-      .filter(col("rn") <=
-        col("n") - floor(lit(jaccardMin) * col("n")) + 1)
-      .select((Seq(col("doc_id"), col("n")) ++ blockCols.map(col) :+ col("h")): _*)
+    val plen = (n: org.apache.spark.sql.Column) =>
+      n - floor(lit(jaccardMin) * n) + 1
+    // Completeness holds under ANY global total order (see lemma above).
+    // rarestFirst = (document frequency, hash) keeps common shingles out
+    // of prefixes — the order that survives boilerplate-heavy corpora at
+    // scale — at the cost of a df aggregation + doc-keyed window rank.
+    // Hash order uses the already-sorted shingle arrays directly (no df
+    // pass) and is fine when sharing is moderate.
+    val ordered = if (rarestFirst) {
+      val tok = sh.select(
+        (Seq(col("doc_id")) ++ blockCols.map(col) :+
+          explode(col("shingle_hashes")).as("h")): _*)
+      val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
+      val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      tok.join(dfreq, "h")
+        .withColumn("rn", row_number().over(byDoc.orderBy("df", "h")))
+        .withColumn("n", count(lit(1)).over(byDoc))
+        .filter(col("rn") <= plen(col("n")))
+        .select((Seq(col("doc_id"), col("n")) ++ blockCols.map(col) :+ col("h")): _*)
+    } else {
+      sh.withColumn("n", size(col("shingle_hashes")))
+        .select((Seq(col("doc_id"), col("n")) ++ blockCols.map(col) :+
+          explode(slice(col("shingle_hashes"), lit(1),
+            plen(col("n")).cast("int"))).as("h")): _*)
+    }
     // size filter: J(a,b) >= t forces t·|a| <= |b| <= |a|/t — prunes
     // candidate pairs between very different-sized sets in the join itself
     val joinCond = (blockCols.map(c => col(s"l.$c") === col(s"r.$c")) ++ Seq(

@@ -71,11 +71,13 @@ class ExtSpec extends SparkSpec {
         u = (sa ++ sb).size if u > 0
         j = sa.intersect(sb).size.toDouble / u if j >= thr
       } yield (a.toLong, b.toLong)).toSet
-      val got = Dedup.prefixJaccardPairs(spark, dir, k = 3, jaccardMin = thr,
-        blockCols = Nil)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(got == expect,
-        s"thr=$thr missing=${expect -- got} extra=${got -- expect}")
+      for (rarest <- Seq(true, false)) { // complete under ANY global order
+        val got = Dedup.prefixJaccardPairs(spark, dir, k = 3,
+          jaccardMin = thr, blockCols = Nil, rarestFirst = rarest)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == expect,
+          s"thr=$thr rarest=$rarest missing=${expect -- got} extra=${got -- expect}")
+      }
     }
   }
 
