@@ -14,7 +14,9 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("s1_scan_filter_project", "j1_broadcast_join_agg",
         "w1_rolling_sma", "q1_lineitem_agg", "q3_shipping_priority",
-        "e1_cosine_topk", "x3_minhash_lsh_pairs", "a2_window_stats")
+        "e1_cosine_topk", "x3_minhash_lsh_pairs", "a2_window_stats",
+        "aj1_asof_join", "rj1_interval_join", "d3_ngram_jaccard_pairs",
+        "e2_cosine_neardup_pairs", "x8_ivf_topk")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
