@@ -53,6 +53,9 @@ object SparkEntry {
     "s2_sessionize" -> (CoreQueries.s2Sessionize _),
     "aj1_asof_join" -> (CoreQueries.aj1AsofJoin _),
     "rj1_interval_join" -> (CoreQueries.rj1IntervalJoin _),
+    "r2_cube" -> (CoreQueries.r2Cube _),
+    "w9_lead_lag_ntile" -> (CoreQueries.w9LeadLagNtile _),
+    "j5_full_outer" -> (CoreQueries.j5FullOuter _),
     "x10v_percentile_bound" -> (CoreQueries.x10vPercentileBound _),
     "q6_revenue_delta" -> (CoreQueries.q6RevenueDelta _),
     "p14_pivot" -> (CoreQueries.p14Pivot _),
@@ -222,6 +225,27 @@ object SparkEntry {
     "x10v_percentile_bound" ->
       """SELECT event_type, CAST(1 AS INT) AS within_bound
          FROM events GROUP BY event_type""",
+    "r2_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                sum(l_quantity) AS sum_qty, count(*) AS cnt
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "w9_lead_lag_ntile" ->
+      """SELECT user_id, event_id,
+                value - lag(value) OVER w AS delta,
+                lead(event_type) OVER w AS next_type,
+                CAST(ntile(4) OVER w AS BIGINT) AS quartile
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "j5_full_outer" ->
+      """WITH b AS (SELECT o_custkey, count(*) AS n_big_orders
+                    FROM orders WHERE o_totalprice > 400000
+                    GROUP BY o_custkey),
+              c AS (SELECT c_custkey, c_nationkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')
+         SELECT coalesce(c_custkey, o_custkey) AS custkey,
+                c_nationkey, n_big_orders
+         FROM c FULL OUTER JOIN b ON c_custkey = o_custkey""",
     "q6_revenue_delta" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
                   * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)

@@ -409,6 +409,50 @@ object CoreQueries {
           ceil(col("exact") * lit(0.05)), lit(1)).otherwise(lit(0))
           .cast("int").as("within_bound"))
 
+  /** CUBE grouping sets with grouping_id — all four (returnflag,
+    * linestatus) aggregation levels in ONE pass (Expand + single hash
+    * aggregate), vs four scans done naively.
+    */
+  def r2Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "cnt")
+
+  /** Offset windows + quartile bucketing: lag delta, lead peek, ntile —
+    * the remaining window-function surface (all share one sort within one
+    * user-keyed exchange; deltas are exact binary double subtraction so
+    * both engines agree bit-for-bit).
+    */
+  def w9LeadLagNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, dir).select(
+      col("user_id"), col("event_id"),
+      (col("value") - lag(col("value"), 1).over(w)).as("delta"),
+      lead(col("event_type"), 1).over(w).as("next_type"),
+      ntile(4).over(w).cast("long").as("quartile"))
+  }
+
+  /** Full outer join with disjoint filters on both sides, so both
+    * null-extended directions actually occur.
+    */
+  def j5FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val bigOrders = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 400000)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_big_orders"))
+    val building = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_nationkey"))
+    building.join(bigOrders, col("c_custkey") === col("o_custkey"),
+        "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_nationkey"), col("n_big_orders"))
+  }
+
   /** As-of join (point-in-time): each purchase matched to the user's
     * latest click at or before it — [[graft.operators.AsOfJoin]], the
     * union+window form (one shuffle, no range nested-loop). Clicks are
