@@ -76,10 +76,14 @@ object Pipeline {
     // Train → persist → load-for-serving (the reference's artifact flow,
     // app.py:211-218): serving uses the loaded pair, never a refit scaler.
     val history = api.lastCloses("BTC_USDT", "1h", 500)
+    // window=5 for BTC_USDT — the serving config HttpApi validates
+    // against at load (reference app.py:203-206)
     val trained = graft.ml.GbtLagModel.trainBundle(spark, history,
-      windowSize = 24, maxIter = 10)
-    graft.ml.GbtLagModel.save(trained, s"$work/models/btc_usdt_1h")
-    val gbt = graft.ml.GbtLagModel.load(spark, s"$work/models/btc_usdt_1h")
+      windowSize = 5, maxIter = 10)
+    // artifact name = <symbol>_<timeframe>, the key ServeMain's predict
+    // route resolves (HttpApi.loadBundle)
+    graft.ml.GbtLagModel.save(trained, s"$work/models/BTC_USDT_1h")
+    val gbt = graft.ml.GbtLagModel.load(spark, s"$work/models/BTC_USDT_1h")
     val fc = api.predict("BTC_USDT", "1h", gbt, stepMs = 3600000L)
     println(s"[pipeline] GBT forecast first 3 of ${fc.length}: " +
       fc.take(3).map(f => f"${f.timestampMs}:${f.predictedPrice}%.4f").mkString(", "))

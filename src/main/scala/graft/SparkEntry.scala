@@ -65,6 +65,8 @@ object SparkEntry {
     "d1_dedup_exact" -> (ExtQueries.d1DedupExact _),
     "d2_fingerprint_md5" -> (ExtQueries.d2FingerprintMd5 _),
     "d3_ngram_jaccard_pairs" -> (ExtQueries.d3NgramJaccardPairs _),
+    "d4_dup_clusters" -> ((s, dir) =>
+      graft.ext.Dedup.duplicateClusters(s, dir, k = 3, jaccardMin = 0.4)),
     "e1_cosine_topk" -> (ExtQueries.e1CosineTopK _),
     "e2_cosine_neardup_pairs" -> (ExtQueries.e2CosineNearDupPairs _),
     "t1_token_counts" -> (ExtQueries.t1TokenCounts _),
@@ -105,6 +107,26 @@ object SparkEntry {
       s"duplicate oracleSql keys: ${oracleSqlPairs.map(_._1).diff(m.keys.toSeq).distinct.mkString(", ")}")
     m
   }
+
+  /** d3's exact pair graph as a reusable CTE body (d3 selects it
+    * directly; d4 runs a recursive closure over it).
+    */
+  private val D3PairsCte: String =
+    """sh AS (
+           SELECT doc_id, lang, source,
+                  list_distinct(list_transform(
+                    range(0, greatest(length(text)-3, 0)+1),
+                    i -> substr(text, CAST(i+1 AS INT), 3))) AS s
+           FROM documents),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / len(list_distinct(a.s || b.s)) AS jaccard
+           FROM sh a JOIN sh b
+             ON a.lang = b.lang AND a.source = b.source
+            AND a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / len(list_distinct(a.s || b.s)) >= 0.4)"""
 
   private val oracleSqlPairs: Seq[(String, String)] = Seq(
     "s1_scan_filter_project" ->
@@ -332,19 +354,20 @@ object SparkEntry {
     "d2_fingerprint_md5" ->
       """SELECT doc_id, md5(text) AS md5_hex FROM documents""",
     "d3_ngram_jaccard_pairs" ->
-      """WITH sh AS (
-           SELECT doc_id, lang, source,
-                  list_distinct(list_transform(
-                    range(0, greatest(length(text)-3, 0)+1),
-                    i -> substr(text, CAST(i+1 AS INT), 3))) AS s
-           FROM documents)
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                  / len(list_distinct(a.s || b.s)) AS jaccard
-         FROM sh a JOIN sh b
-           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                 / len(list_distinct(a.s || b.s)) >= 0.4""",
+      s"""WITH $D3PairsCte
+         SELECT doc_a, doc_b, jaccard FROM pairs""",
+    // connected components over the same pair graph: min reachable doc_id
+    // per node via a recursive transitive closure (UNION dedups → finite)
+    "d4_dup_clusters" ->
+      s"""WITH RECURSIVE $D3PairsCte,
+           und AS (SELECT doc_a AS n, doc_b AS m FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+           cc(n, label) AS (
+             SELECT n, n FROM (SELECT DISTINCT n FROM und)
+             UNION
+             SELECT u.n, cc.label FROM und u JOIN cc ON cc.n = u.m)
+         SELECT n AS doc_id, min(label) AS cluster_id
+         FROM cc GROUP BY n""",
     "e1_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
            scored AS (

@@ -16,6 +16,10 @@ object ServeMain {
     val port = args.lift(1).map(_.toInt).getOrElse(8050)
     val modelsDir = args.lift(2)
     implicit val spark: SparkSession = SparkSession.builder()
+      // spark-submit's --master arrives as the spark.master sysprop and
+      // wins; bare `sbt runMain` falls back to local
+      .master(sys.props.getOrElse("spark.master",
+        sys.env.getOrElse("SPARK_MASTER", "local[*]")))
       .appName("graft-serving")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()

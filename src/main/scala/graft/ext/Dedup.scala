@@ -122,6 +122,51 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Connected components over a near-dup pair graph by min-label
+    * propagation: every node's label converges to the smallest doc_id
+    * reachable from it — the cluster id. This is the step after pair
+    * mining in a real dedup pipeline (pairs alone don't say which docs to
+    * keep; clusters + a canonical representative do).
+    *
+    * Iterative Spark jobs, one shuffle per round, O(graph diameter)
+    * rounds — near-dup graphs are unions of small cliques, so diameter is
+    * tiny. At larger diameters the large-star/small-star variant (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC 2014)
+    * halves rounds; not needed for clique-shaped dup graphs.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val und = edges.select(col("doc_a").as("n"), col("doc_b").as("m"))
+      .union(edges.select(col("doc_b").as("n"), col("doc_a").as("m")))
+      .localCheckpoint(true)
+    // localCheckpoint each round: an iterative dataflow otherwise doubles
+    // its logical plan per iteration (the round-N frame references round
+    // N-1's whole plan) until planning itself OOMs
+    var labels = und.select("n").distinct()
+      .withColumn("label", col("n")).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val viaNeighbor = und
+        .join(labels.withColumnRenamed("n", "m"), "m")
+        .select(col("n"), col("label"))
+      val next = labels.union(viaNeighbor)
+        .groupBy("n").agg(min("label").as("label")).localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "old"), "n")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("n").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Near-duplicate clusters: d3's exact pair graph → connected
+    * components → (doc_id, cluster_id = min doc_id in component).
+    */
+  def duplicateClusters(s: SparkSession, dir: String, k: Int = 3,
+      jaccardMin: Double = 0.4): DataFrame =
+    connectedComponents(
+      prefixJaccardPairs(s, dir, k, jaccardMin).select("doc_a", "doc_b"))
+
   /** Exact Jaccard over pre-sorted distinct shingle arrays `sh_a`/`sh_b`:
     * |A∩B| by native linear merge, |A∪B| = |A|+|B|-|A∩B|.
     */

@@ -23,6 +23,10 @@ object StreamMain {
     val storeRoot = args.lift(0).getOrElse("/tmp/graft-store")
     val checkpointRoot = args.lift(1).getOrElse(s"$storeRoot/_checkpoints")
     implicit val spark: SparkSession = SparkSession.builder()
+      // spark-submit's --master arrives as the spark.master sysprop and
+      // wins; bare `sbt runMain` falls back to local
+      .master(sys.props.getOrElse("spark.master",
+        sys.env.getOrElse("SPARK_MASTER", "local[*]")))
       .appName("graft-speed-layer")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()

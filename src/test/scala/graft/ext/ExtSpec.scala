@@ -81,6 +81,28 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("connected components: min-label propagation matches union-find") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // random graph: 60 nodes, 50 edges → several components incl. chains
+    val edges = (1 to 50).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2)
+    val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side union-find reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = parent.keys.map(n => n -> find(n)).toMap
+    assert(got == expect)
+  }
+
   test("blocked cosine pair join equals brute-force self-join, no all-pairs join") {
     val brute = Similarity.cosineNearDupPairs(spark, sf001, minCosine = 0.45)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
