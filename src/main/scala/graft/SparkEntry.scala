@@ -57,6 +57,7 @@ object SparkEntry {
     "w9_lead_lag_ntile" -> (CoreQueries.w9LeadLagNtile _),
     "j5_full_outer" -> (CoreQueries.j5FullOuter _),
     "x10v_percentile_bound" -> (CoreQueries.x10vPercentileBound _),
+    "x12v_heavy_hitters_exact" -> (CoreQueries.x12vHeavyHittersExact _),
     "q6_revenue_delta" -> (CoreQueries.q6RevenueDelta _),
     "p14_pivot" -> (CoreQueries.p14Pivot _),
     // ML surface (§2.6)
@@ -247,6 +248,10 @@ object SparkEntry {
     "x10v_percentile_bound" ->
       """SELECT event_type, CAST(1 AS INT) AS within_bound
          FROM events GROUP BY event_type""",
+    "x12v_heavy_hitters_exact" ->
+      """SELECT event_type AS term, count(*) AS cnt, CAST(0 AS BIGINT) AS err
+         FROM events GROUP BY event_type
+         ORDER BY cnt DESC, term LIMIT 3""",
     "r2_cube" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,

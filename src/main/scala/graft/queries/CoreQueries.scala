@@ -496,6 +496,20 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_clicks"))
   }
 
+  /** x12 invariant (oracle-checked): a SpaceSaving heavy-hitters sketch
+    * whose capacity exceeds the domain (5 event types < 64 counters) IS
+    * the exact top-k with zero error — DuckDB computes the same top-3
+    * directly. Below-capacity exactness is the same invariant family as
+    * KMV's (x9v).
+    */
+  def x12vHeavyHittersExact(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .agg(graft.functions.SpaceSaving.topK(col("event_type"), k = 3,
+        capacity = 64).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.term").as("term"), col("t.cnt").as("cnt"),
+        col("t.err").as("err"))
+
   /** x10 invariant (oracle-checked): the approx-percentile sketch's
     * median must land between the exact 45th and 55th percentiles per
     * group — far looser than its rank-error guarantee at accuracy 1000,
