@@ -36,8 +36,12 @@ import graft.ml.{Forecaster, GbtLagModel}
 final class HttpApi(api: Api, modelsDir: Option[String] = None,
     now: () => Instant = () => Instant.now()) {
 
+  // Caches SUCCESSFUL loads only: a failure (artifact not yet deployed, or a
+  // transient read error) is re-resolved on the next request, matching the
+  // reference's per-request artifact resolution (app.py:211-218) — a model
+  // becomes servable as soon as it lands in modelsDir, no restart needed.
   private val bundles =
-    new java.util.concurrent.ConcurrentHashMap[String, Either[String, Forecaster.Bundle]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Forecaster.Bundle]()
 
   private[api] var server: HttpServer = _
 
@@ -73,13 +77,22 @@ final class HttpApi(api: Api, modelsDir: Option[String] = None,
     server.createContext("/api/predict_xgboost/", exchange { path =>
       predict(path.stripPrefix("/api/predict_xgboost/"))
     })
-    server.createContext("/historical", exchange { _ =>
-      Right(Responses.JArr(api.historicalPairs().collect().toIndexedSeq
-        .map(r => Responses.JStr(r.getString(0)))).render)
+    // absent tables → empty dropdown lists, like the reference's
+    // get_available_symbols_* helpers (app.py:46-64: missing index → [])
+    server.createContext("/historical", exchange { path =>
+      if (path != "/historical" && path != "/historical/") notFound(path)
+      else Right(Responses.JArr(
+        scala.util.Try(api.historicalPairs().collect()).getOrElse(Array.empty)
+          .toIndexedSeq.map(r => Responses.JStr(r.getString(0)))).render)
     })
-    server.createContext("/", exchange { _ =>
-      Right(Responses.JArr(api.realtimeSymbols().collect().toIndexedSeq
-        .map(r => Responses.JStr(r.getString(0)))).render)
+    // "/" is the JDK HttpServer catch-all context: bound to the exact root
+    // path so typos and unknown routes get a 404 instead of silently
+    // receiving the symbols payload (which would mask client routing bugs).
+    server.createContext("/", exchange { path =>
+      if (path != "/") notFound(path)
+      else Right(Responses.JArr(
+        scala.util.Try(api.realtimeSymbols().collect()).getOrElse(Array.empty)
+          .toIndexedSeq.map(r => Responses.JStr(r.getString(0)))).render)
     })
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
     server.start()
@@ -87,6 +100,17 @@ final class HttpApi(api: Api, modelsDir: Option[String] = None,
   }
 
   def stop(): Unit = if (server != null) server.stop(0)
+
+  private def notFound(path: String): Left[(Int, String), String] =
+    Left(404 -> errJson(s"Not found: $path"))
+
+  /** A complete `{"error": ...}` body with the message JSON-escaped —
+    * exception text (e.g. Spark AnalysisException) can contain quotes,
+    * backslashes, and newlines that would otherwise break the body.
+    */
+  private def errJson(msg: String): String =
+    Responses.JObj(Seq("error" ->
+      Responses.JStr(Option(msg).getOrElse("(no message)")))).render
 
   /** app.py:156-159: timeframe = last '_' part, symbol = the rest. */
   private def splitSymTf(s: String): Option[(String, String)] = {
@@ -104,44 +128,57 @@ final class HttpApi(api: Api, modelsDir: Option[String] = None,
         """{"error": "Invalid format. Expected SYMBOL_TIMEFRAME (e.g., BTC_USDT_1h)"}""")
       case Some((symbol, timeframe)) =>
         if (timeframe != "1h")
-          Left(400 -> s"""{"error": "Prediction only for 1h timeframe. Requested: $timeframe"}""")
+          Left(400 -> errJson(s"Prediction only for 1h timeframe. Requested: $timeframe"))
         else {
           val windowSize =
             if (symbol.contains("BTC_USDT")) 5
             else if (symbol.contains("ETH_USDT")) 24
             else 0
           if (windowSize == 0)
-            Left(400 -> s"""{"error": "No window size configured for symbol $symbol."}""")
+            Left(400 -> errJson(s"No window size configured for symbol $symbol."))
           else loadBundle(symbol, timeframe) match {
-            case Left(err) => Left(404 -> s"""{"error": "$err"}""")
+            case Left(err) => Left(404 -> errJson(err))
             case Right(b) if b.model.windowSize != windowSize =>
-              Left(500 -> s"""{"error": "Model feature mismatch. Expects ${b.model.windowSize}, config $windowSize."}""")
+              Left(500 -> errJson(
+                s"Model feature mismatch. Expects ${b.model.windowSize}, config $windowSize."))
             case Right(b) =>
               try Right(Responses.predictions(
                 api.predict(symbol, timeframe, b, stepMs = 3600000L)))
               catch {
                 case e: NoSuchElementException =>
-                  Left(404 -> s"""{"error": "${e.getMessage}"}""")
+                  Left(404 -> errJson(e.getMessage))
               }
           }
         }
     }
 
   private def loadBundle(symbol: String,
-      timeframe: String): Either[String, Forecaster.Bundle] =
-    bundles.computeIfAbsent(s"${symbol}_$timeframe", _ =>
-      modelsDir match {
+      timeframe: String): Either[String, Forecaster.Bundle] = {
+    val key = s"${symbol}_$timeframe"
+    Option(bundles.get(key)).map(Right(_)).getOrElse {
+      val loaded: Either[String, Forecaster.Bundle] = modelsDir match {
         case None => Left(s"Model for $symbol not found.")
         case Some(dir) =>
-          val path = s"$dir/${symbol}_$timeframe"
+          val path = s"$dir/$key"
           if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)))
             Left(s"Model for $symbol not found.")
           else
             try Right(GbtLagModel.load(api.store.spark, path))
             catch { case e: Exception => Left(s"Failed to load model: ${e.getMessage}") }
-      })
+      }
+      loaded.foreach(b => bundles.put(key, b))
+      loaded
+    }
+  }
 
   // ---- plumbing -----------------------------------------------------------
+
+  private def isFileNotFound(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).exists {
+      case _: java.io.FileNotFoundException => true
+      case _: java.nio.file.NoSuchFileException => true
+      case _ => false
+    }
 
   private def exchange(f: String => Either[(Int, String), String])(
       implicit d: DummyImplicit): com.sun.net.httpserver.HttpHandler =
@@ -157,12 +194,22 @@ final class HttpApi(api: Api, modelsDir: Option[String] = None,
             .split('&').filter(_.contains("=")).map { kv =>
               val Array(k, v) = kv.split("=", 2); k -> v
             }.toMap
-          f(ex.getRequestURI.getPath, q) match {
+          val path = ex.getRequestURI.getPath
+          // One retry when a snapshot's files vanish mid-scan (the sink
+          // swapped twice while this read was in flight — possible only if
+          // a read outlives a full swap interval): re-running re-resolves
+          // the fresh `_current` pointer.
+          def run(): Either[(Int, String), String] =
+            try f(path, q)
+            catch {
+              case e: Exception if isFileNotFound(e) => f(path, q)
+            }
+          run() match {
             case Right(ok) => 200 -> ok
             case Left((code, err)) => code -> err
           }
         } catch {
-          case e: Exception => 500 -> s"""{"error": "${e.getMessage}"}"""
+          case e: Exception => 500 -> errJson(e.getMessage)
         }
       val bytes = body.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.set("Content-Type", "application/json")

@@ -116,6 +116,7 @@ final class ServingStore(val root: String)(implicit val spark: SparkSession) {
   def upsertPartitioned(name: String, keyCol: String, partCol: String,
       incoming: DataFrame): Unit = {
     val dir = tableDir(name)
+    if (Files.isDirectory(dir)) recoverRetiredPartitions(dir, partCol)
     val incomingDedup = incoming.dropDuplicates(keyCol)
     if (!exists(name)) {
       incomingDedup.write.partitionBy(partCol)
@@ -153,6 +154,30 @@ final class ServingStore(val root: String)(implicit val spark: SparkSession) {
       deleteRecursively(staging)
     }
   }
+
+  /** Crash recovery for [[upsertPartitioned]]'s install sequence: a crash
+    * between "move live partition to `.X.retired`" and "install staging copy"
+    * leaves the partition absent from the table with the retired dir holding
+    * the only copy — a later merge would silently drop those rows. On entry
+    * we restore any orphaned retired dir whose target is missing (crash
+    * mid-install) and drop retired dirs whose target exists (crash after a
+    * successful install, before cleanup).
+    */
+  private def recoverRetiredPartitions(dir: Path, partCol: String): Unit =
+    withList(dir) { entries =>
+      val retired = new scala.collection.mutable.ArrayBuffer[Path]
+      entries.forEach { p =>
+        val fn = p.getFileName.toString
+        if (fn.startsWith("." + partCol + "=") && fn.endsWith(".retired"))
+          retired += p
+      }
+      retired.foreach { p =>
+        val fn = p.getFileName.toString
+        val target = dir.resolve(fn.stripPrefix(".").stripSuffix(".retired"))
+        if (Files.exists(target)) deleteRecursively(p)
+        else Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
 
   /** Retention sweep: drop partitions of `name` whose `partCol` value is
     * strictly older than `keepFrom` (ISO date string). Reproduces the
@@ -254,6 +279,13 @@ final class ServingStore(val root: String)(implicit val spark: SparkSession) {
     * the new one — there is no window where the table is absent or partial.
     * A crash leaves the old pointer (and possibly an orphan snapshot dir,
     * removed by the next successful swap).
+    *
+    * The superseded snapshot is NOT deleted at swap time: a reader that
+    * resolved the pointer just before the swap may still be mid-scan on its
+    * files (serving collects run concurrently with 15–60 s sink cadences).
+    * It is garbage-collected on the NEXT swap — one full swap interval of
+    * grace, orders of magnitude longer than any serving query. Plain-layout
+    * files from a migration get the same one-swap grace.
     */
   private def atomicSwapWrite(name: String, df: DataFrame,
       partCol: Option[String] = None): Unit = {
@@ -266,19 +298,19 @@ final class ServingStore(val root: String)(implicit val spark: SparkSession) {
     val tmp = dir.resolve("._current.tmp")
     Files.writeString(tmp, snap)
     Files.move(tmp, dir.resolve("_current"), StandardCopyOption.ATOMIC_MOVE)
-    oldSnap match {
-      case Some(s) => deleteRecursively(dir.resolve(s))
-      case None =>
-        // migration from plain layout: data files at the table root are now
-        // shadowed by the snapshot — remove them (and any orphan snapshots)
-        withList(dir) { entries =>
-          val stale = new scala.collection.mutable.ArrayBuffer[Path]
-          entries.forEach { p =>
-            val fn = p.getFileName.toString
-            if (fn != "_current" && fn != snap) stale += p
-          }
-          stale.foreach(deleteRecursively)
-        }
+    // GC everything except the new snapshot, the pointer, and (grace period
+    // for in-flight readers) the snapshot we just superseded. With no prior
+    // snapshot (migration from plain layout) the root data files ARE the
+    // previous snapshot — they survive this swap and go on the next one.
+    withList(dir) { entries =>
+      val stale = new scala.collection.mutable.ArrayBuffer[Path]
+      entries.forEach { p =>
+        val fn = p.getFileName.toString
+        val keep = fn == "_current" || fn == snap ||
+          oldSnap.contains(fn) || (oldSnap.isEmpty && !fn.startsWith(".snap-"))
+        if (!keep) stale += p
+      }
+      stale.foreach(deleteRecursively)
     }
   }
 

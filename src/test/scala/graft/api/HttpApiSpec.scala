@@ -19,7 +19,7 @@ class HttpApiSpec extends SparkSpec {
   private val t0 = 1717200000000L // 2024-06-01T00:00:00Z
   private val now = Instant.ofEpochMilli(t0 + 60L * 24 * 3600000L)
 
-  private lazy val (api, port, httpApi) = {
+  private lazy val (api, port, modelsDir) = {
     implicit val s = spark
     val raw = Files.createTempDirectory("http-raw").toString
     FixtureGen.writeCsv(raw, FixtureGen.historicalFileName("BTC_USDT", "1h"),
@@ -36,7 +36,7 @@ class HttpApiSpec extends SparkSpec {
       s"$modelsDir/BTC_USDT_1h")
     val h = new HttpApi(a, Some(modelsDir), () => now)
     val p = h.start()
-    (a, p, h)
+    (a, p, modelsDir)
   }
 
   private def get(path: String): (Int, String) = {
@@ -74,6 +74,46 @@ class HttpApiSpec extends SparkSpec {
     assert(get("/api/predict_xgboost/ETH_USDT_1h")._1 == 404)
     // malformed → 400 (app.py:199)
     assert(get("/api/predict_xgboost/nounderscore")._1 == 400)
+  }
+
+  test("unknown paths 404 instead of falling through to the root handler") {
+    assert(get("/favicon.ico")._1 == 404)
+    assert(get("/api/unknown")._1 == 404)
+    assert(get("/historical/extra")._1 == 404)
+    assert(get("/")._1 == 200)
+    assert(get("/historical")._1 == 200)
+  }
+
+  test("a model deployed AFTER a failed lookup becomes servable immediately") {
+    // ETH is a configured symbol with no artifact → 404 "model not found"
+    // (and, per the reference's per-request resolution, the failure must
+    // NOT be cached)
+    val (c1, b1) = get("/api/predict_xgboost/ETH_USDT_1h")
+    assert(c1 == 404 && b1.contains("Model for ETH_USDT not found"), b1)
+    val closes = api.lastCloses("BTC_USDT", "1h", 300)
+    graft.ml.GbtLagModel.save(
+      graft.ml.GbtLagModel.trainBundle(spark, closes, windowSize = 24,
+        maxIter = 3),
+      s"$modelsDir/ETH_USDT_1h")
+    // the artifact now loads (no stale cached failure); the request advances
+    // to the data stage, where this fixture has no ETH history → a DIFFERENT
+    // 404 proves the late-deployed model was picked up
+    val (c2, b2) = get("/api/predict_xgboost/ETH_USDT_1h")
+    assert(c2 == 404 && b2.contains("no history"),
+      s"late-deployed model not picked up: $c2 $b2")
+  }
+
+  test("error bodies stay valid JSON when the message contains quotes") {
+    // unknown-path message embeds the path — send one with a double quote
+    val (code, body) = get("/api/predict_xgboost/A%22B_1h")
+    assert(code == 400, body)
+    // javax-style sanity parse: quotes inside the message must be escaped
+    assert(body.startsWith("{\"error\":"))
+    val inner = body.stripPrefix("{\"error\":").stripSuffix("}")
+    assert(inner.startsWith("\"") && inner.endsWith("\""))
+    assert(!inner.substring(1, inner.length - 1)
+      .replace("\\\\", "").replace("\\\"", "").contains("\""),
+      s"unescaped quote in error body: $body")
   }
 
   test("realtime route answers with empty objects when tables are absent") {

@@ -106,18 +106,64 @@ class ServingStoreSpec extends SparkSpec {
     assert(snap1.startsWith(".snap-"))
     assert(store.table("t").count() == 2)
     // appends land in the current snapshot; a further swap repoints and
-    // removes the superseded snapshot dir
+    // keeps the superseded snapshot for ONE swap of grace (in-flight readers
+    // may still be scanning it), collecting it on the swap after that
     store.appendLog("t", Seq(("c", 3.0)).toDF("id", "v"))
     assert(store.table("t").count() == 3)
     store.compact("t", "id")
     val snap2 = Files.readString(dir.resolve("_current")).trim
     assert(snap2 != snap1)
-    assert(!Files.exists(dir.resolve(snap1)), "old snapshot not cleaned up")
+    assert(Files.exists(dir.resolve(snap1)),
+      "superseded snapshot deleted immediately — in-flight readers would break")
     assert(store.table("t").count() == 3)
-    // migration cleanup: no stray plain-layout data files at the root
+    store.compact("t", "id")
+    val snap3 = Files.readString(dir.resolve("_current")).trim
+    assert(!Files.exists(dir.resolve(snap1)), "2-swaps-old snapshot not GC'd")
+    assert(Files.exists(dir.resolve(snap2)), "grace snapshot GC'd too early")
+    assert(store.table("t").count() == 3)
+    // migration cleanup: plain-layout data files at the root survive the
+    // first swap (they are that swap's "previous snapshot") and go on the next
     val stray = Files.list(dir)
     try assert(!stray.anyMatch(p => p.getFileName.toString.startsWith("part-")))
     finally stray.close()
+    assert(snap3 != snap2)
+  }
+
+  test("upsertPartitioned recovers a partition stranded mid-install (crash)") {
+    implicit val s = spark
+    import spark.implicits._
+    val store = new ServingStore(tmp("crash-store"))
+    store.upsertPartitioned("t", "id", "dt", Seq(
+      ("a", "2024-06-01", 1.0), ("b", "2024-06-02", 2.0))
+      .toDF("id", "dt", "v"))
+    // simulate a crash between "retire live partition" and "install staging":
+    // the live dir is gone and the retired dir holds the only copy
+    val dir = Paths.get(store.root, "t")
+    Files.move(dir.resolve("dt=2024-06-01"),
+      dir.resolve(".dt=2024-06-01.retired"))
+    // next upsert (touching a DIFFERENT date) must restore the stranded
+    // partition before merging, not silently drop its rows
+    store.upsertPartitioned("t", "id", "dt",
+      Seq(("c", "2024-06-02", 3.0)).toDF("id", "dt", "v"))
+    val rows = store.table("t").collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[Double]("v")).toMap
+    assert(rows == Map("a" -> 1.0, "b" -> 2.0, "c" -> 3.0),
+      s"stranded partition rows lost: $rows")
+    assert(!Files.exists(dir.resolve(".dt=2024-06-01.retired")))
+    // crash AFTER install but before cleanup: retired dir is a stale copy
+    // whose target exists — recovery must drop it, not resurrect old data
+    store.upsertPartitioned("t", "id", "dt",
+      Seq(("a", "2024-06-01", 10.0)).toDF("id", "dt", "v"))
+    val d1 = dir.resolve("dt=2024-06-01")
+    val copy = dir.resolve(".dt=2024-06-01.retired")
+    Files.createDirectory(copy)
+    Files.list(d1).forEach(p =>
+      Files.copy(p, copy.resolve(p.getFileName.toString)))
+    store.upsertPartitioned("t", "id", "dt",
+      Seq(("d", "2024-06-03", 4.0)).toDF("id", "dt", "v"))
+    assert(!Files.exists(copy), "stale retired copy not cleaned up")
+    assert(store.table("t").filter(col("id") === "a").collect()
+      .head.getAs[Double]("v") == 10.0)
   }
 
   test("tableCurrent: versioned log resolves latest epoch, plain log dedups") {
