@@ -141,23 +141,46 @@ object Dedup {
     // localCheckpoint each round: an iterative dataflow otherwise doubles
     // its logical plan per iteration (the round-N frame references round
     // N-1's whole plan) until planning itself OOMs
-    var labels = und.select("n").distinct()
-      .withColumn("label", col("n")).localCheckpoint(true)
+    // Init fused with round 1: label(n) = min(n, min of n's neighbors) in
+    // ONE shuffle (the naive init-to-self + propagate costs a distinct plus
+    // a join for the same state). For clique-shaped dup graphs this is
+    // already the fixpoint and the loop below runs once, just to verify.
+    var labels = und.groupBy("n")
+      .agg(least(col("n"), min(col("m"))).as("label")).localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      val viaNeighbor = und
-        .join(labels.withColumnRenamed("n", "m"), "m")
-        .select(col("n"), col("label"))
-      val next = labels.union(viaNeighbor)
-        .groupBy("n").agg(min("label").as("label")).localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "old"), "n")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      val nbrMin = und
+        .join(labels.select(col("n").as("m"), col("label").as("nl")), "m")
+        .groupBy("n").agg(min("nl").as("nl"))
+      // one materialization per round carrying a change flag: the
+      // convergence check is then a scan over the checkpointed blocks, not
+      // another shuffle join against the previous round
+      val next = labels.join(nbrMin, Seq("n"), "left")
+        .select(col("n"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+          (coalesce(col("nl"), col("label")) < col("label")).as("_chg"))
+        .localCheckpoint(true)
+      changed = next.filter(col("_chg")).count()
+      // the superseded round's blocks are dead once the changed-count has
+      // consumed them — without this, every round's labels stay pinned in
+      // executor memory for the SESSION lifetime, starving later queries
+      unpersistCheckpoint(labels)
+      labels = next.drop("_chg")
       iter += 1
     }
+    unpersistCheckpoint(und)
     labels.select(col("n").as("doc_id"), col("label").as("cluster_id"))
   }
+
+  /** Release the block-store storage behind an eager localCheckpoint'd
+    * frame (safe only when nothing will read that frame again — the RDD's
+    * lineage was truncated, so its blocks cannot be recomputed).
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
 
   /** Near-duplicate clusters: d3's exact pair graph → connected
     * components → (doc_id, cluster_id = min doc_id in component).
@@ -212,13 +235,18 @@ object Dedup {
     // pass) and is fine when sharing is moderate.
     val ordered = if (rarestFirst) {
       val tok = sh.select(
-        (Seq(col("doc_id")) ++ blockCols.map(col) :+
-          explode(col("shingle_hashes")).as("h")): _*)
+        (Seq(col("doc_id"), size(col("shingle_hashes")).cast("long").as("n")) ++
+          blockCols.map(col) :+ explode(col("shingle_hashes")).as("h")): _*)
+      // Only REPEATED shingles need their true df: the df=1 long tail (the
+      // overwhelming majority of any real corpus) sorts identically whether
+      // joined or defaulted, so filtering to df>1 shrinks the frequency
+      // table by orders of magnitude — small enough that AQE turns the
+      // token-level shuffle join into a broadcast join.
       val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") > 1)
       val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-      tok.join(dfreq, "h")
+      tok.join(dfreq, Seq("h"), "left").na.fill(1L, Seq("df"))
         .withColumn("rn", row_number().over(byDoc.orderBy("df", "h")))
-        .withColumn("n", count(lit(1)).over(byDoc))
         .filter(col("rn") <= plen(col("n")))
         .select((Seq(col("doc_id"), col("n")) ++ blockCols.map(col) :+ col("h")): _*)
     } else {

@@ -103,6 +103,19 @@ class ExtSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("connected components frees superseded checkpoint blocks") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val edges = (0L until 40L by 2).map(i => (i, i + 1))
+    val cc = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+    assert(cc.count() == 40)
+    // only the FINAL labels frame may stay pinned (it backs the returned
+    // DataFrame); every superseded round and the edge frame must be freed,
+    // else a long session accumulates dead blocks in executor memory
+    val leaked = spark.sparkContext.getPersistentRDDs.size - before
+    assert(leaked <= 1, s"$leaked checkpoint RDDs still pinned (expected <=1)")
+  }
+
   test("blocked cosine pair join equals brute-force self-join, no all-pairs join") {
     val brute = Similarity.cosineNearDupPairs(spark, sf001, minCosine = 0.45)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
