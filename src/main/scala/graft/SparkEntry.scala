@@ -55,6 +55,7 @@ object SparkEntry {
     "rj1_interval_join" -> (CoreQueries.rj1IntervalJoin _),
     "r2_cube" -> (CoreQueries.r2Cube _),
     "w9_lead_lag_ntile" -> (CoreQueries.w9LeadLagNtile _),
+    "w10_grouped_topk" -> (CoreQueries.w10GroupedTopk _),
     "j5_full_outer" -> (CoreQueries.j5FullOuter _),
     "x10v_percentile_bound" -> (CoreQueries.x10vPercentileBound _),
     "x12v_heavy_hitters_exact" -> (CoreQueries.x12vHeavyHittersExact _),
@@ -264,6 +265,12 @@ object SparkEntry {
                 CAST(ntile(4) OVER w AS BIGINT) AS quartile
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "w10_grouped_topk" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal
+         FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+                      row_number() OVER (PARTITION BY c_nationkey
+                        ORDER BY c_acctbal DESC, c_custkey) AS rn
+               FROM customer) WHERE rn <= 3""",
     "j5_full_outer" ->
       """WITH b AS (SELECT o_custkey, count(*) AS n_big_orders
                     FROM orders WHERE o_totalprice > 400000

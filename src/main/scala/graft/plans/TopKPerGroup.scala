@@ -1,0 +1,136 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator Catalyst extension: top-k rows per group with bounded
+  * heaps, the (c)-tier custom operator of the build plan (logical node +
+  * planner strategy + physical exec).
+  *
+  * Spark expresses "top k per group" as
+  * `row_number().over(Window.partitionBy(g).orderBy(o)) <= k`, which plans
+  * as Exchange → FULL SORT of every row within each group → WindowExec →
+  * Filter. The sort is O(n log n) in GROUP size and — the real problem at
+  * 100 TB — every input row crosses the shuffle.
+  *
+  * [[TopKPerGroupExec]] instead keeps one k-bounded binary heap per group:
+  *
+  *   - partial pass (map side): each input partition emits at most k rows
+  *     per group it sees — the shuffle then carries ≤ k·partitions rows per
+  *     group instead of the whole table, the same contraction partial
+  *     aggregation gives hash aggregates;
+  *   - final pass (reduce side, after the group-keyed exchange inserted by
+  *     `requiredChildDistribution`): re-heap the ≤ k·partitions survivors,
+  *     emit the true top k.
+  *
+  * O(n log k) comparisons total, no sort, no WindowExec. Memory is
+  * O(groups-per-partition × k rows) — bounded-cardinality groups are
+  * assumed (the serving top-k use case; cf. ES terms aggs with fixed
+  * `size`). A spilling fallback for adversarial group counts would swap
+  * the hash map for Spark's ExternalAppendOnlyMap; not needed here.
+  *
+  * Semantics exactly match the row_number formulation when `order` ends
+  * with a unique tiebreak column (ties at rank k are otherwise broken
+  * arbitrarily, as row_number's are).
+  */
+case class TopKPerGroupPlan(groupExprs: Seq[Expression], order: Seq[SortOrder],
+    k: Int, child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"topK requires k > 0, got $k")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupPlan =
+    copy(child = newChild)
+}
+
+/** Physical bounded-heap top-k per group; see [[TopKPerGroupPlan]].
+  * `partial = true` runs map-side on whatever partitioning the child has;
+  * `partial = false` demands clustering on the group keys, so
+  * EnsureRequirements inserts the one hash exchange between the two.
+  */
+case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
+    k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    // local copies: the closure must not capture the plan node itself
+    val childOutput = child.output
+    val g = groupExprs
+    val ord = order
+    val kk = k
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(g, childOutput)
+      // generated (executor-side) comparator implementing the SortOrder;
+      // heap head = WORST retained row, so the comparator is reversed
+      val lt = GenerateOrdering.generate(ord, childOutput)
+      val heaps =
+        new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](
+            math.max(1, math.min(kk, 16)), lt.reversed())
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < kk) heap.offer(row.copy())
+        else if (lt.compare(row, heap.peek()) < 0) {
+          heap.poll(); heap.offer(row.copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values.iterator().asScala.flatMap(_.iterator().asScala)
+    }, preservesPartitioning = true)
+  }
+}
+
+/** Plans [[TopKPerGroupPlan]] as partial → (exchange) → final. */
+class TopKPerGroupStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupPlan(g, o, k, child) =>
+      val partial = TopKPerGroupExec(g, o, k, partial = true, planLater(child))
+      TopKPerGroupExec(g, o, k, partial = false, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPerGroup {
+
+  /** Top `k` rows of `df` per `groupCols` group, ordered by `orderCol`
+    * (descending by default) with `tiebreakCols` ascending — equivalent to
+    * the row_number window formulation, minus the per-group sort and the
+    * full-table shuffle. Registers the planner strategy on the session on
+    * first use (idempotent), so it works on ANY session, not just ones
+    * built with GraftExtensions.
+    */
+  def topK(df: DataFrame, groupCols: Seq[String], orderCol: String, k: Int,
+      desc: Boolean = true, tiebreakCols: Seq[String] = Nil): DataFrame = {
+    val exp = df.sparkSession.experimental
+    if (!exp.extraStrategies.exists(_.isInstanceOf[TopKPerGroupStrategy]))
+      exp.extraStrategies = exp.extraStrategies :+ new TopKPerGroupStrategy
+    val analyzed = df.queryExecution.analyzed
+    def attr(name: String): Attribute =
+      analyzed.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column '$name' not in ${analyzed.output.map(_.name).mkString(",")}"))
+    val order =
+      SortOrder(attr(orderCol), if (desc) Descending else Ascending) +:
+        tiebreakCols.map(c => SortOrder(attr(c), Ascending))
+    GraftBridge.ofRows(df.sparkSession,
+      TopKPerGroupPlan(groupCols.map(attr), order, k, analyzed))
+  }
+}

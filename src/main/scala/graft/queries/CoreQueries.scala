@@ -228,6 +228,19 @@ object CoreQueries {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts").cast("long").as("ts_s"), col("value"))
 
+  /** W10: top-k per group through the custom bounded-heap operator
+    * ([[graft.plans.TopKPerGroup]]) — the grouped version of the serving
+    * top-k patterns (w5/w6 are the reference's global sort+size fetches,
+    * app.py:219-228; ES terms+top_hits is the grouped analog). Plans as
+    * partial heap → one hash exchange → final heap: no WindowExec, no
+    * per-group sort, shuffle bounded at k rows per group per partition.
+    */
+  def w10GroupedTopk(s: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerGroup.topK(
+      t(s, dir, "customer").select("c_nationkey", "c_custkey", "c_acctbal"),
+      Seq("c_nationkey"), "c_acctbal", 3, desc = true,
+      tiebreakCols = Seq("c_custkey"))
+
   // ===== Relational beyond the reference: joins / set ops =================
 
   /** TPC-H Q1-shaped rollup: the canonical scan-heavy agg; decimal-exact

@@ -1,0 +1,93 @@
+package graft.plans
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The custom bounded-heap top-k-per-group operator must (a) equal the
+  * row_number window formulation row-for-row, and (b) plan WITHOUT a
+  * WindowExec or per-group sort — two TopKPerGroupExec passes around one
+  * hash exchange.
+  */
+class TopKPerGroupSpec extends SparkSpec {
+
+  private def randomDf(n: Int, groups: Int, seed: Long) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    // duplicate values on purpose: rank-k ties must be broken by the
+    // tiebreak column identically in both formulations
+    (1 to n).map(i =>
+      (rnd.nextInt(groups).toLong, i.toLong, rnd.nextInt(40).toDouble))
+      .toDF("g", "id", "v")
+  }
+
+  test("equals row_number window formulation, including rank-k ties") {
+    val df = randomDf(5000, 23, seed = 7)
+    for (k <- Seq(1, 3, 10)) {
+      val got = TopKPerGroup.topK(df, Seq("g"), "v", k,
+          desc = true, tiebreakCols = Seq("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val w = Window.partitionBy("g").orderBy(col("v").desc, col("id"))
+      val expect = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expect, s"k=$k: missing=${expect -- got} extra=${got -- expect}")
+    }
+  }
+
+  test("ascending order and multi-column grouping") {
+    val df = randomDf(2000, 7, seed = 11)
+      .withColumn("g2", (col("id") % 3).cast("long"))
+    val got = TopKPerGroup.topK(df, Seq("g", "g2"), "v", 2,
+        desc = false, tiebreakCols = Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(1))).toSet
+    val w = Window.partitionBy("g", "g2").orderBy(col("v"), col("id"))
+    val expect = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(1))).toSet
+    assert(got == expect)
+  }
+
+  test("plans as partial+final heap passes with one exchange, no window/sort") {
+    val df = randomDf(1000, 5, seed = 3)
+    val q = TopKPerGroup.topK(df, Seq("g"), "v", 4, tiebreakCols = Seq("id"))
+    // operator presence: pre-AQE plan (executedPlan under AQE is a leaf
+    // wrapper that collect{} can't see into)
+    val sp = q.queryExecution.sparkPlan
+    val heapPasses = sp.collect { case e: TopKPerGroupExec => e }
+    assert(heapPasses.map(_.partial).sorted == Seq(false, true),
+      s"expected partial+final TopKPerGroupExec, got:\n$sp")
+    assert(sp.collect { case w: WindowExec => w }.isEmpty)
+    // exchange count: disable AQE so executedPlan is concrete
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q2 = TopKPerGroup.topK(df, Seq("g"), "v", 4, tiebreakCols = Seq("id"))
+      val ep = q2.queryExecution.executedPlan
+      assert(ep.collect { case a: AdaptiveSparkPlanExec => a }.isEmpty)
+      val exchanges = ep.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.size == 1, s"expected exactly 1 exchange:\n$ep")
+      val sorts = ep.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s }
+      assert(sorts.isEmpty, s"bounded-heap plan must not sort:\n$ep")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("partial pass bounds what crosses the shuffle to k rows per partition-group") {
+    val df = randomDf(4000, 2, seed = 19).repartition(4)
+    val q = TopKPerGroup.topK(df, Seq("g"), "v", 3, tiebreakCols = Seq("id"))
+    // count rows the partial (map-side) pass emits: execute just that stage
+    val sp = q.queryExecution.sparkPlan
+    val partial = sp.collect {
+      case e: TopKPerGroupExec if e.partial => e }.head
+    val emitted = partial.execute().count()
+    // ≤ k × groups × partitions, versus 4000 input rows
+    assert(emitted <= 3 * 2 * 4,
+      s"partial pass leaked $emitted rows into the shuffle")
+    assert(q.count() == 3 * 2)
+  }
+}
