@@ -78,6 +78,8 @@ object SparkEntry {
     "sk1_salted_sum" -> (ExtQueries.sk1SaltedSum _),
     "c1_curation_pipeline" -> (ExtQueries.c1CurationPipeline _),
     "c2_consistent_sample" -> (ExtQueries.c2ConsistentSample _),
+    "c3_stratified_sample" -> (ExtQueries.c3StratifiedSample _),
+    "d5_embedding_bucket_dedup" -> (ExtQueries.d5EmbeddingBucketDedup _),
     "v1_vocab_topk" -> (ExtQueries.v1VocabTopk _),
     "t5_tfidf_top_terms" -> (ExtQueries.t5TfidfTopTerms _),
     // oracle-checked invariants over the approximate operators
@@ -486,6 +488,28 @@ object SparkEntry {
                      THEN 'train' ELSE 'eval' END AS split
          FROM documents
          WHERE substr(md5(text), 1, 2) < 'c0'""",
+    "c3_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang, substr(md5(text), 1, 2) AS h2,
+                  CASE WHEN lang = 'en' THEN '40'
+                       WHEN lang IN ('de', 'fr') THEN '80'
+                       ELSE 'zz' END AS thr
+           FROM documents)
+         WHERE h2 < thr""",
+    "d5_embedding_bucket_dedup" ->
+      """SELECT bucket, min(vec_id) AS keeper_id, count(*) AS n_members
+         FROM (SELECT vec_id, CAST(
+                 (CASE WHEN embedding[1] >= 0 THEN 128 ELSE 0 END) +
+                 (CASE WHEN embedding[2] >= 0 THEN 64 ELSE 0 END) +
+                 (CASE WHEN embedding[3] >= 0 THEN 32 ELSE 0 END) +
+                 (CASE WHEN embedding[4] >= 0 THEN 16 ELSE 0 END) +
+                 (CASE WHEN embedding[5] >= 0 THEN 8 ELSE 0 END) +
+                 (CASE WHEN embedding[6] >= 0 THEN 4 ELSE 0 END) +
+                 (CASE WHEN embedding[7] >= 0 THEN 2 ELSE 0 END) +
+                 (CASE WHEN embedding[8] >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS bucket
+               FROM embeddings)
+         GROUP BY bucket""",
     "v1_vocab_topk" ->
       """SELECT token, count(*) AS term_freq,
                 count(DISTINCT doc_id) AS doc_freq

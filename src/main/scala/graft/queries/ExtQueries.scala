@@ -82,6 +82,41 @@ object ExtQueries {
         when(substring(col("h"), 1, 1) < "8", lit("train"))
           .otherwise(lit("eval")).as("split"))
 
+  /** Stratified consistent sampling: per-language rates via hex thresholds
+    * on the same md5 content hash as [[c2ConsistentSample]] — downsample
+    * the dominant language (en 25%), halve the mid tier (de/fr 50%), keep
+    * rare strata whole. The standard rebalancing step before training-data
+    * mixing; deterministic (re-runs and retries pick the same rows), no
+    * sampleBy/rand() whose seed-dependent output an oracle can't replay.
+    * One scan, the filter fuses into it — no shuffle at all.
+    */
+  def c3StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+      .withColumn("thr",
+        when(col("lang") === "en", lit("40"))
+          .when(col("lang").isin("de", "fr"), lit("80"))
+          .otherwise(lit("zz")))
+      .filter(substring(col("h"), 1, 2) < col("thr"))
+      .select(col("doc_id"), col("lang"))
+
+  /** Semantic bucket consolidation over embeddings: an 8-bit sign
+    * signature of the leading dimensions (axis-hyperplane LSH, the 1-bit
+    * quantization of ITQ/sign-LSH) partitions the corpus into semantic
+    * cells; each cell keeps one canonical representative (min vec_id).
+    * The coarse consolidation step of embedding-based dedup: members of a
+    * cell are near in sign-space, and downstream exact cosine (e2) only
+    * needs to run within cells. Compact 8-byte shuffle key, one exchange.
+    */
+  def d5EmbeddingBucketDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val bucket = (1 to 8).map(i =>
+      when(element_at(col("embedding"), i) >= 0f, lit(1L << (8 - i)))
+        .otherwise(lit(0L))).reduce(_ + _)
+    e.groupBy(bucket.as("bucket"))
+      .agg(min("vec_id").as("keeper_id"), count(lit(1)).as("n_members"))
+  }
+
   /** Vocabulary top-k with term and document frequencies. */
   def v1VocabTopk(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabulary(s, dir, size = 1000)
