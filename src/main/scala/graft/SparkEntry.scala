@@ -80,6 +80,8 @@ object SparkEntry {
     "c2_consistent_sample" -> (ExtQueries.c2ConsistentSample _),
     "c3_stratified_sample" -> (ExtQueries.c3StratifiedSample _),
     "d5_embedding_bucket_dedup" -> (ExtQueries.d5EmbeddingBucketDedup _),
+    "ct1_contamination" -> (ExtQueries.ct1Contamination _),
+    "t7_repetition_ratio" -> (ExtQueries.t7RepetitionRatio _),
     "v1_vocab_topk" -> (ExtQueries.v1VocabTopk _),
     "t5_tfidf_top_terms" -> (ExtQueries.t5TfidfTopTerms _),
     // oracle-checked invariants over the approximate operators
@@ -510,6 +512,31 @@ object SparkEntry {
                  AS bucket
                FROM embeddings)
          GROUP BY bucket""",
+    "ct1_contamination" ->
+      """WITH d AS (SELECT doc_id, substr(md5(text), 1, 2) AS h2, text
+                    FROM documents),
+         ev AS (SELECT DISTINCT substr(text, i, 24) AS ng
+                FROM (SELECT text, unnest(generate_series(1,
+                        greatest(length(text) - 23, 1))) AS i
+                      FROM d WHERE h2 < '10')),
+         tr AS (SELECT doc_id, substr(text, i, 24) AS ng
+                FROM (SELECT doc_id, text, unnest(generate_series(1,
+                        greatest(length(text) - 23, 1))) AS i
+                      FROM d WHERE h2 >= '10'))
+         SELECT tr.doc_id, count(DISTINCT tr.ng) AS n_hits
+         FROM tr JOIN ev USING (ng)
+         GROUP BY tr.doc_id""",
+    "t7_repetition_ratio" ->
+      """SELECT doc_id, distinct_ngrams, total_ngrams,
+                floor((1.0 - CAST(distinct_ngrams AS DOUBLE) / total_ngrams)
+                      * 10000 + 0.5) / 10000 AS rep_ratio
+         FROM (SELECT doc_id,
+                      count(DISTINCT substr(text, i, 3)) AS distinct_ngrams,
+                      greatest(length(text) - 2, 1) AS total_ngrams
+               FROM (SELECT doc_id, text, unnest(generate_series(1,
+                       greatest(length(text) - 2, 1))) AS i
+                     FROM documents)
+               GROUP BY doc_id, greatest(length(text) - 2, 1))""",
     "v1_vocab_topk" ->
       """SELECT token, count(*) AS term_freq,
                 count(DISTINCT doc_id) AS doc_freq

@@ -117,6 +117,45 @@ object ExtQueries {
       .agg(min("vec_id").as("keeper_id"), count(lit(1)).as("n_members"))
   }
 
+  /** Benchmark decontamination scan: flag training documents sharing any
+    * 24-char shingle with the held-out set (the n-gram-overlap
+    * decontamination rule of GPT-3 appx. C / Gopher appx.; character
+    * shingles rather than word 13-grams since the fixture docs are short —
+    * 24 chars ≈ 4-5 words, long enough that common phrases don't fire).
+    * The held-out set here is a deterministic ~6% md5 slice so the oracle
+    * can replay it; in production it is the actual eval benchmarks. 100 TB
+    * shape: the eval gram set is tiny (benchmarks ≪ train corpus) →
+    * broadcast semi-join, the train side never shuffles.
+    */
+  def ct1Contamination(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir).select(col("doc_id"),
+      substring(md5(col("text")), 1, 2).as("h2"),
+      graft.functions.Expressions.shingleHashes(col("text"), 24).as("g"))
+    val evalGrams = sh.filter(col("h2") < "10")
+      .select(explode(col("g")).as("ng")).distinct()
+    sh.filter(col("h2") >= "10")
+      .select(col("doc_id"), explode(col("g")).as("ng"))
+      .join(broadcast(evalGrams), "ng")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("ng")).as("n_hits"))
+  }
+
+  /** Within-document repetition ratio (Gopher quality rule: fraction of
+    * duplicate character n-grams). One scan, no shuffle — the shingle
+    * distinct-count is a native single-pass expression.
+    */
+  def t7RepetitionRatio(s: SparkSession, dir: String): DataFrame = {
+    val total = greatest(length(col("text")).cast("long") - 2, lit(1L))
+    val distinctN =
+      size(graft.functions.Expressions.shingleHashes(col("text"), 3))
+        .cast("long")
+    docs(s, dir).select(col("doc_id"),
+      distinctN.as("distinct_ngrams"),
+      total.as("total_ngrams"),
+      (floor((lit(1.0) - distinctN.cast("double") / total) * 10000 + 0.5) /
+        10000).as("rep_ratio"))
+  }
+
   /** Vocabulary top-k with term and document frequencies. */
   def v1VocabTopk(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabulary(s, dir, size = 1000)
