@@ -77,6 +77,53 @@ class TopKPerGroupSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("row_number <= k idiom is rewritten to the heap operator by the rule") {
+    val exp = spark.experimental
+    if (!exp.extraOptimizations.contains(RowNumberTopKRule))
+      exp.extraOptimizations = exp.extraOptimizations :+ RowNumberTopKRule
+    if (!exp.extraStrategies.exists(_.isInstanceOf[TopKPerGroupStrategy]))
+      exp.extraStrategies = exp.extraStrategies :+ new TopKPerGroupStrategy
+    val df = randomDf(3000, 11, seed = 23)
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id"))
+    val q = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).drop("rn")
+    assert(q.queryExecution.optimizedPlan.collectFirst {
+      case t: TopKPerGroupPlan => t }.isDefined,
+      s"rule did not fire:\n${q.queryExecution.optimizedPlan}")
+    assert(q.queryExecution.sparkPlan.collect {
+      case e: TopKPerGroupExec => e }.size == 2)
+    // and the rewritten query returns exactly the direct operator's rows
+    val expect = TopKPerGroup.topK(df, Seq("g"), "v", 5,
+      desc = true, tiebreakCols = Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = q.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expect)
+  }
+
+  test("rule stays off non-matching window patterns") {
+    val exp = spark.experimental
+    if (!exp.extraOptimizations.contains(RowNumberTopKRule))
+      exp.extraOptimizations = exp.extraOptimizations :+ RowNumberTopKRule
+    val df = randomDf(500, 5, seed = 31)
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id"))
+    def hasTopK(q: org.apache.spark.sql.DataFrame) =
+      q.queryExecution.optimizedPlan.collectFirst {
+        case t: TopKPerGroupPlan => t }.isDefined
+    // rank consumed downstream → must keep WindowExec
+    val keepsRn = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    assert(!hasTopK(keepsRn), "rewrote a query whose output includes rn")
+    // rank() is not row_number → not rewritten
+    val rankQ = df.withColumn("rk", rank().over(w))
+      .filter(col("rk") <= 3).drop("rk")
+    assert(!hasTopK(rankQ), "rewrote a rank() query")
+    // non-literal bound → not rewritten
+    val dynQ = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("g")).drop("rn")
+    assert(!hasTopK(dynQ), "rewrote a non-literal rank bound")
+  }
+
   test("partial pass bounds what crosses the shuffle to k rows per partition-group") {
     val df = randomDf(4000, 2, seed = 19).repartition(4)
     val q = TopKPerGroup.topK(df, Seq("g"), "v", 3, tiebreakCols = Seq("id"))
