@@ -52,11 +52,18 @@ object OhlcvStreamJob {
   /** Streaming deduplication: drop re-delivered candles by (symbol,
     * timestamp_ms) with watermark-bounded state — the streaming form of
     * exact dedup (a training-data pipeline ingesting a feed needs this
-    * before anything else). State holds only keys newer than the
-    * watermark; older re-deliveries are already filtered by it.
+    * before anything else).
+    *
+    * `dropDuplicatesWithinWatermark`, NOT `dropDuplicates`: plain
+    * dropDuplicates only evicts state when the watermarked event-time
+    * COLUMN is part of the key subset — with keys (symbol, timestamp_ms)
+    * its state grows one entry per candle ever seen, unbounded. The
+    * WithinWatermark variant evicts on the stream's watermark regardless
+    * of key shape, guaranteeing dedup of any re-delivery arriving within
+    * the watermark delay — exactly the at-least-once replay window.
     */
   def dedupedStream(watermarked: DataFrame): DataFrame =
-    watermarked.dropDuplicates("symbol", "timestamp_ms")
+    watermarked.dropDuplicatesWithinWatermark("symbol", "timestamp_ms")
 
   /** q1 aggregate: latest candle per symbol — deterministic `max_by` over
     * event time with timestamp_ms as tiebreaker (replaces nondeterministic

@@ -264,6 +264,41 @@ class OhlcvStreamJobSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup state is evicted by the watermark (not unbounded)") {
+    implicit val s = spark
+    import spark.implicits._
+    val mem = MemoryStream[String](7)(implicitly, spark.sqlContext)
+    val parsed = OhlcvStreamJob.parse(mem.toDF())
+    val q = OhlcvStreamJob.dedupedStream(OhlcvStreamJob.withWatermarked(parsed))
+      .select("symbol", "timestamp_ms")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tmp("ckpt-dedup-state"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.count(): Unit
+      }.start()
+    try {
+      // 40 distinct candles, then far-future ones: with plain
+      // dropDuplicates on (symbol, timestamp_ms) state would hold one
+      // entry per candle EVER SEEN (42 here, unbounded in production —
+      // the watermark column is not in the key subset, so nothing
+      // evicts); WithinWatermark keeps only entries inside the 2-minute
+      // delay behind the frontier
+      mem.addData((0 until 40).map(m => candleJson("BTC/USDT", m, 100.0)): _*)
+      q.processAllAvailable()
+      val early = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(early > 0 && early <= 10,
+        s"dedup state not watermark-bounded after 40 candles: $early")
+      mem.addData(candleJson("BTC/USDT", 500, 101.0))
+      q.processAllAvailable()
+      mem.addData(candleJson("BTC/USDT", 501, 102.0))
+      q.processAllAvailable()
+      val late = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(late <= 5,
+        s"dedup state not evicted across batches: $early -> $late")
+    } finally q.stop()
+  }
+
   test("three concurrent queries from one parsed stream (T7 fan-out)") {
     implicit val s = spark
     import spark.implicits._
