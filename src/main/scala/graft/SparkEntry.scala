@@ -102,6 +102,7 @@ object SparkEntry {
     "x5_frame_sample" -> (ExtQueries.x5FrameSample _),
     "t6_token_batches" -> (graft.ext.BatchPacking.t6TokenBatches _),
     "x6_media_features" -> (ExtQueries.x6MediaFeatures _),
+    "x13_media_resize" -> (ExtQueries.x13MediaResize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -124,4 +124,42 @@ object Multimodal {
     mediaTable(s, dir).select(
       col("media_id"), col("kind"), col("n_bytes"),
       md5(col("payload")).as("md5_hex"))
+
+  /** A "resized" media row: payload replaced by its downsampled form plus
+    * the old/new logical dimensions.
+    */
+  final case class ResizedMedia(media_id: Long, kind: String,
+      src_width: Int, src_height: Int, dst_width: Int, dst_height: Int,
+      n_bytes_in: Long, n_bytes_out: Long, payload_out: Array[Byte])
+
+  /** Resize stub: one-row→one-row payload transform, the image-resize
+    * shape (decode → scale to fit a `maxDim` bounding box, aspect
+    * preserved → re-encode). The stub "re-encode" keeps every `stride`-th
+    * byte, with stride = ceil(max(w,h)/maxDim)² (area ratio) — so output
+    * size scales like a real downsample and the transform is deterministic
+    * and testable. Partition-local, constant memory, no shuffle.
+    */
+  def resize(s: SparkSession, dir: String, maxDim: Int = 256): Dataset[ResizedMedia] = {
+    import s.implicits._
+    mediaTable(s, dir).as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, _) = Codec.decodeStub(r.payload)
+        val scale = math.max(1, math.ceil(math.max(w, h).toDouble / maxDim).toInt)
+        val dw = math.max(1, w / scale)
+        val dh = math.max(1, h / scale)
+        val out =
+          if (scale == 1) r.payload
+          else {
+            val stride = scale * scale
+            val n = (r.payload.length + stride - 1) / stride
+            val b = new Array[Byte](n)
+            var i = 0
+            while (i < n) { b(i) = r.payload(i * stride); i += 1 }
+            b
+          }
+        ResizedMedia(r.media_id, r.kind, w, h, dw, dh,
+          r.payload.length.toLong, out.length.toLong, out)
+      }
+    }
+  }
 }

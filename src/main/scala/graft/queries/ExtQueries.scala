@@ -336,4 +336,12 @@ object ExtQueries {
   /** Partition-batched media feature extraction (decode stub). */
   def x6MediaFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(s, dir).toDF()
+
+  /** Media resize pass (stubbed codec, real one-row→one-row payload
+    * transform plumbing); payload dropped from the declared output.
+    */
+  def x13MediaResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resize(s, dir).toDF()
+      .select("media_id", "kind", "src_width", "src_height",
+        "dst_width", "dst_height", "n_bytes_in", "n_bytes_out")
 }

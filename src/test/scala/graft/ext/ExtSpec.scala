@@ -379,4 +379,28 @@ class ExtSpec extends SparkSpec {
       assert(frames(r.getAs[Long]("media_id")) == expected)
     }
   }
+
+  test("resize: bounding box respected, aspect preserved, payload shrinks") {
+    val rows = Multimodal.resize(spark, sf001, maxDim = 256).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.dst_width <= 256 && r.dst_height <= 256,
+        s"media ${r.media_id}: ${r.dst_width}x${r.dst_height} exceeds box")
+      assert(r.dst_width >= 1 && r.dst_height >= 1)
+      // same integer scale divides both axes → aspect preserved to rounding
+      val scale = math.max(1,
+        math.ceil(math.max(r.src_width, r.src_height) / 256.0).toInt)
+      assert(r.dst_width == math.max(1, r.src_width / scale) &&
+        r.dst_height == math.max(1, r.src_height / scale))
+      // payload scales ~ area ratio, never grows
+      assert(r.n_bytes_out <= r.n_bytes_in)
+      if (scale > 1)
+        assert(r.n_bytes_out == (r.n_bytes_in + scale * scale - 1) / (scale * scale))
+      assert(r.payload_out.length.toLong == r.n_bytes_out)
+    }
+    // determinism
+    val again = Multimodal.resize(spark, sf001, maxDim = 256).collect()
+    assert(rows.map(_.n_bytes_out).sorted.sameElements(
+      again.map(_.n_bytes_out).sorted))
+  }
 }
