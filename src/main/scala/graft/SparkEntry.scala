@@ -101,6 +101,7 @@ object SparkEntry {
     "x8_ivf_topk" -> (ExtQueries.x8IvfTopK _),
     "x5_frame_sample" -> (ExtQueries.x5FrameSample _),
     "t6_token_batches" -> (graft.ext.BatchPacking.t6TokenBatches _),
+    "t6v_packing_invariants" -> (graft.ext.BatchPacking.t6vPackingInvariants _),
     "x6_media_features" -> (ExtQueries.x6MediaFeatures _),
     "x13_media_resize" -> (ExtQueries.x13MediaResize _),
   )
@@ -517,6 +518,10 @@ object SparkEntry {
          GROUP BY bucket""",
     "wv1_winnow_subset_shingles" ->
       """SELECT doc_id, CAST(0 AS BIGINT) AS n_extra, true AS ok
+         FROM documents""",
+    "t6v_packing_invariants" ->
+      """SELECT count(*) AS n_docs, true AS docs_once,
+                CAST(0 AS BIGINT) AS n_bad_batches
          FROM documents""",
     "ct1_contamination" ->
       """WITH d AS (SELECT doc_id, substr(md5(text), 1, 2) AS h2, text

@@ -63,4 +63,21 @@ object BatchPacking {
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
     packByTokenBudget(d, "doc_id", "n_tokens", budget = 2000L)
   }
+
+  /** Oracle-checkable invariant over [[t6TokenBatches]] (ok-flag form):
+    * every document lands in exactly one batch (n_docs equals the table
+    * count, which DuckDB recomputes) and no multi-document batch exceeds
+    * the budget (single oversized docs legitimately get their own batch).
+    */
+  def t6vPackingInvariants(s: SparkSession, dir: String): DataFrame = {
+    val packed = t6TokenBatches(s, dir)
+    val once = packed.agg(
+      count(lit(1)).as("n_docs"),
+      (count(lit(1)) === count_distinct(col("doc_id"))).as("docs_once"))
+    val bad = packed.groupBy("batch_id")
+      .agg(sum("n_tokens").as("toks"), count(lit(1)).as("n"))
+      .filter(col("toks") > 2000L && col("n") > 1)
+      .agg(count(lit(1)).as("n_bad_batches"))
+    once.crossJoin(bad)
+  }
 }
