@@ -78,11 +78,14 @@ final class HttpApi(api: Api, modelsDir: Option[String] = None,
       predict(path.stripPrefix("/api/predict_xgboost/"))
     })
     // absent tables → empty dropdown lists, like the reference's
-    // get_available_symbols_* helpers (app.py:46-64: missing index → [])
+    // get_available_symbols_* helpers (app.py:46-64: missing index → []).
+    // ONLY the table-absent error maps to [] — scan failures must surface
+    // (and get the FileNotFound retry in the exchange plumbing), not hide
+    // an outage behind an empty dropdown.
     server.createContext("/historical", exchange { path =>
       if (path != "/historical" && path != "/historical/") notFound(path)
       else Right(Responses.JArr(
-        scala.util.Try(api.historicalPairs().collect()).getOrElse(Array.empty)
+        collectOrEmptyIfAbsent(api.historicalPairs().collect())
           .toIndexedSeq.map(r => Responses.JStr(r.getString(0)))).render)
     })
     // "/" is the JDK HttpServer catch-all context: bound to the exact root
@@ -91,7 +94,7 @@ final class HttpApi(api: Api, modelsDir: Option[String] = None,
     server.createContext("/", exchange { path =>
       if (path != "/") notFound(path)
       else Right(Responses.JArr(
-        scala.util.Try(api.realtimeSymbols().collect()).getOrElse(Array.empty)
+        collectOrEmptyIfAbsent(api.realtimeSymbols().collect())
           .toIndexedSeq.map(r => Responses.JStr(r.getString(0)))).render)
     })
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
@@ -100,6 +103,17 @@ final class HttpApi(api: Api, modelsDir: Option[String] = None,
   }
 
   def stop(): Unit = if (server != null) server.stop(0)
+
+  /** Empty only for ServingStore's table-absent error; anything else (a
+    * corrupt file, a scan failure) propagates to the 500/retry plumbing.
+    */
+  private def collectOrEmptyIfAbsent(
+      rows: => Array[org.apache.spark.sql.Row]): Array[org.apache.spark.sql.Row] =
+    try rows catch {
+      case e: IllegalArgumentException
+          if String.valueOf(e.getMessage).contains("does not exist") =>
+        Array.empty
+    }
 
   private def notFound(path: String): Left[(Int, String), String] =
     Left(404 -> errJson(s"Not found: $path"))

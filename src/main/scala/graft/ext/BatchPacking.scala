@@ -57,11 +57,16 @@ object BatchPacking {
     * SQL-expressible — ScalaTest owns the invariants (budget respected,
     * every doc exactly once, greedy tightness).
     */
+  /** One budget definition shared by the declared query and its invariant —
+    * if they drifted, t6v would silently check the wrong bound.
+    */
+  val T6Budget = 2000L
+
   def t6TokenBatches(s: SparkSession, dir: String): DataFrame = {
     val d = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    packByTokenBudget(d, "doc_id", "n_tokens", budget = 2000L)
+    packByTokenBudget(d, "doc_id", "n_tokens", budget = T6Budget)
   }
 
   /** Oracle-checkable invariant over [[t6TokenBatches]] (ok-flag form):
@@ -76,7 +81,7 @@ object BatchPacking {
       (count(lit(1)) === count_distinct(col("doc_id"))).as("docs_once"))
     val bad = packed.groupBy("batch_id")
       .agg(sum("n_tokens").as("toks"), count(lit(1)).as("n"))
-      .filter(col("toks") > 2000L && col("n") > 1)
+      .filter(col("toks") > T6Budget && col("n") > 1)
       .agg(count(lit(1)).as("n_bad_batches"))
     once.crossJoin(bad)
   }

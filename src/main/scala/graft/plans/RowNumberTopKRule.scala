@@ -37,15 +37,23 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object RowNumberTopKRule extends Rule[LogicalPlan] {
 
+  /** Above this the heaps' no-spill memory model loses to WindowExec's
+    * spilling sort (Spark's own InferWindowGroupLimit gates its analogous
+    * rewrite behind a threshold for the same reason).
+    */
+  val MaxRewriteK = 1000
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(projectList,
         Filter(cond, Window(Seq(alias @ Alias(
           WindowExpression(RowNumber(),
             WindowSpecDefinition(part, order, _)), _)), _, _, child, _)))
-        if order.nonEmpty =>
+        // empty PARTITION BY = global top-n: already optimal as
+        // TakeOrderedAndProject, and ClusteredDistribution(Nil) would throw
+        if order.nonEmpty && part.nonEmpty =>
       val rn = alias.toAttribute
       boundK(cond, rn) match {
-        case Some(k) if k > 0 &&
+        case Some(k) if k > 0 && k <= MaxRewriteK &&
             !projectList.exists(_.references.contains(rn)) &&
             projectList.forall(_.references.subsetOf(child.outputSet)) =>
           Project(projectList, TopKPerGroupPlan(part, order, k, child))

@@ -42,6 +42,9 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 case class TopKPerGroupPlan(groupExprs: Seq[Expression], order: Seq[SortOrder],
     k: Int, child: LogicalPlan) extends UnaryNode {
   require(k > 0, s"topK requires k > 0, got $k")
+  require(groupExprs.nonEmpty,
+    "topK requires grouping keys — global top-k is orderBy(...).limit(k), " +
+    "which Spark already plans as TakeOrderedAndProject")
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupPlan =
@@ -98,12 +101,22 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
   }
 }
 
-/** Plans [[TopKPerGroupPlan]] as partial → (exchange) → final. */
+/** Plans [[TopKPerGroupPlan]] as partial → (exchange) → final.
+  *
+  * Float/double group keys are normalized here (-0.0 → 0.0, one NaN bit
+  * pattern): Catalyst's NormalizeFloatingNumbers rule does this for
+  * Window/Aggregate keys but does not know our node — without it, 0.0 and
+  * -0.0 keys would hash to different shuffle partitions AND different
+  * heap-map entries, splitting one logical group in two. Normalizing at
+  * planning time covers both (the exchange hashes the normalized
+  * expressions from requiredChildDistribution, and the heaps project them).
+  */
 class TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroupPlan(g, o, k, child) =>
-      val partial = TopKPerGroupExec(g, o, k, partial = true, planLater(child))
-      TopKPerGroupExec(g, o, k, partial = false, partial) :: Nil
+      val gn = g.map(GraftBridge.normalizeFloatingNumbers)
+      val partial = TopKPerGroupExec(gn, o, k, partial = true, planLater(child))
+      TopKPerGroupExec(gn, o, k, partial = false, partial) :: Nil
     case _ => Nil
   }
 }
@@ -119,9 +132,13 @@ object TopKPerGroup {
     */
   def topK(df: DataFrame, groupCols: Seq[String], orderCol: String, k: Int,
       desc: Boolean = true, tiebreakCols: Seq[String] = Nil): DataFrame = {
-    val exp = df.sparkSession.experimental
-    if (!exp.extraStrategies.exists(_.isInstanceOf[TopKPerGroupStrategy]))
-      exp.extraStrategies = exp.extraStrategies :+ new TopKPerGroupStrategy
+    // synchronized check-then-append: concurrent first uses (e.g. serving
+    // threads) must not lose or duplicate the registration
+    TopKPerGroup.synchronized {
+      val exp = df.sparkSession.experimental
+      if (!exp.extraStrategies.exists(_.isInstanceOf[TopKPerGroupStrategy]))
+        exp.extraStrategies = exp.extraStrategies :+ new TopKPerGroupStrategy
+    }
     val analyzed = df.queryExecution.analyzed
     def attr(name: String): Attribute =
       analyzed.output.find(_.name == name).getOrElse(

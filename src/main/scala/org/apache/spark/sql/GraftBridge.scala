@@ -17,4 +17,11 @@ object GraftBridge {
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Float/double key normalization (-0.0 → 0.0, canonical NaN) for custom
+    * grouping operators — same treatment Catalyst applies to Window /
+    * Aggregate keys (the rule's `normalize` is private[sql]).
+    */
+  def normalizeFloatingNumbers(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }

@@ -122,6 +122,31 @@ class TopKPerGroupSpec extends SparkSpec {
     val dynQ = df.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("g")).drop("rn")
     assert(!hasTopK(dynQ), "rewrote a non-literal rank bound")
+    // global top-n (empty PARTITION BY) → TakeOrderedAndProject territory,
+    // and ClusteredDistribution(Nil) would throw at physical planning
+    val globalW = Window.orderBy(col("v").desc, col("id"))
+    val globalQ = df.withColumn("rn", row_number().over(globalW))
+      .filter(col("rn") <= 3).drop("rn")
+    assert(!hasTopK(globalQ), "rewrote a global (partition-less) top-n")
+    assert(globalQ.count() == 3, "global top-n must still execute")
+    // huge k → heaps without spill lose to WindowExec's spilling sort
+    val hugeQ = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 100000).drop("rn")
+    assert(!hasTopK(hugeQ), "rewrote an unboundedly large k")
+  }
+
+  test("float group keys: -0.0 and 0.0 land in one group (normalized)") {
+    import spark.implicits._
+    val df = Seq((0.0, 1L, 5.0), (-0.0, 2L, 4.0), (0.0, 3L, 3.0),
+      (-0.0, 4L, 2.0), (1.5, 5L, 1.0))
+      .toDF("g", "id", "v")
+    val got = TopKPerGroup.topK(df, Seq("g"), "v", 2,
+        desc = true, tiebreakCols = Seq("id"))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    // one logical group for 0.0/-0.0 → its top-2 is (1,5.0),(2,4.0);
+    // a split-group bug would also emit (3,3.0),(4,2.0)
+    assert(got == Set((1L, 5.0), (2L, 4.0), (5L, 1.0)),
+      s"float keys split or mis-grouped: $got")
   }
 
   test("partial pass bounds what crosses the shuffle to k rows per partition-group") {
