@@ -84,6 +84,8 @@ object SparkEntry {
     "t7_repetition_ratio" -> (ExtQueries.t7RepetitionRatio _),
     "d6_winnow_fingerprints" -> (ExtQueries.d6WinnowFingerprints _),
     "wv1_winnow_subset_shingles" -> (ExtQueries.wv1WinnowSubsetShingles _),
+    "d7_winnow_pairs" -> (ExtQueries.d7WinnowPairs _),
+    "wv2_winnow_pairs_subset_exact" -> (ExtQueries.wv2WinnowPairsSubsetExact _),
     "v1_vocab_topk" -> (ExtQueries.v1VocabTopk _),
     "t5_tfidf_top_terms" -> (ExtQueries.t5TfidfTopTerms _),
     // oracle-checked invariants over the approximate operators
@@ -523,6 +525,8 @@ object SparkEntry {
       """SELECT count(*) AS n_docs, true AS docs_once,
                 CAST(0 AS BIGINT) AS n_bad_batches
          FROM documents""",
+    "wv2_winnow_pairs_subset_exact" ->
+      """SELECT doc_id AS doc_a, doc_id AS doc_b FROM documents WHERE FALSE""",
     "ct1_contamination" ->
       """WITH d AS (SELECT doc_id, substr(md5(text), 1, 2) AS h2, text
                     FROM documents),

@@ -275,6 +275,45 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Near-dup pair mining over winnowing fingerprints: docs sharing ANY
+    * fingerprint become candidates (equi-join on the 8-byte fingerprint —
+    * the same compact-key shuffle shape as MinHash bands, but with
+    * winnowing's deterministic floor: every pair sharing a ≥ w+k−1-char
+    * substring is guaranteed a candidate), then exact shingle-set Jaccard
+    * filters to `jaccardMin`. Fingerprints are ~2/(w+1) of the shingle
+    * set, so the join input is an order of magnitude smaller than joining
+    * raw shingles. Found pairs are by construction a subset of the exact
+    * prefix-join pairs at the same (k, jaccardMin) — the wv2 invariant.
+    */
+  def winnowPairs(s: SparkSession, dir: String, k: Int = 3, w: Int = 8,
+      jaccardMin: Double = 0.4,
+      blockCols: Seq[String] = Seq("lang", "source")): DataFrame = {
+    val sh = shingles(docs(s, dir), k).select(
+      (Seq(col("doc_id"), col("shingle_hashes")) ++ blockCols.map(col) :+
+        graft.functions.Expressions.winnowFingerprints(col("text"), k, w)
+          .as("fps")): _*)
+    // same (lang, source) blocking as the exact prefix join — candidates
+    // never cross blocks, keeping wv2's subset relation exact and the
+    // join buckets pruned
+    val fp = sh.select(
+      (Seq(col("doc_id")) ++ blockCols.map(col) :+
+        explode(col("fps")).as("fp")): _*)
+    val joinCond = (blockCols.map(c => col(s"l.$c") === col(s"r.$c")) ++ Seq(
+      col("l.fp") === col("r.fp"), col("l.doc_id") < col("r.doc_id")))
+      .reduce(_ && _)
+    val cand = fp.alias("l").join(fp.alias("r"), joinCond)
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val sets = sh.select(col("doc_id"), col("shingle_hashes"))
+    val withSets = cand
+      .join(sets.select(col("doc_id").as("doc_a"),
+        col("shingle_hashes").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"),
+        col("shingle_hashes").as("sh_b")), Seq("doc_b"))
+    jaccardOfSorted(withSets).filter(col("jaccard") >= jaccardMin)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Exact n-gram Jaccard similarity for a bounded candidate set (here:
     * all pairs within the same `(lang, source)` block — kept as the
     * brute-force baseline that [[prefixJaccardPairs]] must equal; the

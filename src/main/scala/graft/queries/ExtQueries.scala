@@ -184,6 +184,23 @@ object ExtQueries {
       (size(fp) >= 1 && size(fp) <= windows).as("ok"))
   }
 
+  /** Winnowing-fingerprint near-dup pairs (rows-only; the wv2 invariant
+    * oracle-checks the subset relation to the exact prefix join).
+    */
+  def d7WinnowPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowPairs(s, dir, k = 3, w = 8, jaccardMin = 0.4)
+
+  /** Invariant: every winnow-mined pair is also found by the exact
+    * prefix-filter join at the same (k, jaccardMin) — anti-join must be
+    * empty (winnowing recalls a provable subset; the exact join is
+    * complete).
+    */
+  def wv2WinnowPairsSubsetExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowPairs(s, dir, k = 3, w = 8, jaccardMin = 0.4)
+      .select("doc_a", "doc_b")
+      .join(Dedup.prefixJaccardPairs(s, dir, k = 3, jaccardMin = 0.4)
+        .select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti")
+
   /** Vocabulary top-k with term and document frequencies. */
   def v1VocabTopk(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabulary(s, dir, size = 1000)

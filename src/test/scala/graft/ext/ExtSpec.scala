@@ -186,6 +186,19 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("winnowPairs: subset of exact pairs, full recall on long-overlap dups") {
+    val exact = Dedup.prefixJaccardPairs(spark, sf001, k = 3, jaccardMin = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val winnow = Dedup.winnowPairs(spark, sf001, k = 3, w = 8, jaccardMin = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(winnow.subsetOf(exact),
+      s"winnow found pairs the exact join missed: ${winnow -- exact}")
+    // high-jaccard pairs overwhelmingly share a >= w+k-1 = 10-char run;
+    // near-dup corpora are exactly this regime — demand strong recall
+    assert(exact.nonEmpty && winnow.size * 10 >= exact.size * 8,
+      s"winnow recall too low: ${winnow.size}/${exact.size}")
+  }
+
   test("dotF/cosineF match manual computation") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
