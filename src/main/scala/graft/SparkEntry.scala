@@ -58,6 +58,7 @@ object SparkEntry {
     "w10_grouped_topk" -> (CoreQueries.w10GroupedTopk _),
     "j5_full_outer" -> (CoreQueries.j5FullOuter _),
     "x10v_percentile_bound" -> (CoreQueries.x10vPercentileBound _),
+    "kq1v_kll_rank_bound" -> (CoreQueries.kq1vKllRankBound _),
     "x12v_heavy_hitters_exact" -> (CoreQueries.x12vHeavyHittersExact _),
     "q6_revenue_delta" -> (CoreQueries.q6RevenueDelta _),
     "p14_pivot" -> (CoreQueries.p14Pivot _),
@@ -257,6 +258,9 @@ object SparkEntry {
          WHERE e.event_type = 'error'
          GROUP BY 1, 2""",
     "x10v_percentile_bound" ->
+      """SELECT event_type, CAST(1 AS INT) AS within_bound
+         FROM events GROUP BY event_type""",
+    "kq1v_kll_rank_bound" ->
       """SELECT event_type, CAST(1 AS INT) AS within_bound
          FROM events GROUP BY event_type""",
     "x12v_heavy_hitters_exact" ->

@@ -539,6 +539,24 @@ object CoreQueries {
         when(col("med_approx").between(col("q45"), col("q55")), lit(1))
           .otherwise(lit(0)).cast("int").as("within_bound"))
 
+  /** kq1 invariant (oracle-checked): the custom KLL sketch's median
+    * ([[graft.functions.KllSketch]] — mergeable TypedImperativeAggregate
+    * with a deterministic compaction coin) must land between the exact
+    * 42nd and 58th percentiles per group; k=200 observes ~1-2% rank
+    * error, so ±8% slack keeps the flag deterministically 1.
+    */
+  def kq1vKllRankBound(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        graft.functions.KllSketch.kllQuantile(col("value"), 0.5, 200)
+          .as("med_kll"),
+        expr("percentile(value, 0.42)").as("q42"),
+        expr("percentile(value, 0.58)").as("q58"))
+      .select(col("event_type"),
+        when(col("med_kll").between(col("q42"), col("q58")), lit(1))
+          .otherwise(lit(0)).cast("int").as("within_bound"))
+
   /** M1 as a distributed transform: per-group MinMax scaling via window
     * min/max (app.py:232 scaler semantics, engine-side).
     */
