@@ -80,6 +80,7 @@ object SparkEntry {
     "c1_curation_pipeline" -> (ExtQueries.c1CurationPipeline _),
     "c2_consistent_sample" -> (ExtQueries.c2ConsistentSample _),
     "c3_stratified_sample" -> (ExtQueries.c3StratifiedSample _),
+    "c4_group_sample" -> ((s, dir) => ExtQueries.c4GroupSample(s, dir)),
     "d5_embedding_bucket_dedup" -> (ExtQueries.d5EmbeddingBucketDedup _),
     "ct1_contamination" -> (ExtQueries.ct1Contamination _),
     "t7_repetition_ratio" -> (ExtQueries.t7RepetitionRatio _),
@@ -508,6 +509,13 @@ object SparkEntry {
                        ELSE 'zz' END AS thr
            FROM documents)
          WHERE h2 < thr""",
+    "c4_group_sample" ->
+      """SELECT doc_id, lang, h FROM (
+           SELECT doc_id, lang, md5(text) AS h,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY md5(text), doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 20""",
     "d5_embedding_bucket_dedup" ->
       """SELECT bucket, min(vec_id) AS keeper_id, count(*) AS n_members
          FROM (SELECT vec_id, CAST(

@@ -156,6 +156,20 @@ object ExtQueries {
         10000).as("rep_ratio"))
   }
 
+  /** Per-stratum fixed-COUNT sampling ([[c3StratifiedSample]] is the
+    * fixed-RATE form): exactly `n` docs per language, chosen by smallest
+    * content hash — deterministic, replayable, and uniform-ish (md5 order
+    * is independent of any data attribute). Composes the custom
+    * bounded-heap top-k operator, so the per-group selection never sorts
+    * a stratum and ships ≤ n rows per group per partition — at 100 TB the
+    * alternative row_number window would sort every stratum in full.
+    */
+  def c4GroupSample(s: SparkSession, dir: String, n: Int = 20): DataFrame =
+    graft.plans.TopKPerGroup.topK(
+      docs(s, dir).select(col("doc_id"), col("lang"),
+        md5(col("text")).as("h")),
+      Seq("lang"), "h", n, desc = false, tiebreakCols = Seq("doc_id"))
+
   /** Winnowing document fingerprints (MOSS/SIGMOD'03): sliding-window
     * minima over positional k-gram hashes — ~2/(w+1) the size of the full
     * shingle set with a guaranteed detection floor (any shared substring
