@@ -34,7 +34,9 @@ import graft.ml.{Forecaster, GbtLagModel}
   * for deterministic tests (SURVEY.md §7.5.4).
   */
 final class HttpApi(api: Api, modelsDir: Option[String] = None,
-    now: () => Instant = () => Instant.now()) {
+    now: () => Instant = () => Instant.now(),
+    poolSize: Int = 4) {
+  require(poolSize > 0, s"poolSize must be positive, got $poolSize")
 
   // Caches SUCCESSFUL loads only: a failure (artifact not yet deployed, or a
   // transient read error) is re-resolved on the next request, matching the
@@ -97,7 +99,11 @@ final class HttpApi(api: Api, modelsDir: Option[String] = None,
         collectOrEmptyIfAbsent(api.realtimeSymbols().collect())
           .toIndexedSeq.map(r => Responses.JStr(r.getString(0)))).render)
     })
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    // fixed pool: each request runs a Spark collect, so concurrency is
+    // bounded by driver scheduling anyway — size to the expected dashboard
+    // fan-out (the JDK server handles HTTP keep-alive itself)
+    server.setExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(poolSize))
     server.start()
     server.getAddress.getPort
   }

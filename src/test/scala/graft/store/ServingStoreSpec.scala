@@ -178,6 +178,33 @@ class ServingStoreSpec extends SparkSpec {
     assert(store.tableCurrent("pt", "id").count() == 1)
   }
 
+  test("janitor: retention drops old chart partitions, compaction dedupes logs") {
+    implicit val s = spark
+    import spark.implicits._
+    import graft.schema.Schemas.Tables
+    val store = new ServingStore(tmp("janitor-store"))
+    // chart: two day-partitions, one past retention
+    store.appendLogPartitioned(Tables.ChartData, Seq(
+      ("a", "2024-06-01", 1.0), ("b", "2024-06-03", 2.0))
+      .toDF("doc_id", "dt", "v"), "dt")
+    // latest: plain append log with a replayed row
+    store.appendLog(Tables.Latest, Seq(("BTC", 1.0), ("BTC", 1.0))
+      .toDF("symbol", "v"))
+    // stats: versioned log with a correction
+    store.appendLogVersioned(Tables.Stats, Seq(("w1", 1.0)).toDF("doc_id", "v"), 1L)
+    store.appendLogVersioned(Tables.Stats, Seq(("w1", 2.0)).toDF("doc_id", "v"), 2L)
+    JanitorMain.run(store,
+      java.time.Instant.parse("2024-06-03T01:00:00Z"), keepHours = 2)
+    assert(store.table(Tables.ChartData).select("dt").collect()
+      .map(r => String.valueOf(r.get(0))).toSeq == Seq("2024-06-03"),
+      "expired partition survived retention")
+    assert(store.table(Tables.Latest).count() == 1,
+      "replayed log row survived compaction")
+    val statsRows = store.table(Tables.Stats).collect()
+    assert(statsRows.length == 1 && statsRows.head.getAs[Double]("v") == 2.0,
+      "versioned compaction did not keep latest epoch")
+  }
+
   test("property: every event lands in exactly window/slide sliding windows") {
     import spark.implicits._
     // 10-minute window, 1-minute slide → every event in exactly 10 windows
