@@ -21,6 +21,49 @@ object StatefulOps {
   final case class EmaUpdate(symbol: String, timestampMs: Long, close: Double,
       ema: Double)
 
+  final case class TopKState(entries: List[(Double, Long)])
+  final case class TopKSnapshot(symbol: String, rank: Int, close: Double,
+      timestampMs: Long)
+
+  /** Streaming top-k per key — the stateful analog of the batch
+    * [[graft.plans.TopKPerGroup]] operator: each key's state is a bounded
+    * list of its k largest closes (with event-time tiebreak), re-emitted
+    * as a ranked snapshot whenever it changes. State is O(k) per symbol
+    * regardless of stream length; stale/duplicate deliveries that don't
+    * beat the current k-th are dropped without a state write.
+    *
+    * The leaderboard shape ES serves with top_hits; here it survives
+    * restarts via the checkpointed state store.
+    */
+  def topKUpdates(parsed: DataFrame, k: Int = 5): Dataset[TopKSnapshot] = {
+    require(k > 0)
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    parsed.selectExpr("symbol", "timestamp_ms AS timestampMs",
+        "close_price AS close")
+      .as[CandleEvent]
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (symbol: String, events: Iterator[CandleEvent],
+         state: GroupState[TopKState]) => {
+          val prev = state.getOption.getOrElse(TopKState(Nil)).entries
+          // merge batch into the bounded list: sort desc by (close, -ts)
+          // and keep k — equivalent to folding one-by-one, batch-order
+          // independent (deterministic under replay)
+          val merged = (prev ++ events.map(e => (e.close, e.timestampMs)))
+            .distinct
+            .sortBy { case (c, ts) => (-c, ts) }
+            .take(k)
+          if (merged == prev) Iterator.empty
+          else {
+            state.update(TopKState(merged))
+            merged.iterator.zipWithIndex.map { case ((c, ts), i) =>
+              TopKSnapshot(symbol, i + 1, c, ts)
+            }
+          }
+        })
+  }
+
   /** Per-symbol EMA over the candle stream. Events inside a batch are
     * folded in event-time order (the state machine is order-sensitive, so
     * we sort the group's batch — bounded by trigger size, not stream

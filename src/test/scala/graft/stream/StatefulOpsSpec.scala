@@ -46,4 +46,37 @@ class StatefulOpsSpec extends SparkSpec {
       assert(rows.filter(_._1 == "ETH/USDT").map(_._3).toSeq == Seq(50.0))
     } finally q.stop()
   }
+
+  test("streaming top-k: bounded per-key state, snapshots re-rank on change") {
+    import spark.implicits._
+    val mem = MemoryStream[String](12)(implicitly, spark.sqlContext)
+    val updates = StatefulOps.topKUpdates(
+      OhlcvStreamJob.parse(mem.toDF()), k = 2)
+    val q = updates.writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("topk-ckpt").toString)
+      .format("memory").queryName("topk_out")
+      .start()
+    try {
+      mem.addData(js("BTC/USDT", 1, 100.0), js("BTC/USDT", 2, 90.0),
+        js("BTC/USDT", 3, 95.0))
+      q.processAllAvailable()
+      def snap() = spark.table("topk_out").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+      // batch 1: top-2 of {100,90,95} = [100, 95]
+      assert(snap().filter(_._1 == "BTC/USDT").toSet ==
+        Set(("BTC/USDT", 1, 100.0), ("BTC/USDT", 2, 95.0)), snap().mkString(","))
+      // a close below the current k-th must NOT emit a new snapshot
+      mem.addData(js("BTC/USDT", 4, 80.0))
+      q.processAllAvailable()
+      assert(snap().length == 2, "non-improving event re-emitted state")
+      // a new high re-emits the full ranked snapshot
+      mem.addData(js("BTC/USDT", 5, 120.0))
+      q.processAllAvailable()
+      val last = snap().drop(2)
+      assert(last.toSet == Set(("BTC/USDT", 1, 120.0), ("BTC/USDT", 2, 100.0)),
+        last.mkString(","))
+    } finally q.stop()
+  }
 }
