@@ -84,6 +84,7 @@ object SparkEntry {
     "d5_embedding_bucket_dedup" -> (ExtQueries.d5EmbeddingBucketDedup _),
     "ct1_contamination" -> (ExtQueries.ct1Contamination _),
     "t7_repetition_ratio" -> (ExtQueries.t7RepetitionRatio _),
+    "t8_normalize_stopwords" -> (ExtQueries.t8NormalizeStopwords _),
     "d6_winnow_fingerprints" -> (ExtQueries.d6WinnowFingerprints _),
     "wv1_winnow_subset_shingles" -> (ExtQueries.wv1WinnowSubsetShingles _),
     "d7_winnow_pairs" -> (ExtQueries.d7WinnowPairs _),
@@ -539,6 +540,16 @@ object SparkEntry {
          FROM documents""",
     "wv2_winnow_pairs_subset_exact" ->
       """SELECT doc_id AS doc_a, doc_id AS doc_b FROM documents WHERE FALSE""",
+    "t8_normalize_stopwords" ->
+      """SELECT doc_id,
+                md5(trim(regexp_replace(
+                  regexp_replace(text, '\b(the|a)\b', '', 'g'),
+                  '\s+', ' ', 'g'))) AS md5_norm,
+                len(string_split(text, ' ')) AS n_tokens_before,
+                len(string_split(trim(regexp_replace(
+                  regexp_replace(text, '\b(the|a)\b', '', 'g'),
+                  '\s+', ' ', 'g')), ' ')) AS n_tokens_after
+         FROM documents""",
     "ct1_contamination" ->
       """WITH d AS (SELECT doc_id, substr(md5(text), 1, 2) AS h2, text
                     FROM documents),

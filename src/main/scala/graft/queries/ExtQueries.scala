@@ -215,6 +215,23 @@ object ExtQueries {
       .join(Dedup.prefixJaccardPairs(s, dir, k = 3, jaccardMin = 0.4)
         .select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti")
 
+  /** Canonicalizing text normalization — the step before exact/fingerprint
+    * dedup in a real pipeline (docs differing only in stopwords/spacing
+    * should collide): strip stopwords, collapse whitespace, trim. The
+    * oracle md5s the normalized text, so the transformation must match
+    * DuckDB byte-for-byte — regex-dialect-safe patterns only. Scan-fused,
+    * no shuffle.
+    */
+  def t8NormalizeStopwords(s: SparkSession, dir: String): DataFrame = {
+    val stripped = regexp_replace(col("text"),
+      "\\b(the|a)\\b", "")
+    val collapsed = trim(regexp_replace(stripped, "\\s+", " "))
+    docs(s, dir).select(col("doc_id"),
+      md5(collapsed).as("md5_norm"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens_before"),
+      size(split(collapsed, " ")).cast("long").as("n_tokens_after"))
+  }
+
   /** Vocabulary top-k with term and document frequencies. */
   def v1VocabTopk(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabulary(s, dir, size = 1000)
