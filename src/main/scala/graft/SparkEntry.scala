@@ -544,11 +544,11 @@ object SparkEntry {
       """SELECT doc_id,
                 md5(trim(regexp_replace(
                   regexp_replace(text, '\b(the|a)\b', '', 'g'),
-                  '\s+', ' ', 'g'))) AS md5_norm,
+                  '[ \t\n\r\f]+', ' ', 'g'))) AS md5_norm,
                 len(string_split(text, ' ')) AS n_tokens_before,
                 len(string_split(trim(regexp_replace(
                   regexp_replace(text, '\b(the|a)\b', '', 'g'),
-                  '\s+', ' ', 'g')), ' ')) AS n_tokens_after
+                  '[ \t\n\r\f]+', ' ', 'g')), ' ')) AS n_tokens_after
          FROM documents""",
     "ct1_contamination" ->
       """WITH d AS (SELECT doc_id, substr(md5(text), 1, 2) AS h2, text

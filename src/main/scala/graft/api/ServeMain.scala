@@ -8,13 +8,14 @@ import graft.store.ServingStore
   * equivalent (app.py:246). Serves the six routes over a ServingStore fed
   * by the batch and speed layers.
   *
-  * args: [storeRoot] [port] [modelsDir]
+  * args: [storeRoot] [port] [modelsDir] [poolSize]
   */
 object ServeMain {
   def main(args: Array[String]): Unit = {
     val storeRoot = args.lift(0).getOrElse("/tmp/graft-store")
     val port = args.lift(1).map(_.toInt).getOrElse(8050)
     val modelsDir = args.lift(2)
+    val poolSize = args.lift(3).map(_.toInt).getOrElse(4)
     implicit val spark: SparkSession = SparkSession.builder()
       // spark-submit's --master arrives as the spark.master sysprop and
       // wins; bare `sbt runMain` falls back to local
@@ -24,7 +25,8 @@ object ServeMain {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val httpApi = new HttpApi(new Api(new ServingStore(storeRoot)), modelsDir)
+    val httpApi = new HttpApi(new Api(new ServingStore(storeRoot)), modelsDir,
+      poolSize = poolSize)
     val bound = httpApi.start(port)
     println(s"[serve] listening on :$bound store=$storeRoot models=${modelsDir.getOrElse("-")}")
     Thread.currentThread().join() // serve until killed

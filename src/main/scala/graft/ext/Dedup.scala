@@ -112,14 +112,8 @@ object Dedup {
         col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    val sh = sig.select(col("doc_id"), col("shingle_hashes"))
-    val withSets = cand
-      .join(sh.select(col("doc_id").as("doc_a"),
-        col("shingle_hashes").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"),
-        col("shingle_hashes").as("sh_b")), Seq("doc_b"))
-    jaccardOfSorted(withSets).filter(col("jaccard") >= jaccardMin)
-      .select("doc_a", "doc_b", "jaccard")
+    verifyCandidates(cand, sig.select(col("doc_id"), col("shingle_hashes")),
+      jaccardMin)
   }
 
   /** Connected components over a near-dup pair graph by min-label
@@ -200,6 +194,22 @@ object Dedup {
       .withColumn("jaccard", col("common").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("common")))
 
+  /** Shared exact-verify tail for every candidate generator (MinHash
+    * bands, prefix filter, winnow fingerprints): attach each side's
+    * shingle set once to the deduped candidate pairs, compute exact
+    * Jaccard by linear merge, threshold.
+    */
+  private def verifyCandidates(cand: DataFrame, sets: DataFrame,
+      jaccardMin: Double): DataFrame = {
+    val withSets = cand
+      .join(sets.select(col("doc_id").as("doc_a"),
+        col("shingle_hashes").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"),
+        col("shingle_hashes").as("sh_b")), Seq("doc_b"))
+    jaccardOfSorted(withSets).filter(col("jaccard") >= jaccardMin)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Exact n-gram Jaccard pairs via PREFIX FILTERING (Chaudhuri et al.
     * SSJoin 2006 / Bayardo et al. AllPairs 2007) — the scale-safe exact
     * set-similarity join. Provably complete, no all-pairs step:
@@ -265,14 +275,8 @@ object Dedup {
     val cand = ordered.alias("l").join(ordered.alias("r"), joinCond)
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    val sets = sh.select(col("doc_id"), col("shingle_hashes"))
-    val withSets = cand
-      .join(sets.select(col("doc_id").as("doc_a"),
-        col("shingle_hashes").as("sh_a")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"),
-        col("shingle_hashes").as("sh_b")), Seq("doc_b"))
-    jaccardOfSorted(withSets).filter(col("jaccard") >= jaccardMin)
-      .select("doc_a", "doc_b", "jaccard")
+    verifyCandidates(cand, sh.select(col("doc_id"), col("shingle_hashes")),
+      jaccardMin)
   }
 
   /** Near-dup pair mining over winnowing fingerprints: docs sharing ANY
@@ -304,14 +308,8 @@ object Dedup {
     val cand = fp.alias("l").join(fp.alias("r"), joinCond)
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    val sets = sh.select(col("doc_id"), col("shingle_hashes"))
-    val withSets = cand
-      .join(sets.select(col("doc_id").as("doc_a"),
-        col("shingle_hashes").as("sh_a")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"),
-        col("shingle_hashes").as("sh_b")), Seq("doc_b"))
-    jaccardOfSorted(withSets).filter(col("jaccard") >= jaccardMin)
-      .select("doc_a", "doc_b", "jaccard")
+    verifyCandidates(cand, sh.select(col("doc_id"), col("shingle_hashes")),
+      jaccardMin)
   }
 
   /** Exact n-gram Jaccard similarity for a bounded candidate set (here:

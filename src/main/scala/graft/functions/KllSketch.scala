@@ -22,14 +22,17 @@ import org.apache.spark.sql.types._
   * aggregate buffer.
   *
   * DELIBERATE deviation: the compaction coin (keep odd vs even positions)
-  * is a deterministic alternator, not a random bit. Spark may re-run
-  * tasks; a nondeterministic aggregate yields different answers across
-  * retries of the same partition, which breaks result reproducibility
-  * and the driver's hash-compare gate. The alternating coin keeps KLL's
-  * expected-error behavior on non-adversarial data (each compaction's
-  * rank drift still cancels in expectation across compactions) at the
-  * cost of the worst-case adversarial bound — the right trade for a
-  * deterministic engine; the kq1v invariant pins the observed error.
+  * is a deterministic alternator, not a random bit, so a retried MAP task
+  * re-produces its partial buffer bit-for-bit (a random coin gives a
+  * different sketch per attempt). Honest scope: the FINAL estimate still
+  * depends on the order partial buffers merge, and reduce-side fetch
+  * order is not deterministic in cluster mode — no KLL variant is
+  * merge-order-insensitive, randomized ones included; the alternator
+  * removes the per-task randomness and leaves the rank-error bound to
+  * cover merge-order variation (the kq1v invariant's ±8% slack is ~4×
+  * the observed error, so reordering cannot flip it). On local[n] and
+  * single-stage aggregations the result is fully reproducible (pinned by
+  * the determinism test).
   *
   * Error scale: rank error ≈ O(1/k) of n. k=200 gives ~1% observed on
   * uniform/skewed data at the tested scales.

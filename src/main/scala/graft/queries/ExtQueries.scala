@@ -225,7 +225,9 @@ object ExtQueries {
   def t8NormalizeStopwords(s: SparkSession, dir: String): DataFrame = {
     val stripped = regexp_replace(col("text"),
       "\\b(the|a)\\b", "")
-    val collapsed = trim(regexp_replace(stripped, "\\s+", " "))
+    // explicit whitespace class, not \s: Java's \s includes vertical tab,
+    // RE2's (DuckDB) does not — \x0B in a document would break md5 parity
+    val collapsed = trim(regexp_replace(stripped, "[ \\t\\n\\r\\f]+", " "))
     docs(s, dir).select(col("doc_id"),
       md5(collapsed).as("md5_norm"),
       size(split(col("text"), " ")).cast("long").as("n_tokens_before"),

@@ -183,9 +183,13 @@ class ServingStoreSpec extends SparkSpec {
     import spark.implicits._
     import graft.schema.Schemas.Tables
     val store = new ServingStore(tmp("janitor-store"))
-    // chart: two day-partitions, one past retention
+    // chart: the production topology — append-log-partitioned with a
+    // replayed micro-batch (duplicate doc_id) and one expired partition
     store.appendLogPartitioned(Tables.ChartData, Seq(
       ("a", "2024-06-01", 1.0), ("b", "2024-06-03", 2.0))
+      .toDF("doc_id", "dt", "v"), "dt")
+    store.appendLogPartitioned(Tables.ChartData, Seq(
+      ("b", "2024-06-03", 2.0), ("c", "2024-06-03", 3.0))
       .toDF("doc_id", "dt", "v"), "dt")
     // latest: plain append log with a replayed row
     store.appendLog(Tables.Latest, Seq(("BTC", 1.0), ("BTC", 1.0))
@@ -195,9 +199,11 @@ class ServingStoreSpec extends SparkSpec {
     store.appendLogVersioned(Tables.Stats, Seq(("w1", 2.0)).toDF("doc_id", "v"), 2L)
     JanitorMain.run(store,
       java.time.Instant.parse("2024-06-03T01:00:00Z"), keepHours = 2)
-    assert(store.table(Tables.ChartData).select("dt").collect()
-      .map(r => String.valueOf(r.get(0))).toSeq == Seq("2024-06-03"),
-      "expired partition survived retention")
+    val chart = store.table(Tables.ChartData).collect()
+    assert(chart.map(r => String.valueOf(r.getAs[Any]("dt"))).distinct.toSeq ==
+      Seq("2024-06-03"), "expired partition survived retention")
+    assert(chart.map(_.getAs[String]("doc_id")).sorted.toSeq == Seq("b", "c"),
+      "replayed chart rows survived compaction")
     assert(store.table(Tables.Latest).count() == 1,
       "replayed log row survived compaction")
     val statsRows = store.table(Tables.Stats).collect()
