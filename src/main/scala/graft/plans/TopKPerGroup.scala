@@ -65,6 +65,12 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
 
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numGroups" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of groups"))
+
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
 
@@ -74,6 +80,8 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
     val g = groupExprs
     val ord = order
     val kk = k
+    val outRows = longMetric("numOutputRows")
+    val outGroups = longMetric("numGroups")
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(g, childOutput)
       // generated (executor-side) comparator implementing the SortOrder;
@@ -96,7 +104,11 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
         }
       }
       import scala.jdk.CollectionConverters._
-      heaps.values.iterator().asScala.flatMap(_.iterator().asScala)
+      outGroups += heaps.size()
+      heaps.values.iterator().asScala.flatMap { h =>
+        outRows += h.size()
+        h.iterator().asScala
+      }
     }, preservesPartitioning = true)
   }
 }
