@@ -127,4 +127,54 @@ object OhlcvBatchJob {
       n
     } finally { cached.unpersist() }
   }
+
+  /** Incremental run: process only candles NEWER than the store's
+    * per-(symbol, timeframe) frontier (the reference re-reads everything
+    * hourly and relies on upsert idempotency, batch_processor.py — at
+    * 100 TB that is an O(history) scan per hour; the A6 frontier query
+    * exists precisely to avoid it, hourly_updater.py:70-97).
+    *
+    * The SMA row frames need the 29 candles BEFORE each new row, so the
+    * stored tail (last 29 rows per key — row_number over the serving
+    * table, not a time-based guess that row frames would disagree with on
+    * gappy feeds) is unioned in for the window pass and dropped before
+    * the upsert. Result is row-identical to a full recompute; the work is
+    * O(new + 29·keys), not O(history). At scale the raw scan itself
+    * prunes by date-partitioned landing dirs; here the frontier
+    * anti-filter does the pruning after the (broadcast) frontier join.
+    */
+  def runIncremental(spark: SparkSession, paths: Seq[String],
+      store: ServingStore): Long = {
+    if (!store.exists(Schemas.Tables.Historical))
+      return run(spark, paths, store)
+    val hist = store.table(Schemas.Tables.Historical)
+    val frontier = hist.groupBy("symbol", "timeframe")
+      .agg(max("timestamp").as("_frontier"))
+    val wTail = Window.partitionBy("symbol", "timeframe")
+      .orderBy(col("timestamp").desc)
+    val tail = hist
+      .withColumn("_rn", row_number().over(wTail))
+      .filter(col("_rn") <= 29)
+      .select(col("timestamp").cast(TimestampType).as("timestamp_dt"),
+        col("timestamp"), col("symbol"), col("timeframe"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+    val fresh = normalize(extractMetadata(scanRaw(spark, paths)))
+      .join(broadcast(frontier), Seq("symbol", "timeframe"), "left")
+      .filter(col("_frontier").isNull || col("timestamp") > col("_frontier"))
+      .drop("_frontier")
+    val features = withDocId(withSmaFeatures(tail.unionByName(fresh)))
+      // tail rows re-enter the window only as lookback: their own SMA is
+      // truncated here, so they must not be re-upserted
+      .join(broadcast(frontier), Seq("symbol", "timeframe"), "left")
+      .filter(col("_frontier").isNull || col("timestamp") > col("_frontier"))
+      .select("timestamp", "symbol", "timeframe",
+        "open", "high", "low", "close", "volume", "sma_7", "sma_30", "doc_id")
+    if (features.isEmpty) return 0L
+    val cached = features.cache()
+    try {
+      val n = cached.count()
+      store.upsert(Schemas.Tables.Historical, "doc_id", cached)
+      n
+    } finally { cached.unpersist() }
+  }
 }

@@ -111,6 +111,45 @@ class OhlcvBatchJobSpec extends SparkSpec {
     assert(store.table(Schemas.Tables.Historical).count() == 26)
   }
 
+  test("incremental run equals full recompute, touching only new rows") {
+    implicit val s = spark
+    val t0 = 1717200000000L
+    val all = FixtureGen.candles("BTC_USDT", t0, 3600000L, 100)
+    val eth = FixtureGen.candles("ETH_USDT", t0, 3600000L, 50)
+
+    // full recompute over everything = ground truth
+    val fullDir = tmpDir("inc-full-raw")
+    FixtureGen.writeCsv(fullDir, "BTC_USDT_1h.csv", all)
+    FixtureGen.writeCsv(fullDir, "ETH_USDT_1h.csv", eth)
+    val fullStore = new ServingStore(tmpDir("inc-full-store"))
+    OhlcvBatchJob.run(spark, Seq(fullDir), fullStore)
+
+    // incremental: first 60 BTC / 50 ETH candles, then the full files land
+    val firstDir = tmpDir("inc-first-raw")
+    FixtureGen.writeCsv(firstDir, "BTC_USDT_1h.csv", all.take(60))
+    FixtureGen.writeCsv(firstDir, "ETH_USDT_1h.csv", eth)
+    val incStore = new ServingStore(tmpDir("inc-store"))
+    OhlcvBatchJob.run(spark, Seq(firstDir), incStore)
+    val n = OhlcvBatchJob.runIncremental(spark, Seq(fullDir), incStore)
+    assert(n == 40, s"only the 40 new BTC candles should be processed, got $n")
+
+    def snapshot(st: ServingStore) = st.table(Schemas.Tables.Historical)
+      .collect().map(r => (r.getAs[String]("doc_id"),
+        r.getAs[Double]("sma_7"), r.getAs[Double]("sma_30"),
+        r.getAs[Double]("close"))).sortBy(_._1)
+    val (f, i) = (snapshot(fullStore), snapshot(incStore))
+    assert(f.length == 150 && i.length == 150)
+    // EXACT equality incl. SMA values: the stored tail supplies the same
+    // 29-row lookback the full window pass sees
+    assert(f.sameElements(i), "incremental diverged from full recompute")
+
+    // nothing new → no-op
+    assert(OhlcvBatchJob.runIncremental(spark, Seq(fullDir), incStore) == 0L)
+    // empty store → falls back to a full run
+    val freshStore = new ServingStore(tmpDir("inc-fresh-store"))
+    assert(OhlcvBatchJob.runIncremental(spark, Seq(fullDir), freshStore) == 150)
+  }
+
   test("run on empty input writes nothing") {
     implicit val s = spark
     val store = new ServingStore(tmpDir("ohlcv-empty-store"))
