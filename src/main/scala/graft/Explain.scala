@@ -16,7 +16,8 @@ object Explain {
         "w1_rolling_sma", "q1_lineitem_agg", "q3_shipping_priority",
         "e1_cosine_topk", "x3_minhash_lsh_pairs", "a2_window_stats",
         "aj1_asof_join", "rj1_interval_join", "d3_ngram_jaccard_pairs",
-        "e2_cosine_neardup_pairs", "x8_ivf_topk", "w10_grouped_topk")
+        "e2_cosine_neardup_pairs", "x8_ivf_topk", "w10_grouped_topk",
+        "ct1_contamination", "d7_winnow_pairs", "c4_group_sample")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
