@@ -61,5 +61,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => WinnowFingerprints(args(0),
         intArg(args(1), "winnow_fingerprints"),
         intArg(args(2), "winnow_fingerprints"))))
+    ext.injectFunction((
+      new FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[graft.functions.KllSketch.Agg].getName, "kll_quantile"),
+      (args: Seq[Expression]) => {
+        // SQL literals arrive as decimal or cast-wrapped — any foldable
+        // numeric works
+        val q = args(1) match {
+          case e if e.foldable => e.eval() match {
+            case d: Double => d
+            case f: Float => f.toDouble
+            case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+            case n: java.lang.Number => n.doubleValue()
+            case other => throw new IllegalArgumentException(
+              s"kll_quantile expects a numeric quantile, got $other")
+          }
+          case other => throw new IllegalArgumentException(
+            s"kll_quantile expects a literal quantile, got $other")
+        }
+        graft.functions.KllSketch.Agg(args(0), intArg(args(2), "kll_quantile"), q)
+          .toAggregateExpression()
+      }))
   }
 }

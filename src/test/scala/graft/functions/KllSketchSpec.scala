@@ -48,6 +48,38 @@ class KllSketchSpec extends SparkSpec {
     assert(run() == run(), "retry/replay must reproduce the estimate")
   }
 
+  test("works inside a streaming windowed aggregation (state-store buffers)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(java.sql.Timestamp, Double)](21)(
+      implicitly, spark.sqlContext)
+    val q = mem.toDF().toDF("ts", "v")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(KllSketch.kllQuantile(col("v"), 0.5, 50).as("med"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("kll-ckpt").toString)
+      .format("memory").queryName("kll_out")
+      .start()
+    try {
+      val t0 = 1717200000000L
+      def ts(s: Int) = new java.sql.Timestamp(t0 + s * 1000L)
+      // two batches into the same window: the sketch buffer must
+      // serialize into the state store and merge across batches
+      mem.addData((1 to 50).map(i => (ts(i), i.toDouble)): _*)
+      q.processAllAvailable()
+      mem.addData((51 to 100).map(i => (ts(i), i.toDouble)): _*)
+      q.processAllAvailable()
+      val meds = spark.table("kll_out").collect().map(_.getDouble(1))
+      assert(meds.nonEmpty)
+      val last = meds.last
+      // median of 1..100 with k=50 sketch: generous rank slack
+      assert(math.abs(last - 50.0) <= 12, s"streaming median off: $last")
+    } finally q.stop()
+  }
+
   test("serde round-trips the buffer (shuffle path)") {
     val agg = KllSketch.Agg(
       org.apache.spark.sql.catalyst.expressions.Literal(1.0), 50, 0.5)

@@ -46,6 +46,31 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(5) == 2L)
   }
 
+  test("winnow_fingerprints and kll_quantile callable from SQL") {
+    val r = spark.sql(
+      """SELECT size(winnow_fingerprints('abcdefghijklmnop', 3, 4)) AS n_fp
+      """).collect()(0)
+    assert(r.getInt(0) >= 1 && r.getInt(0) <= 11)
+    val agg = spark.sql(
+      """SELECT kll_quantile(v, CAST(0.5 AS DOUBLE), 100) AS med
+         FROM (SELECT explode(sequence(1, 1000)) AS v)""").collect()(0)
+    assert(math.abs(agg.getDouble(0) - 500.0) <= 50, s"SQL median: $agg")
+  }
+
+  test("SQL row_number<=k queries plan through the heap operator") {
+    spark.range(0, 1000).selectExpr("id % 7 AS g", "id", "id * 37 % 1000 AS v")
+      .createOrReplaceTempView("rnk_t")
+    val q = spark.sql(
+      """SELECT g, id, v FROM (
+           SELECT g, id, v, row_number() OVER (
+             PARTITION BY g ORDER BY v DESC, id) AS rn
+           FROM rnk_t) WHERE rn <= 3""")
+    assert(q.queryExecution.optimizedPlan.collectFirst {
+      case t: TopKPerGroupPlan => t }.isDefined,
+      s"SQL idiom not rewritten:\n${q.queryExecution.optimizedPlan}")
+    assert(q.count() == 21)
+  }
+
   test("non-literal k is rejected with a clear error") {
     val e = intercept[Throwable] {
       spark.sql("SELECT shingle_hashes('abc', length('xx'))").collect()
