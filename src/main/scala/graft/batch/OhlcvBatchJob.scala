@@ -131,17 +131,29 @@ object OhlcvBatchJob {
   /** Incremental run: process only candles NEWER than the store's
     * per-(symbol, timeframe) frontier (the reference re-reads everything
     * hourly and relies on upsert idempotency, batch_processor.py — at
-    * 100 TB that is an O(history) scan per hour; the A6 frontier query
-    * exists precisely to avoid it, hourly_updater.py:70-97).
+    * 100 TB that is an O(raw-history) rescan + feature recompute per
+    * hour; the A6 frontier query exists precisely to avoid it,
+    * hourly_updater.py:70-97).
     *
     * The SMA row frames need the 29 candles BEFORE each new row, so the
-    * stored tail (last 29 rows per key — row_number over the serving
-    * table, not a time-based guess that row frames would disagree with on
-    * gappy feeds) is unioned in for the window pass and dropped before
-    * the upsert. Result is row-identical to a full recompute; the work is
-    * O(new + 29·keys), not O(history). At scale the raw scan itself
-    * prunes by date-partitioned landing dirs; here the frontier
-    * anti-filter does the pruning after the (broadcast) frontier join.
+    * stored tail (last 29 rows per key via the bounded-heap top-k
+    * operator — row-count-based, not a time-based guess that row frames
+    * would disagree with on gappy feeds) is unioned in for the window
+    * pass and dropped before the upsert.
+    *
+    * Cost honestly: the SAVINGS are the raw-history scan + window
+    * recompute (now O(new + 29·keys)); the store-side passes (frontier
+    * agg, tail top-k, upsert's anti-join merge) remain O(store) per run —
+    * columnar and heap-bounded, but a full-table rewrite in the merge
+    * (move to [[ServingStore.upsertPartitioned]] with a date partition to
+    * bound that too).
+    *
+    * ASSUMES in-order arrival per key (true of the reference's crawler,
+    * which pages forward from the frontier): a backfill BELOW the
+    * frontier — a re-delivered gap candle — is dropped by the frontier
+    * filter, and the SMAs of stored rows after the gap keep their
+    * gap-blind values. Backfills require a full [[run]] (which this
+    * method equals row-for-row whenever arrival is in order — tested).
     */
   def runIncremental(spark: SparkSession, paths: Seq[String],
       store: ServingStore): Long = {
@@ -150,23 +162,23 @@ object OhlcvBatchJob {
     val hist = store.table(Schemas.Tables.Historical)
     val frontier = hist.groupBy("symbol", "timeframe")
       .agg(max("timestamp").as("_frontier"))
-    val wTail = Window.partitionBy("symbol", "timeframe")
-      .orderBy(col("timestamp").desc)
-    val tail = hist
-      .withColumn("_rn", row_number().over(wTail))
-      .filter(col("_rn") <= 29)
-      .select(col("timestamp").cast(TimestampType).as("timestamp_dt"),
-        col("timestamp"), col("symbol"), col("timeframe"),
-        col("open"), col("high"), col("low"), col("close"), col("volume"))
-    val fresh = normalize(extractMetadata(scanRaw(spark, paths)))
+    def newerThanFrontier(df: DataFrame): DataFrame = df
       .join(broadcast(frontier), Seq("symbol", "timeframe"), "left")
       .filter(col("_frontier").isNull || col("timestamp") > col("_frontier"))
       .drop("_frontier")
-    val features = withDocId(withSmaFeatures(tail.unionByName(fresh)))
-      // tail rows re-enter the window only as lookback: their own SMA is
-      // truncated here, so they must not be re-upserted
-      .join(broadcast(frontier), Seq("symbol", "timeframe"), "left")
-      .filter(col("_frontier").isNull || col("timestamp") > col("_frontier"))
+    // timestamps are unique per key (doc_id is keyed on them), so no
+    // tiebreak column is needed for determinism
+    val tail = graft.plans.TopKPerGroup.topK(hist,
+        Seq("symbol", "timeframe"), "timestamp", 29, desc = true)
+      .select(col("timestamp").cast(TimestampType).as("timestamp_dt"),
+        col("timestamp"), col("symbol"), col("timeframe"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+    val fresh = newerThanFrontier(
+      normalize(extractMetadata(scanRaw(spark, paths))))
+    // tail rows re-enter the window only as lookback: their own SMA is
+    // truncated here, so they must not be re-upserted
+    val features = newerThanFrontier(
+      withDocId(withSmaFeatures(tail.unionByName(fresh))))
       .select("timestamp", "symbol", "timeframe",
         "open", "high", "low", "close", "volume", "sma_7", "sma_30", "doc_id")
     if (features.isEmpty) return 0L

@@ -143,6 +143,10 @@ object KllSketch {
   case class Agg(child: Expression, k: Int, q: Double,
       mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Buffer] {
+    require(q >= 0.0 && q <= 1.0,
+      s"quantile must be in [0, 1], got $q (out-of-range values would " +
+      "silently clamp to min/max)")
+    require(k >= 8, s"sketch size k must be >= 8, got $k")
 
     override def createAggregationBuffer(): Buffer = new Buffer(k)
 

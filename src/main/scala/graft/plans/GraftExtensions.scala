@@ -65,6 +65,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("kll_quantile"),
       new ExpressionInfo(classOf[graft.functions.KllSketch.Agg].getName, "kll_quantile"),
       (args: Seq[Expression]) => {
+        if (args.length < 2 || args.length > 3)
+          throw new IllegalArgumentException(
+            "kll_quantile(col, quantile[, k]) takes 2 or 3 arguments, got " +
+              args.length)
         // SQL literals arrive as decimal or cast-wrapped — any foldable
         // numeric works
         val q = args(1) match {
@@ -79,8 +83,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"kll_quantile expects a literal quantile, got $other")
         }
-        graft.functions.KllSketch.Agg(args(0), intArg(args(2), "kll_quantile"), q)
-          .toAggregateExpression()
+        val k = if (args.length == 3) intArg(args(2), "kll_quantile") else 200
+        graft.functions.KllSketch.Agg(args(0), k, q).toAggregateExpression()
       }))
   }
 }
