@@ -46,6 +46,7 @@ object SparkEntry {
     "j4_anti_join" -> (CoreQueries.j4AntiJoin _),
     "u1_union_all" -> (CoreQueries.u1UnionAll _),
     "q3_shipping_priority" -> (CoreQueries.q3ShippingPriority _),
+    "q5_local_supplier_volume" -> (CoreQueries.q5LocalSupplierVolume _),
     "r1_rollup" -> (CoreQueries.r1Rollup _),
     "cd1_count_distinct" -> (CoreQueries.cd1CountDistinct _),
     "x7_approx_distinct" -> (CoreQueries.x7ApproxDistinct _),
@@ -356,6 +357,22 @@ object SparkEntry {
            AND l_shipdate >= TIMESTAMP '2000-08-01 00:00:00'
          GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q5_local_supplier_volume" ->
+      """SELECT n_name,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                  AS revenue
+         FROM region
+         JOIN nation ON r_regionkey = n_regionkey
+         JOIN supplier ON n_nationkey = s_nationkey
+         JOIN lineitem ON s_suppkey = l_suppkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND c_nationkey = s_nationkey
+         GROUP BY n_name""",
     "r1_rollup" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
                 count(*) AS cnt

@@ -316,6 +316,28 @@ object CoreQueries {
       .orderBy(desc("revenue"), col("l_orderkey"))
       .limit(10)
 
+  /** TPC-H Q5 shape (local supplier volume): the 6-table join chain —
+    * region→nation broadcast down the dim hierarchy, customer⋈orders⋈
+    * lineitem⋈supplier keyed hash joins with AQE picking build sides, the
+    * co-nation constraint (c_nationkey = s_nationkey) applied as a post-
+    * join filter. The canonical join-ORDER stressor: start from the most
+    * selective dim (one region) and let the filter flow down.
+    */
+  def q5LocalSupplierVolume(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "region").filter(col("r_name") === "ASIA")
+      .join(broadcast(t(s, dir, "nation")),
+        col("r_regionkey") === col("n_regionkey"))
+      .join(t(s, dir, "supplier"), col("n_nationkey") === col("s_nationkey"))
+      .join(t(s, dir, "lineitem"), col("s_suppkey") === col("l_suppkey"))
+      .join(t(s, dir, "orders").filter(
+          col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(discPrice).cast("double").as("revenue"))
+
   /** ROLLUP grouping sets over the Q1 dimensions — subtotals + grand total
     * in one pass (Expand + partial agg, still a single shuffle).
     */
