@@ -29,4 +29,21 @@ class SqlSurfaceSpec extends SparkSpec {
       .agg(sum("l_quantity")).collect()(0).getDouble(0)
     assert(sqlRes == dfRes)
   }
+
+  test("driver contract wiring: oracles reference declared queries only") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    val orphans = os -- qs
+    assert(orphans.isEmpty,
+      s"oracleSql keys with no queries entry (the driver would never run " +
+      s"them): ${orphans.mkString(", ")}")
+    // every declared query must resolve and build a plan at sf0.001
+    // (catches a renamed column or a bad table reference at test time,
+    // not in the driver's correctness run)
+    val dir = sf("sf0.001")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, dir)
+      assert(df.schema.fields.nonEmpty, s"$name produced an empty schema")
+    }
+  }
 }
