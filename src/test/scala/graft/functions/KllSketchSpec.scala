@@ -80,6 +80,14 @@ class KllSketchSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quantile estimates are monotone in q") {
+    val b = new KllSketch.Buffer(100)
+    val rnd = new scala.util.Random(3)
+    (1 to 30000).foreach(_ => b.insert(rnd.nextGaussian() * 100))
+    val qs = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99).map(b.quantile)
+    assert(qs == qs.sorted, s"non-monotone quantiles: $qs")
+  }
+
   test("serde round-trips the buffer (shuffle path)") {
     val agg = KllSketch.Agg(
       org.apache.spark.sql.catalyst.expressions.Literal(1.0), 50, 0.5)

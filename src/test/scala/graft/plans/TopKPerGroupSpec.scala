@@ -135,6 +135,17 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(!hasTopK(hugeQ), "rewrote an unboundedly large k")
   }
 
+  test("k >= group size returns whole groups; empty input returns nothing") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (2L, 3L, 3.0))
+      .toDF("g", "id", "v")
+    assert(TopKPerGroup.topK(df, Seq("g"), "v", 100,
+      tiebreakCols = Seq("id")).count() == 3)
+    val empty = df.filter(col("g") < 0)
+    assert(TopKPerGroup.topK(empty, Seq("g"), "v", 3,
+      tiebreakCols = Seq("id")).count() == 0)
+  }
+
   test("float group keys: -0.0 and 0.0 land in one group (normalized)") {
     import spark.implicits._
     val df = Seq((0.0, 1L, 5.0), (-0.0, 2L, 4.0), (0.0, 3L, 3.0),
