@@ -89,6 +89,7 @@ object SparkEntry {
     "d6_winnow_fingerprints" -> (ExtQueries.d6WinnowFingerprints _),
     "wv1_winnow_subset_shingles" -> (ExtQueries.wv1WinnowSubsetShingles _),
     "d7_winnow_pairs" -> (ExtQueries.d7WinnowPairs _),
+    "d8_simhash_pairs" -> (ExtQueries.d8SimhashPairs _),
     "wv2_winnow_pairs_subset_exact" -> (ExtQueries.wv2WinnowPairsSubsetExact _),
     "v1_vocab_topk" -> (ExtQueries.v1VocabTopk _),
     "t5_tfidf_top_terms" -> (ExtQueries.t5TfidfTopTerms _),

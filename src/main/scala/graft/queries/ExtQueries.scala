@@ -277,6 +277,13 @@ object ExtQueries {
   def x2SimhashSketches(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashes(s, dir)
 
+  /** SimHash banded near-dup pairs (Hamming ≤ 3, pigeonhole-complete via
+    * four 16-bit bands) — the Hamming-metric sibling of d3/d7; pair
+    * quality is ScalaTest-verified on planted near-dups, so rows-only.
+    */
+  def d8SimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(s, dir, maxDist = 3)
+
   /** MinHash LSH candidate pairs with exact-Jaccard verify. */
   def x3MinhashLshPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(s, dir, k = 5, numHashes = 32, bands = 8,
