@@ -47,6 +47,7 @@ object SparkEntry {
     "u1_union_all" -> (CoreQueries.u1UnionAll _),
     "q3_shipping_priority" -> (CoreQueries.q3ShippingPriority _),
     "q5_local_supplier_volume" -> (CoreQueries.q5LocalSupplierVolume _),
+    "sq1_correlated_subquery" -> (CoreQueries.sq1CorrelatedSubquery _),
     "r1_rollup" -> (CoreQueries.r1Rollup _),
     "cd1_count_distinct" -> (CoreQueries.cd1CountDistinct _),
     "x7_approx_distinct" -> (CoreQueries.x7ApproxDistinct _),
@@ -374,6 +375,12 @@ object SparkEntry {
            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
            AND c_nationkey = s_nationkey
          GROUP BY n_name""",
+    "sq1_correlated_subquery" ->
+      """SELECT c_custkey, c_nationkey
+         FROM customer c
+         WHERE c_acctbal > (SELECT avg(CAST(c_acctbal AS DECIMAL(12,2)))
+                            FROM customer c2
+                            WHERE c2.c_nationkey = c.c_nationkey)""",
     "r1_rollup" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
                 count(*) AS cnt

@@ -338,6 +338,24 @@ object CoreQueries {
       .groupBy("n_name")
       .agg(sum(discPrice).cast("double").as("revenue"))
 
+  /** Correlated scalar subquery through the SQL front-end: customers
+    * richer than their nation's average balance. Catalyst decorrelates
+    * the subquery into an aggregate + join (RewriteCorrelatedScalarSubquery)
+    * — one nation-keyed agg, one join, no per-row re-execution. The
+    * average is computed in the DECIMAL domain so the strict `>` compares
+    * exact values on both engines (double averages are summation-order-
+    * dependent and could flip boundary rows).
+    */
+  def sq1CorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("sq1_customer")
+    s.sql(
+      """SELECT c_custkey, c_nationkey
+         FROM sq1_customer c
+         WHERE c_acctbal > (SELECT avg(CAST(c_acctbal AS DECIMAL(12,2)))
+                            FROM sq1_customer c2
+                            WHERE c2.c_nationkey = c.c_nationkey)""")
+  }
+
   /** ROLLUP grouping sets over the Q1 dimensions — subtotals + grand total
     * in one pass (Expand + partial agg, still a single shuffle).
     */
