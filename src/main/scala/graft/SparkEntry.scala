@@ -48,6 +48,7 @@ object SparkEntry {
     "q3_shipping_priority" -> (CoreQueries.q3ShippingPriority _),
     "q5_local_supplier_volume" -> (CoreQueries.q5LocalSupplierVolume _),
     "sq1_correlated_subquery" -> (CoreQueries.sq1CorrelatedSubquery _),
+    "sq2_exists_subquery" -> (CoreQueries.sq2ExistsSubquery _),
     "r1_rollup" -> (CoreQueries.r1Rollup _),
     "cd1_count_distinct" -> (CoreQueries.cd1CountDistinct _),
     "x7_approx_distinct" -> (CoreQueries.x7ApproxDistinct _),
@@ -381,6 +382,12 @@ object SparkEntry {
          WHERE c_acctbal > (SELECT avg(CAST(c_acctbal AS DECIMAL(12,2)))
                             FROM customer c2
                             WHERE c2.c_nationkey = c.c_nationkey)""",
+    "sq2_exists_subquery" ->
+      """SELECT c_custkey, c_mktsegment
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 400000)""",
     "r1_rollup" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
                 count(*) AS cnt

@@ -356,6 +356,20 @@ object CoreQueries {
                             WHERE c2.c_nationkey = c.c_nationkey)""")
   }
 
+  /** Correlated EXISTS through the SQL front-end — decorrelates to a
+    * left-semi hash join (the SQL twin of j3's DataFrame `left_semi`).
+    */
+  def sq2ExistsSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("sq2_customer")
+    t(s, dir, "orders").createOrReplaceTempView("sq2_orders")
+    s.sql(
+      """SELECT c_custkey, c_mktsegment
+         FROM sq2_customer c
+         WHERE EXISTS (SELECT 1 FROM sq2_orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 400000)""")
+  }
+
   /** ROLLUP grouping sets over the Q1 dimensions — subtotals + grand total
     * in one pass (Expand + partial agg, still a single shuffle).
     */
