@@ -142,11 +142,18 @@ object KllSketch {
 
   case class Agg(child: Expression, k: Int, q: Double,
       mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Buffer] {
+    extends TypedImperativeAggregate[Buffer]
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
     require(q >= 0.0 && q <= 1.0,
       s"quantile must be in [0, 1], got $q (out-of-range values would " +
       "silently clamp to min/max)")
     require(k >= 8, s"sketch size k must be >= 8, got $k")
+
+    // analysis-time type check: a non-numeric column fails with a clear
+    // AnalysisException instead of a mid-job NumberFormatException on
+    // executors (strings are implicit-cast candidates per ANSI rules, same
+    // as avg/sum)
+    override def inputTypes = GraftBridge.numericInputTypes
 
     override def createAggregationBuffer(): Buffer = new Buffer(k)
 
@@ -155,8 +162,11 @@ object KllSketch {
       if (v != null) b.insert(v match {
         case d: Double => d
         case f: Float => f.toDouble
+        case dec: Decimal => dec.toDouble
         case n: java.lang.Number => n.doubleValue()
-        case other => other.toString.toDouble
+        case other => throw new IllegalStateException(
+          s"kll_quantile: non-numeric input ${other.getClass.getName} " +
+          "escaped the analysis-time type check")
       })
       b
     }

@@ -77,6 +77,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             case f: Float => f.toDouble
             case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
             case n: java.lang.Number => n.doubleValue()
+            case null => throw new IllegalArgumentException(
+              "kll_quantile expects a non-null quantile literal, got NULL")
             case other => throw new IllegalArgumentException(
               s"kll_quantile expects a numeric quantile, got $other")
           }

@@ -1,5 +1,8 @@
 package graft.plans
 
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, File, FileInputStream, FileOutputStream}
+
+import org.apache.spark.TaskContext
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -8,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 
 /** Whole-operator Catalyst extension: top-k rows per group with bounded
   * heaps, the (c)-tier custom operator of the build plan (logical node +
@@ -27,13 +31,30 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   *     aggregation gives hash aggregates;
   *   - final pass (reduce side, after the group-keyed exchange inserted by
   *     `requiredChildDistribution`): re-heap the ≤ k·partitions survivors,
-  *     emit the true top k.
+  *     emit the true top k, sorted best-first within each group.
   *
-  * O(n log k) comparisons total, no sort, no WindowExec. Memory is
-  * O(groups-per-partition × k rows) — bounded-cardinality groups are
-  * assumed (the serving top-k use case; cf. ES terms aggs with fixed
-  * `size`). A spilling fallback for adversarial group counts would swap
-  * the hash map for Spark's ExternalAppendOnlyMap; not needed here.
+  * O(n log k) comparisons total, no sort, no WindowExec.
+  *
+  * Memory safety for adversarial group cardinality (high-cardinality
+  * partition keys, e.g. top-k per user_id) — the heap map is NOT allowed
+  * to grow without bound; past `spark.graft.topk.spill.threshold.rows`
+  * retained heap rows per task:
+  *
+  *   - the partial pass FLUSHES: emits its current heaps downstream and
+  *     clears the map. Always correct (the final pass re-reduces), merely
+  *     weakens the map-side contraction for the flushed groups — the same
+  *     trade partial hash aggregation makes when its map fills;
+  *   - the final pass SPILLS: writes the map as a run file sorted by
+  *     group-key bytes, clears, continues; on emit it streams a k-way
+  *     merge of the spilled runs plus the in-memory remainder, one group
+  *     at a time (O(runs × k) rows in memory). UnsafeRow binary equality
+  *     is value equality for grouping keys (the hash map already relies
+  *     on it), so byte order is a valid — if arbitrary — total order to
+  *     merge on.
+  *
+  * Output ordering: rows WITHIN a group are emitted best-first (the window
+  * order), matching what the row_number formulation's WindowExec produced;
+  * the order OF groups is unspecified, like any hash-based operator.
   *
   * Semantics exactly match the row_number formulation when `order` ends
   * with a unique tiebreak column (ties at rank k are otherwise broken
@@ -66,10 +87,10 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
     else ClusteredDistribution(groupExprs) :: Nil
 
   override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
-    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
-      .createMetric(sparkContext, "number of output rows"),
-    "numGroups" -> org.apache.spark.sql.execution.metric.SQLMetrics
-      .createMetric(sparkContext, "number of groups"))
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numGroups" -> SQLMetrics.createMetric(sparkContext, "number of groups"),
+    "spillCount" -> SQLMetrics.createMetric(sparkContext,
+      if (partial) "number of map flushes" else "number of spilled runs"))
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
@@ -80,34 +101,71 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
     val g = groupExprs
     val ord = order
     val kk = k
+    val isPartial = partial
+    val threshold = conf.getConfString(
+      TopKPerGroup.SpillThresholdKey, TopKPerGroup.SpillThresholdDefault).toLong
     val outRows = longMetric("numOutputRows")
     val outGroups = longMetric("numGroups")
+    val spills = longMetric("spillCount")
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(g, childOutput)
+      // identity projection: heap rows must be UnsafeRows so a spilled run
+      // can serialize them as raw bytes (shuffle rows already are; this
+      // makes it a guarantee, not an assumption)
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       // generated (executor-side) comparator implementing the SortOrder;
       // heap head = WORST retained row, so the comparator is reversed
       val lt = GenerateOrdering.generate(ord, childOutput)
-      val heaps =
-        new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](
-            math.max(1, math.min(kk, 16)), lt.reversed())
-          heaps.put(key.copy(), heap)
+      val acc = new TopKPerGroup.HeapMap(kk, lt)
+
+      if (isPartial) {
+        // flush-on-threshold: bounded memory, correctness unaffected (the
+        // final pass re-reduces whatever multiplicity we emit)
+        new Iterator[InternalRow] {
+          private var cur: Iterator[InternalRow] = Iterator.empty
+          override def hasNext: Boolean = {
+            while (!cur.hasNext && iter.hasNext) {
+              while (iter.hasNext && acc.retainedRows < threshold)
+                acc.insert(keyProj, toUnsafe, iter.next())
+              if (acc.retainedRows >= threshold && iter.hasNext) spills += 1
+              outGroups += acc.numGroups
+              cur = acc.drainAll() // arbitrary order: only final output order is user-visible
+            }
+            cur.hasNext
+          }
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException
+            outRows += 1
+            cur.next()
+          }
         }
-        if (heap.size < kk) heap.offer(row.copy())
-        else if (lt.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.offer(row.copy())
+      } else {
+        // final pass: spill-to-sorted-runs + streaming k-way merge
+        val runs = scala.collection.mutable.ArrayBuffer.empty[File]
+        val tc = TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          runs.foreach(f => if (f.exists()) f.delete())
         }
-      }
-      import scala.jdk.CollectionConverters._
-      outGroups += heaps.size()
-      heaps.values.iterator().asScala.flatMap { h =>
-        outRows += h.size()
-        h.iterator().asScala
+        while (iter.hasNext) {
+          acc.insert(keyProj, toUnsafe, iter.next())
+          if (acc.retainedRows >= threshold && iter.hasNext) {
+            val f = GraftBridge.createTempSpillFile("graft-topk-run")
+            acc.spillSortedRun(f)
+            runs += f
+            spills += 1
+          }
+        }
+        val out: Iterator[InternalRow] =
+          if (runs.isEmpty) acc.drainAllSorted(outGroups)
+          else {
+            spills += 1 // the in-memory remainder becomes the last run
+            val tail = GraftBridge.createTempSpillFile("graft-topk-run")
+            acc.spillSortedRun(tail)
+            runs += tail
+            TopKPerGroup.mergeRuns(runs.toSeq, g.length, childOutput.length,
+              kk, lt, outGroups)
+          }
+        out.map { r => outRows += 1; r }
       }
     }, preservesPartitioning = true)
   }
@@ -135,6 +193,198 @@ class TopKPerGroupStrategy extends SparkStrategy {
 
 object TopKPerGroup {
 
+  /** Retained-heap-rows-per-task bound before the partial pass flushes /
+    * the final pass spills a sorted run. Default ≈ 2M rows (a few hundred
+    * MB of UnsafeRow copies at typical widths).
+    */
+  val SpillThresholdKey = "spark.graft.topk.spill.threshold.rows"
+  val SpillThresholdDefault: String = (2L * 1024 * 1024).toString
+
+  /** One k-bounded heap per group key, with the bookkeeping both exec
+    * passes share. Not thread-safe (per-task use only).
+    */
+  final class HeapMap(k: Int, lt: java.util.Comparator[InternalRow]) {
+    private val heaps =
+      new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+    var retainedRows: Long = 0L
+    def numGroups: Int = heaps.size()
+
+    def insert(keyProj: UnsafeProjection, toUnsafe: UnsafeProjection,
+        row: InternalRow): Unit = {
+      val key = keyProj(row)
+      var heap = heaps.get(key)
+      if (heap == null) {
+        heap = new java.util.PriorityQueue[UnsafeRow](
+          math.max(1, math.min(k, 16)), lt.reversed())
+        heaps.put(key.copy(), heap)
+      }
+      if (heap.size < k) {
+        heap.offer(toUnsafe(row).copy())
+        retainedRows += 1
+      } else if (lt.compare(row, heap.peek()) < 0) {
+        heap.poll(); heap.offer(toUnsafe(row).copy())
+      }
+    }
+
+    /** Heap contents best-first (poll order is worst-first). */
+    private def sortedRows(h: java.util.PriorityQueue[UnsafeRow]): Array[UnsafeRow] = {
+      val out = new Array[UnsafeRow](h.size)
+      var i = out.length - 1
+      while (i >= 0) { out(i) = h.poll(); i -= 1 }
+      out
+    }
+
+    /** Emit everything in arbitrary group / arbitrary row order, clearing
+      * the map (partial-pass flush — ordering there is invisible).
+      */
+    def drainAll(): Iterator[InternalRow] = {
+      import scala.jdk.CollectionConverters._
+      val vs = heaps.values().asScala.toArray
+      heaps.clear()
+      retainedRows = 0
+      vs.iterator.flatMap(_.iterator().asScala)
+    }
+
+    /** Emit per-group best-first (final output contract), clearing the map. */
+    def drainAllSorted(outGroups: org.apache.spark.sql.execution.metric.SQLMetric)
+        : Iterator[InternalRow] = {
+      import scala.jdk.CollectionConverters._
+      outGroups += heaps.size()
+      val vs = heaps.values().asScala.toArray
+      heaps.clear()
+      retainedRows = 0
+      vs.iterator.flatMap(h => sortedRows(h).iterator)
+    }
+
+    /** Write the map as a run file sorted by key bytes, then clear it.
+      * Entry layout: [keyLen][keyBytes][nRows]([rowLen][rowBytes])*.
+      */
+    def spillSortedRun(file: File): Unit = {
+      val keys = heaps.keySet().toArray(new Array[UnsafeRow](0))
+      java.util.Arrays.sort(keys, KeyBytesOrder)
+      val out = new DataOutputStream(
+        new BufferedOutputStream(new FileOutputStream(file), 1 << 16))
+      try {
+        out.writeInt(keys.length)
+        var i = 0
+        while (i < keys.length) {
+          val kb = keys(i).getBytes
+          out.writeInt(kb.length); out.write(kb)
+          val rows = sortedRows(heaps.get(keys(i)))
+          out.writeInt(rows.length)
+          var j = 0
+          while (j < rows.length) {
+            val b = rows(j).getBytes
+            out.writeInt(b.length); out.write(b)
+            j += 1
+          }
+          i += 1
+        }
+      } finally out.close()
+      heaps.clear()
+      retainedRows = 0
+    }
+  }
+
+  /** Unsigned-lexicographic byte order on UnsafeRow keys: arbitrary but
+    * total and consistent across runs, and byte-equal ⇔ value-equal for
+    * grouping keys — all a spill merge needs.
+    */
+  private object KeyBytesOrder extends java.util.Comparator[UnsafeRow] {
+    override def compare(a: UnsafeRow, b: UnsafeRow): Int =
+      compareBytes(a.getBytes, b.getBytes)
+  }
+
+  private def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Sequential reader over one spilled run (entries in key-byte order). */
+  private final class RunReader(file: File, numRowFields: Int) {
+    private val in = new DataInputStream(
+      new BufferedInputStream(new FileInputStream(file), 1 << 16))
+    private var remaining = in.readInt()
+    var keyBytes: Array[Byte] = _
+    var rows: Array[UnsafeRow] = _
+    def advance(): Boolean =
+      if (remaining <= 0) { in.close(); false }
+      else {
+        remaining -= 1
+        keyBytes = new Array[Byte](in.readInt()); in.readFully(keyBytes)
+        rows = new Array[UnsafeRow](in.readInt())
+        var i = 0
+        while (i < rows.length) {
+          val b = new Array[Byte](in.readInt()); in.readFully(b)
+          val r = new UnsafeRow(numRowFields)
+          r.pointTo(b, b.length)
+          rows(i) = r
+          i += 1
+        }
+        true
+      }
+  }
+
+  /** Streaming k-way merge of spilled runs: one group in memory at a time
+    * (≤ runs × k rows), emitting each group's true top-k best-first.
+    */
+  private[plans] def mergeRuns(files: Seq[File], numKeyFields: Int,
+      numRowFields: Int, k: Int, lt: java.util.Comparator[InternalRow],
+      outGroups: org.apache.spark.sql.execution.metric.SQLMetric)
+      : Iterator[InternalRow] = {
+    val pq = new java.util.PriorityQueue[RunReader](math.max(1, files.size),
+      (x: RunReader, y: RunReader) => compareBytes(x.keyBytes, y.keyBytes))
+    files.foreach { f =>
+      val r = new RunReader(f, numRowFields)
+      if (r.advance()) pq.offer(r)
+    }
+    new Iterator[InternalRow] {
+      private var cur: Iterator[InternalRow] = Iterator.empty
+      override def hasNext: Boolean = {
+        while (!cur.hasNext && !pq.isEmpty) {
+          // pop every reader positioned on the minimal key, re-reduce
+          // their (already top-k, already sorted) row lists into one heap
+          val first = pq.poll()
+          val key = first.keyBytes
+          val heap = new java.util.PriorityQueue[UnsafeRow](
+            math.max(1, math.min(k, 16)), lt.reversed())
+          def fold(rows: Array[UnsafeRow]): Unit = {
+            var i = 0
+            while (i < rows.length) {
+              val r = rows(i)
+              if (heap.size < k) heap.offer(r)
+              else if (lt.compare(r, heap.peek()) < 0) { heap.poll(); heap.offer(r) }
+              i += 1
+            }
+          }
+          fold(first.rows)
+          if (first.advance()) pq.offer(first)
+          while (!pq.isEmpty && compareBytes(pq.peek().keyBytes, key) == 0) {
+            val r = pq.poll()
+            fold(r.rows)
+            if (r.advance()) pq.offer(r)
+          }
+          outGroups += 1
+          val sorted = new Array[UnsafeRow](heap.size)
+          var i = sorted.length - 1
+          while (i >= 0) { sorted(i) = heap.poll(); i -= 1 }
+          cur = sorted.iterator
+        }
+        cur.hasNext
+      }
+      override def next(): InternalRow = {
+        if (!hasNext) throw new NoSuchElementException
+        cur.next()
+      }
+    }
+  }
+
   /** Top `k` rows of `df` per `groupCols` group, ordered by `orderCol`
     * (descending by default) with `tiebreakCols` ascending — equivalent to
     * the row_number window formulation, minus the per-group sort and the
@@ -152,10 +402,17 @@ object TopKPerGroup {
         exp.extraStrategies = exp.extraStrategies :+ new TopKPerGroupStrategy
     }
     val analyzed = df.queryExecution.analyzed
+    // session-conf resolver: case-insensitive unless spark.sql.caseSensitive,
+    // matching every built-in DataFrame API
+    val resolve = GraftBridge.resolver(df.sparkSession)
     def attr(name: String): Attribute =
-      analyzed.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"column '$name' not in ${analyzed.output.map(_.name).mkString(",")}"))
+      analyzed.output.filter(a => resolve(a.name, name)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"column '$name' not in ${analyzed.output.map(_.name).mkString(",")}")
+        case many => throw new IllegalArgumentException(
+          s"column '$name' is ambiguous: matches ${many.map(_.name).mkString(",")}")
+      }
     val order =
       SortOrder(attr(orderCol), if (desc) Descending else Ascending) +:
         tiebreakCols.map(c => SortOrder(attr(c), Ascending))

@@ -61,8 +61,24 @@ object JanitorMain {
       println(s"[janitor] compacted ${Schemas.Tables.ChartData}")
     }
     if (store.exists(Schemas.Tables.Latest)) {
-      store.compact(Schemas.Tables.Latest, "symbol")
-      println(s"[janitor] compacted ${Schemas.Tables.Latest}")
+      // An append-fed latest log has DIFFERENT values per key across
+      // batches (each batch's candle supersedes the last), so
+      // dropDuplicates' arbitrary keeper could persist a stale candle.
+      // Pick the newest by epoch (versioned log) or event time instead;
+      // only a store with neither column — a value-deterministic doc_id
+      // log — falls back to plain dedup.
+      val cols = store.table(Schemas.Tables.Latest).columns
+      if (cols.contains("_epoch")) {
+        store.compactVersioned(Schemas.Tables.Latest, "symbol")
+        println(s"[janitor] compacted versioned ${Schemas.Tables.Latest}")
+      } else if (cols.contains("latest_event_timestamp")) {
+        store.compactLatestBy(Schemas.Tables.Latest, "symbol",
+          "latest_event_timestamp")
+        println(s"[janitor] compacted ${Schemas.Tables.Latest} by event time")
+      } else {
+        store.compact(Schemas.Tables.Latest, "symbol")
+        println(s"[janitor] compacted ${Schemas.Tables.Latest}")
+      }
     }
     if (store.exists(Schemas.Tables.Stats)) {
       // stats sink is the epoch-versioned log (update-mode corrections)

@@ -255,6 +255,23 @@ final class ServingStore(val root: String)(implicit val spark: SparkSession) {
       .drop("_rn", "_epoch")
   }
 
+  /** Compact to the newest row per key by an EVENT-TIME column — for
+    * latest-style sinks fed by the append log, where replayed batches
+    * carry DIFFERENT values per key (a later candle supersedes an earlier
+    * one) and `dropDuplicates`'s arbitrary keeper could durably persist a
+    * stale row. row_number over (key, orderCol desc) picks the newest
+    * deterministically; ties on orderCol (same event re-appended) are
+    * value-identical so the arbitrary tiebreak is safe.
+    */
+  def compactLatestBy(name: String, keyCol: String, orderCol: String,
+      partCol: Option[String] = None): Unit = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(orderCol).desc)
+    atomicSwapWrite(name,
+      table(name).withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn"), partCol)
+  }
+
   /** Compact a versioned log to its latest-epoch snapshot (epoch column
     * retained so further appends keep working).
     */

@@ -24,4 +24,29 @@ object GraftBridge {
     */
   def normalizeFloatingNumbers(e: Expression): Expression =
     org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+
+  /** The `NumericType` abstract-type marker for `ExpectsInputTypes`
+    * (`private[spark]` in Spark — how built-in numeric aggregates like
+    * Average declare `inputTypes = Seq(NumericType)`).
+    */
+  val numericInputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.NumericType)
+
+  /** Session-conf column resolver (case-insensitive unless
+    * `spark.sql.caseSensitive`), so custom operators resolve names the way
+    * every built-in DataFrame API does.
+    */
+  def resolver(spark: SparkSession): (String, String) => Boolean =
+    spark.asInstanceOf[classic.SparkSession].sessionState.conf.resolver
+
+  /** Executor-local spill file via the DiskBlockManager (`private[spark]`),
+    * so operator spills land on `spark.local.dir` with the shuffle/sort
+    * spills rather than `java.io.tmpdir`; falls back for driver-side use
+    * outside a SparkEnv.
+    */
+  def createTempSpillFile(prefix: String): java.io.File = {
+    val env = org.apache.spark.SparkEnv.get
+    if (env != null) env.blockManager.diskBlockManager.createTempLocalBlock()._2
+    else java.io.File.createTempFile(prefix, ".bin")
+  }
 }

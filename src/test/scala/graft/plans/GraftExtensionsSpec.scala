@@ -71,6 +71,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(q.count() == 21)
   }
 
+  test("kll_quantile rejects a NULL quantile literal with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT kll_quantile(v, CAST(NULL AS DOUBLE)) " +
+        "FROM (SELECT explode(sequence(1, 10)) AS v)").collect()
+    }
+    assert(e.getMessage.contains("non-null quantile"),
+      s"expected the null-literal guard, got: ${e.getMessage}")
+  }
+
+  test("kll_quantile over a non-numeric column fails at analysis, not mid-job") {
+    // strings implicit-cast (ANSI, like avg); a truly non-numeric type must
+    // fail analysis with a type error instead of NumberFormatException on
+    // executors
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT kll_quantile(m, 0.5) " +
+        "FROM (SELECT map('a', 1) AS m)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type"),
+      s"expected a data-type mismatch, got: ${e.getMessage}")
+  }
+
   test("non-literal k is rejected with a clear error") {
     val e = intercept[Throwable] {
       spark.sql("SELECT shingle_hashes('abc', length('xx'))").collect()

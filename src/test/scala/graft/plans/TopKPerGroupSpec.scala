@@ -135,6 +135,73 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(!hasTopK(hugeQ), "rewrote an unboundedly large k")
   }
 
+  test("spill path: tiny threshold flushes the partial map and spills the " +
+      "final map to sorted runs, results stay exact") {
+    val aqePrev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set(TopKPerGroup.SpillThresholdKey, "64")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // 2000 groups / 4 reduce tasks ≈ 500 groups × k rows per task — far
+      // past the 64-row threshold, so both passes must take their bounded-
+      // memory fallback and still match the window oracle exactly
+      val df = randomDf(20000, 2000, seed = 43)
+      val q = TopKPerGroup.topK(df, Seq("g"), "v", 5,
+        desc = true, tiebreakCols = Seq("id"))
+      val got = q.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val w = Window.partitionBy("g").orderBy(col("v").desc, col("id"))
+      val expect = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5).drop("rn")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expect,
+        s"spill path diverged: missing=${(expect -- got).take(5)} " +
+        s"extra=${(got -- expect).take(5)}")
+      // the final pass must actually have spilled (metric counts runs)
+      val execs = q.queryExecution.executedPlan.collect {
+        case e: TopKPerGroupExec => e }
+      val finalSpills = execs.filter(!_.partial).map(_.metrics("spillCount").value).sum
+      val partialFlushes = execs.filter(_.partial).map(_.metrics("spillCount").value).sum
+      assert(finalSpills > 0, s"final pass never spilled (threshold=64)")
+      assert(partialFlushes > 0, s"partial pass never flushed (threshold=64)")
+    } finally {
+      spark.conf.unset(TopKPerGroup.SpillThresholdKey)
+      spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
+    }
+  }
+
+  test("rows within a group are emitted best-first (WindowExec order parity)") {
+    // both with and without spilling: the user-visible intra-group order
+    // must be the window order
+    for (threshold <- Seq(None, Some("32"))) {
+      threshold.foreach(t => spark.conf.set(TopKPerGroup.SpillThresholdKey, t))
+      try {
+        val df = randomDf(4000, 17, seed = 5)
+        val rows = TopKPerGroup.topK(df, Seq("g"), "v", 6,
+          desc = true, tiebreakCols = Seq("id")).collect()
+        rows.groupBy(_.getLong(0)).foreach { case (g, grp) =>
+          val inOrder = grp.map(r => (r.getDouble(2), r.getLong(1))).toSeq
+          val sorted = inOrder.sortBy { case (v, id) => (-v, id) }
+          assert(inOrder == sorted,
+            s"group $g (spill=$threshold) not best-first: $inOrder")
+        }
+      } finally threshold.foreach(_ =>
+        spark.conf.unset(TopKPerGroup.SpillThresholdKey))
+    }
+  }
+
+  test("column resolution is case-insensitive like the DataFrame API") {
+    val df = randomDf(200, 3, seed = 2)
+    val got = TopKPerGroup.topK(df, Seq("G"), "V", 2, tiebreakCols = Seq("ID"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expect = TopKPerGroup.topK(df, Seq("g"), "v", 2, tiebreakCols = Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expect)
+    val err = intercept[IllegalArgumentException] {
+      TopKPerGroup.topK(df, Seq("nope"), "v", 2)
+    }
+    assert(err.getMessage.contains("not in"))
+  }
+
   test("k >= group size returns whole groups; empty input returns nothing") {
     import spark.implicits._
     val df = Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (2L, 3L, 3.0))

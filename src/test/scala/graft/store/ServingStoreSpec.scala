@@ -191,9 +191,12 @@ class ServingStoreSpec extends SparkSpec {
     store.appendLogPartitioned(Tables.ChartData, Seq(
       ("b", "2024-06-03", 2.0), ("c", "2024-06-03", 3.0))
       .toDF("doc_id", "dt", "v"), "dt")
-    // latest: plain append log with a replayed row
-    store.appendLog(Tables.Latest, Seq(("BTC", 1.0), ("BTC", 1.0))
-      .toDF("symbol", "v"))
+    // latest: append-fed log where batches carry DIFFERENT values per key
+    // (each candle supersedes the last) — compaction must keep the newest
+    // by event time, not an arbitrary dropDuplicates keeper
+    store.appendLog(Tables.Latest, Seq(
+      ("BTC", 1000L, 1.0), ("BTC", 2000L, 2.0), ("BTC", 1500L, 1.5))
+      .toDF("symbol", "latest_event_timestamp", "v"))
     // stats: versioned log with a correction
     store.appendLogVersioned(Tables.Stats, Seq(("w1", 1.0)).toDF("doc_id", "v"), 1L)
     store.appendLogVersioned(Tables.Stats, Seq(("w1", 2.0)).toDF("doc_id", "v"), 2L)
@@ -204,11 +207,33 @@ class ServingStoreSpec extends SparkSpec {
       Seq("2024-06-03"), "expired partition survived retention")
     assert(chart.map(_.getAs[String]("doc_id")).sorted.toSeq == Seq("b", "c"),
       "replayed chart rows survived compaction")
-    assert(store.table(Tables.Latest).count() == 1,
-      "replayed log row survived compaction")
+    val latestRows = store.table(Tables.Latest).collect()
+    assert(latestRows.length == 1 &&
+      latestRows.head.getAs[Double]("v") == 2.0,
+      s"latest compaction kept a stale candle: ${latestRows.mkString(",")}")
     val statsRows = store.table(Tables.Stats).collect()
     assert(statsRows.length == 1 && statsRows.head.getAs[Double]("v") == 2.0,
       "versioned compaction did not keep latest epoch")
+  }
+
+  test("compactLatestBy keeps the newest row per key by event time") {
+    implicit val s = spark
+    import spark.implicits._
+    val store = new ServingStore(tmp("latestby-store"))
+    store.appendLog("latest", Seq(
+      ("BTC", 3000L, 3.0), ("BTC", 1000L, 1.0),
+      ("ETH", 500L, 5.0), ("ETH", 700L, 7.0))
+      .toDF("symbol", "ts", "v"))
+    store.compactLatestBy("latest", "symbol", "ts")
+    val rows = store.table("latest").collect()
+      .map(r => (r.getAs[String]("symbol"), r.getAs[Double]("v"))).toMap
+    assert(rows == Map("BTC" -> 3.0, "ETH" -> 7.0),
+      s"stale rows survived event-time compaction: $rows")
+    // further appends still work after compaction (schema unchanged)
+    store.appendLog("latest", Seq(("BTC", 4000L, 4.0)).toDF("symbol", "ts", "v"))
+    store.compactLatestBy("latest", "symbol", "ts")
+    assert(store.table("latest").filter(col("symbol") === "BTC")
+      .collect().head.getAs[Double]("v") == 4.0)
   }
 
   test("property: every event lands in exactly window/slide sliding windows") {
