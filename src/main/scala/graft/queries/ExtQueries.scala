@@ -207,7 +207,14 @@ object ExtQueries {
   /** Invariant: every winnow-mined pair is also found by the exact
     * prefix-filter join at the same (k, jaccardMin) — anti-join must be
     * empty (winnowing recalls a provable subset; the exact join is
-    * complete).
+    * complete). Deliberately dual-pipeline: the winnow and prefix miners
+    * share only the corpus scan, so agreement cross-checks two
+    * independent candidate generators end-to-end. (A per-pair membership
+    * check against SQL-builtin shingle Jaccard — the x3v form — measures
+    * SLOWER here: winnow pairs at 0.4 involve most of this near-dup-rich
+    * corpus, so the "only involved docs" pruning prunes nothing and the
+    * builtin substring shingling costs more than the second native-hash
+    * mining pass it would replace.)
     */
   def wv2WinnowPairsSubsetExact(s: SparkSession, dir: String): DataFrame =
     Dedup.winnowPairs(s, dir, k = 3, w = 8, jaccardMin = 0.4)
@@ -313,13 +320,19 @@ object ExtQueries {
     * ScalaTest equivalence and the d3 oracle).
     */
   def x3vLshSubsetExact(s: SparkSession, dir: String): DataFrame = {
+    // materialized once (three plan references, see wv2); shingle sets
+    // are then computed once per INVOLVED doc, not for the whole corpus
     val pairs = Dedup.minhashLshPairs(s, dir, k = 5, numHashes = 32,
-      bands = 8, jaccardMin = 0.5).select("doc_a", "doc_b")
-    val shingled = docs(s, dir).select(col("doc_id"),
-      when(length(col("text")) >= 5,
-        expr("array_distinct(transform(sequence(1, length(text)-4)," +
-          " i -> substr(text, i, 5)))"))
-        .otherwise(expr("array()")).as("sset"))
+      bands = 8, jaccardMin = 0.5).select("doc_a", "doc_b").localCheckpoint()
+    val involved = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val shingled = docs(s, dir).select(col("doc_id"), col("text"))
+      .join(involved, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(length(col("text")) >= 5,
+          expr("array_distinct(transform(sequence(1, length(text)-4)," +
+            " i -> substr(text, i, 5)))"))
+          .otherwise(expr("array()")).as("sset"))
     pairs
       .join(shingled.select(col("doc_id").as("doc_a"),
         col("sset").as("sa")), Seq("doc_a"))
