@@ -41,6 +41,7 @@ object SparkEntry {
     // relational spine: agg / joins / set ops
     "q1_lineitem_agg" -> (CoreQueries.q1LineitemAgg _),
     "j1_broadcast_join_agg" -> (CoreQueries.j1BroadcastJoinAgg _),
+    "bj1_bloom_pruned_join" -> (CoreQueries.bj1BloomPrunedJoin _),
     "j2_shuffle_join_agg" -> (CoreQueries.j2ShuffleJoinAgg _),
     "j3_semi_join" -> (CoreQueries.j3SemiJoin _),
     "j4_anti_join" -> (CoreQueries.j4AntiJoin _),
@@ -334,6 +335,14 @@ object SparkEntry {
                   AS revenue
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand""",
+    "bj1_bloom_pruned_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                  AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_totalprice > 400000
+         GROUP BY o_orderpriority""",
     "j2_shuffle_join_agg" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

@@ -269,6 +269,24 @@ object CoreQueries {
       .agg(count(lit(1)).as("cnt"),
         sum(discPrice).cast("double").as("revenue"))
 
+  /** Bloom-pruned fact join ([[graft.ext.BloomPrune]]): the dim side is a
+    * selective filter over orders, whose keys are bloom-aggregated and
+    * applied to lineitem BEFORE its shuffle — only possible matches cross
+    * the exchange. Row-identical to the plain join (bloom filters have no
+    * false negatives; the join removes false positives), so the oracle is
+    * the plain SQL join.
+    */
+  def bj1BloomPrunedJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      .select("o_orderkey", "o_orderpriority")
+    graft.ext.BloomPrune.prunedJoin(
+      t(s, dir, "lineitem"), dim,
+      col("l_orderkey"), col("o_orderkey"), expectedItems = 100000L)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(discPrice).cast("double").as("revenue"))
+  }
+
   /** Shuffle join on keys + rollup: both sides large at scale → hash
     * exchange on the join key; AQE handles skew.
     */
