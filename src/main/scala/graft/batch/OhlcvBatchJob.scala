@@ -149,11 +149,15 @@ object OhlcvBatchJob {
     * bound that too).
     *
     * ASSUMES in-order arrival per key (true of the reference's crawler,
-    * which pages forward from the frontier): a backfill BELOW the
-    * frontier — a re-delivered gap candle — is dropped by the frontier
-    * filter, and the SMAs of stored rows after the gap keep their
-    * gap-blind values. Backfills require a full [[run]] (which this
-    * method equals row-for-row whenever arrival is in order — tested).
+    * which pages forward from the frontier) — and VERIFIES it: a backfill
+    * at-or-below the frontier whose doc_id is not already stored (a
+    * re-delivered gap candle) cannot be patched by a frontier-filtered
+    * pass — its own SMA and the SMAs of up to 29 stored rows after it are
+    * all stale — so its detection falls back to the full [[run]]. The
+    * probe costs one broadcast frontier filter over the incoming batch
+    * plus an anti-join against the store's column-pruned doc_id scan; in
+    * the in-order steady state the filtered side is empty and AQE
+    * short-circuits the join.
     */
   def runIncremental(spark: SparkSession, paths: Seq[String],
       store: ServingStore): Long = {
@@ -166,6 +170,12 @@ object OhlcvBatchJob {
       .join(broadcast(frontier), Seq("symbol", "timeframe"), "left")
       .filter(col("_frontier").isNull || col("timestamp") > col("_frontier"))
       .drop("_frontier")
+    val incoming = normalize(extractMetadata(scanRaw(spark, paths)))
+    val backfills = withDocId(incoming)
+      .join(broadcast(frontier), Seq("symbol", "timeframe"), "left")
+      .filter(col("_frontier").isNotNull && col("timestamp") <= col("_frontier"))
+      .join(hist.select("doc_id"), Seq("doc_id"), "left_anti")
+    if (!backfills.isEmpty) return run(spark, paths, store)
     // timestamps are unique per key (doc_id is keyed on them), so no
     // tiebreak column is needed for determinism
     val tail = graft.plans.TopKPerGroup.topK(hist,
@@ -173,8 +183,7 @@ object OhlcvBatchJob {
       .select(col("timestamp").cast(TimestampType).as("timestamp_dt"),
         col("timestamp"), col("symbol"), col("timeframe"),
         col("open"), col("high"), col("low"), col("close"), col("volume"))
-    val fresh = newerThanFrontier(
-      normalize(extractMetadata(scanRaw(spark, paths))))
+    val fresh = newerThanFrontier(incoming)
     // tail rows re-enter the window only as lookback: their own SMA is
     // truncated here, so they must not be re-upserted
     val features = newerThanFrontier(

@@ -150,6 +150,38 @@ class OhlcvBatchJobSpec extends SparkSpec {
     assert(OhlcvBatchJob.runIncremental(spark, Seq(fullDir), freshStore) == 150)
   }
 
+  test("incremental detects a backfilled gap candle and recomputes fully") {
+    implicit val s = spark
+    val t0 = 1717200000000L
+    val all = FixtureGen.candles("BTC_USDT", t0, 3600000L, 50)
+
+    // ground truth: full recompute over the complete series
+    val fullDir = tmpDir("bf-full-raw")
+    FixtureGen.writeCsv(fullDir, "BTC_USDT_1h.csv", all)
+    val fullStore = new ServingStore(tmpDir("bf-full-store"))
+    OhlcvBatchJob.run(spark, Seq(fullDir), fullStore)
+
+    // first delivery skips candle #30 (a gap BELOW the final frontier);
+    // the re-delivered complete file is a backfill, not a forward append
+    val gapDir = tmpDir("bf-gap-raw")
+    FixtureGen.writeCsv(gapDir, "BTC_USDT_1h.csv",
+      all.take(30) ++ all.drop(31))
+    val incStore = new ServingStore(tmpDir("bf-inc-store"))
+    OhlcvBatchJob.run(spark, Seq(gapDir), incStore)
+    assert(incStore.table(Schemas.Tables.Historical).count() == 49)
+
+    // a frontier-filtered pass would silently drop candle #30 and keep
+    // the gap-blind SMAs; detection must fall back to the full run
+    val n = OhlcvBatchJob.runIncremental(spark, Seq(fullDir), incStore)
+    assert(n == 50, s"backfill should trigger a full recompute, got $n")
+    def snapshot(st: ServingStore) = st.table(Schemas.Tables.Historical)
+      .collect().map(r => (r.getAs[String]("doc_id"),
+        r.getAs[Double]("sma_7"), r.getAs[Double]("sma_30"),
+        r.getAs[Double]("close"))).sortBy(_._1)
+    assert(snapshot(fullStore).sameElements(snapshot(incStore)),
+      "backfilled store diverged from full recompute")
+  }
+
   test("run on empty input writes nothing") {
     implicit val s = spark
     val store = new ServingStore(tmpDir("ohlcv-empty-store"))
