@@ -48,6 +48,8 @@ object SparkEntry {
     "u1_union_all" -> (CoreQueries.u1UnionAll _),
     "q3_shipping_priority" -> (CoreQueries.q3ShippingPriority _),
     "q5_local_supplier_volume" -> (CoreQueries.q5LocalSupplierVolume _),
+    "q10_returned_customers" -> (CoreQueries.q10ReturnedCustomers _),
+    "q14_promo_revenue" -> (CoreQueries.q14PromoRevenue _),
     "sq1_correlated_subquery" -> (CoreQueries.sq1CorrelatedSubquery _),
     "sq2_exists_subquery" -> (CoreQueries.sq2ExistsSubquery _),
     "r1_rollup" -> (CoreQueries.r1Rollup _),
@@ -369,6 +371,28 @@ object SparkEntry {
            AND l_shipdate >= TIMESTAMP '2000-08-01 00:00:00'
          GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q10_returned_customers" ->
+      """SELECT c_custkey, c_name, n_name,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                  AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q14_promo_revenue" ->
+      """SELECT floor(
+                  CAST(sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100.0
+                  / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                  * 10000 + 0.5) / 10000 AS promo_pct
+         FROM lineitem JOIN part ON l_partkey = p_partkey""",
     "q5_local_supplier_volume" ->
       """SELECT n_name,
                 CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))

@@ -356,6 +356,36 @@ object CoreQueries {
       .groupBy("n_name")
       .agg(sum(discPrice).cast("double").as("revenue"))
 
+  /** TPC-H Q10 shape (returned-item reporting): who returned the most
+    * revenue — lineitem filtered to returns, joined up the
+    * orders→customer→nation chain, top-20 customers by revenue via
+    * TakeOrderedAndProject (no global sort). The return filter is pushed
+    * to the lineitem scan; nation broadcasts.
+    */
+  def q10ReturnedCustomers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum(discPrice).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q14 shape (promo revenue share): conditional aggregation to a
+    * single scalar — promo-typed parts' share of discounted revenue. Both
+    * sums stay in the DECIMAL domain; only the final ratio is double
+    * (identical double ops on both engines, floor-rounded to 4 places).
+    */
+  def q14PromoRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .agg(r4(
+        sum(when(col("p_type") === "PROMO", discPrice)
+          .otherwise(lit(0).cast("decimal(12,2)"))).cast("double") * 100.0 /
+          sum(discPrice).cast("double")).as("promo_pct"))
+
   /** Correlated scalar subquery through the SQL front-end: customers
     * richer than their nation's average balance. Catalyst decorrelates
     * the subquery into an aggregate + join (RewriteCorrelatedScalarSubquery)
