@@ -62,6 +62,7 @@ object SparkEntry {
     "r2_cube" -> (CoreQueries.r2Cube _),
     "w9_lead_lag_ntile" -> (CoreQueries.w9LeadLagNtile _),
     "w10_grouped_topk" -> (CoreQueries.w10GroupedTopk _),
+    "w11_rank_distributions" -> (CoreQueries.w11RankDistributions _),
     "j5_full_outer" -> (CoreQueries.j5FullOuter _),
     "x10v_percentile_bound" -> (CoreQueries.x10vPercentileBound _),
     "kq1v_kll_rank_bound" -> (CoreQueries.kq1vKllRankBound _),
@@ -286,6 +287,15 @@ object SparkEntry {
                 value - lag(value) OVER w AS delta,
                 lead(event_type) OVER w AS next_type,
                 CAST(ntile(4) OVER w AS BIGINT) AS quartile
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "w11_rank_distributions" ->
+      """SELECT user_id, event_id,
+                floor(percent_rank() OVER w * 10000 + 0.5) / 10000
+                  AS pct_rank,
+                floor(cume_dist() OVER w * 10000 + 0.5) / 10000 AS cume,
+                nth_value(event_type, 2) OVER w AS second_type,
+                first_value(value) OVER w AS first_value
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
     "w10_grouped_topk" ->

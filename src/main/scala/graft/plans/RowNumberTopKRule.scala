@@ -37,13 +37,26 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object RowNumberTopKRule extends Rule[LogicalPlan] {
 
-  /** Above this the heaps' no-spill memory model loses to WindowExec's
-    * spilling sort (Spark's own InferWindowGroupLimit gates its analogous
-    * rewrite behind a threshold for the same reason).
+  /** Above this, shuffling k rows per group per map partition stops being
+    * a meaningful contraction and WindowExec's single sorted pass wins
+    * (Spark's own InferWindowGroupLimit gates its analogous rewrite
+    * behind a threshold for the same reason). Memory is NOT the concern —
+    * the exec flushes/spills past its retained-rows threshold either way.
     */
   val MaxRewriteK = 1000
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  /** Session-level escape hatch: `SET spark.graft.topk.rewrite.enabled =
+    * false` restores the WindowExec plan for row_number queries without
+    * detaching the extension.
+    */
+  val RewriteEnabledKey = "spark.graft.topk.rewrite.enabled"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(RewriteEnabledKey, "true").toBoolean) plan
+    else applyRewrite(plan)
+  }
+
+  private def applyRewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ Project(projectList,
         Filter(cond, Window(Seq(alias @ Alias(
           WindowExpression(RowNumber(),

@@ -313,6 +313,7 @@ object TopKPerGroup {
     private var remaining = in.readInt()
     var keyBytes: Array[Byte] = _
     var rows: Array[UnsafeRow] = _
+    def close(): Unit = in.close()
     def advance(): Boolean =
       if (remaining <= 0) { in.close(); false }
       else {
@@ -340,10 +341,14 @@ object TopKPerGroup {
       : Iterator[InternalRow] = {
     val pq = new java.util.PriorityQueue[RunReader](math.max(1, files.size),
       (x: RunReader, y: RunReader) => compareBytes(x.keyBytes, y.keyBytes))
-    files.foreach { f =>
-      val r = new RunReader(f, numRowFields)
-      if (r.advance()) pq.offer(r)
+    val readers = files.map(new RunReader(_, numRowFields))
+    // a downstream limit may abandon the merge mid-stream: close every
+    // reader at task end, not just the exhausted ones
+    val tc = TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+      readers.foreach(r => try r.close() catch { case _: Exception => })
     }
+    readers.foreach { r => if (r.advance()) pq.offer(r) }
     new Iterator[InternalRow] {
       private var cur: Iterator[InternalRow] = Iterator.empty
       override def hasNext: Boolean = {

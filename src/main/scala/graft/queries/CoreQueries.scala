@@ -550,6 +550,21 @@ object CoreQueries {
       ntile(4).over(w).cast("long").as("quartile"))
   }
 
+  /** Distribution-rank window functions (percent_rank / cume_dist /
+    * nth_value / first_value) over the running frame — one WindowExec
+    * pass, same single exchange as w9. Ratios floor-rounded to 4 places
+    * (identical double ops both engines).
+    */
+  def w11RankDistributions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, dir).select(
+      col("user_id"), col("event_id"),
+      r4(percent_rank().over(w)).as("pct_rank"),
+      r4(cume_dist().over(w)).as("cume"),
+      nth_value(col("event_type"), 2).over(w).as("second_type"),
+      first(col("value")).over(w).as("first_value"))
+  }
+
   /** Full outer join with disjoint filters on both sides, so both
     * null-extended directions actually occur.
     */

@@ -101,6 +101,25 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("rewrite honors the session opt-out conf") {
+    val exp = spark.experimental
+    if (!exp.extraOptimizations.contains(RowNumberTopKRule))
+      exp.extraOptimizations = exp.extraOptimizations :+ RowNumberTopKRule
+    val df = randomDf(500, 5, seed = 37)
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id"))
+    def q = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+    spark.conf.set(RowNumberTopKRule.RewriteEnabledKey, "false")
+    try {
+      assert(q.queryExecution.optimizedPlan.collectFirst {
+        case t: TopKPerGroupPlan => t }.isEmpty,
+        "rewrite fired with spark.graft.topk.rewrite.enabled=false")
+    } finally spark.conf.unset(RowNumberTopKRule.RewriteEnabledKey)
+    assert(q.queryExecution.optimizedPlan.collectFirst {
+      case t: TopKPerGroupPlan => t }.isDefined,
+      "rewrite should fire again once the conf is unset")
+  }
+
   test("rule stays off non-matching window patterns") {
     val exp = spark.experimental
     if (!exp.extraOptimizations.contains(RowNumberTopKRule))
