@@ -46,6 +46,8 @@ object SparkEntry {
     "j3_semi_join" -> (CoreQueries.j3SemiJoin _),
     "j4_anti_join" -> (CoreQueries.j4AntiJoin _),
     "u1_union_all" -> (CoreQueries.u1UnionAll _),
+    "u2_intersect" -> (CoreQueries.u2Intersect _),
+    "u3_except" -> (CoreQueries.u3Except _),
     "q3_shipping_priority" -> (CoreQueries.q3ShippingPriority _),
     "q5_local_supplier_volume" -> (CoreQueries.q5LocalSupplierVolume _),
     "q10_returned_customers" -> (CoreQueries.q10ReturnedCustomers _),
@@ -368,6 +370,16 @@ object SparkEntry {
     "j4_anti_join" ->
       """SELECT c_custkey, c_nationkey FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "u2_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+         INTERSECT
+         SELECT user_id FROM events WHERE event_type = 'error'""",
+    "u3_except" ->
+      """SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+         FROM events WHERE event_type = 'click'
+         EXCEPT
+         SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+         FROM events WHERE event_type = 'purchase'""",
     "q3_shipping_priority" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
                 CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))

@@ -318,6 +318,27 @@ object CoreQueries {
       .groupBy("event_type").agg(count(lit(1)).as("cnt"))
   }
 
+  /** INTERSECT — set semantics (deduped), plans as aggregate + left-semi
+    * join: users who both clicked and errored.
+    */
+  def u2Intersect(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    e.filter(col("event_type") === "click").select("user_id")
+      .intersect(e.filter(col("event_type") === "error").select("user_id"))
+  }
+
+  /** EXCEPT — set difference via left-anti join, at (user, day) grain
+    * (every user eventually does every event type at corpus density, so
+    * user-grain difference would be vacuously empty): click-days with no
+    * purchase.
+    */
+  def u3Except(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    def days(typ: String) = e.filter(col("event_type") === typ)
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    days("click").except(days("purchase"))
+  }
+
   /** Three-way join + top-k by aggregate (TPC-H Q3 shape): filters pushed
     * to all three scans, joins keyed, final top-10 via
     * TakeOrderedAndProject — no global sort at any scale.
