@@ -149,14 +149,15 @@ object OhlcvBatchJob {
     * bound that too).
     *
     * ASSUMES in-order arrival per key (true of the reference's crawler,
-    * which pages forward from the frontier) — and VERIFIES it: a backfill
-    * at-or-below the frontier whose doc_id is not already stored (a
-    * re-delivered gap candle) cannot be patched by a frontier-filtered
-    * pass — its own SMA and the SMAs of up to 29 stored rows after it are
-    * all stale — so its detection falls back to the full [[run]]. The
+    * which pages forward from the frontier) — and VERIFIES it: an
+    * incoming row at-or-below the frontier that is missing from the store
+    * (re-delivered gap candle) or stored with different OHLCV values
+    * (upstream correction) cannot be patched by a frontier-filtered pass
+    * — its own SMA and the SMAs of up to 29 stored rows after it are all
+    * stale — so detection of either falls back to the full [[run]]. The
     * probe costs one broadcast frontier filter over the incoming batch
-    * plus an anti-join against the store's column-pruned doc_id scan; in
-    * the in-order steady state the filtered side is empty and AQE
+    * plus a join against the store's (doc_id, ohlcv) columns; in the
+    * in-order steady state the probe side is empty and AQE
     * short-circuits the join.
     */
   def runIncremental(spark: SparkSession, paths: Seq[String],
@@ -171,10 +172,22 @@ object OhlcvBatchJob {
       .filter(col("_frontier").isNull || col("timestamp") > col("_frontier"))
       .drop("_frontier")
     val incoming = normalize(extractMetadata(scanRaw(spark, paths)))
+    // a backfill is an at-or-below-frontier row that is MISSING from the
+    // store (re-delivered gap candle) OR PRESENT WITH DIFFERENT VALUES
+    // (upstream correction) — both invalidate stored SMAs downstream of
+    // the row, so both force the full recompute. Exact double equality is
+    // right here: an unchanged candle re-parses to bit-identical doubles.
+    val stored = hist.select(col("doc_id"), col("open").as("_so"),
+      col("high").as("_sh"), col("low").as("_sl"),
+      col("close").as("_sc"), col("volume").as("_sv"))
     val backfills = withDocId(incoming)
       .join(broadcast(frontier), Seq("symbol", "timeframe"), "left")
       .filter(col("_frontier").isNotNull && col("timestamp") <= col("_frontier"))
-      .join(hist.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(stored, Seq("doc_id"), "left")
+      .filter(col("_so").isNull ||
+        col("_so") =!= col("open") || col("_sh") =!= col("high") ||
+        col("_sl") =!= col("low") || col("_sc") =!= col("close") ||
+        col("_sv") =!= col("volume"))
     if (!backfills.isEmpty) return run(spark, paths, store)
     // timestamps are unique per key (doc_id is keyed on them), so no
     // tiebreak column is needed for determinism

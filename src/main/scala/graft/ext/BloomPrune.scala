@@ -60,14 +60,31 @@ object BloomPrune {
   /** `fact` filtered to rows whose `factKey` MIGHT be in `dim`'s
     * `dimKey` set — the pre-shuffle pruning step. Safe to join afterwards
     * (no false negatives); do not use alone where exactness matters.
+    *
+    * Key types are coerced to the join's common type BEFORE hashing:
+    * XxHash64 hashes an Int and a Long of the same value differently, so
+    * hashing mismatched raw key types would produce false NEGATIVES (the
+    * plain join would coerce and match; the bloom would prune) — the one
+    * failure mode a bloom prune must never have.
     */
   def prunedFact(fact: DataFrame, dim: DataFrame, factKey: Column,
       dimKey: Column, expectedItems: Long, fpp: Double = 0.03): DataFrame = {
-    val bf = buildFilter(dim, dimKey, expectedItems, fpp)
+    val ft = fact.select(factKey).schema.head.dataType
+    val dt = dim.select(dimKey).schema.head.dataType
+    val (fk, dk) =
+      if (ft == dt) (factKey, dimKey)
+      else {
+        val common = org.apache.spark.sql.catalyst.analysis.TypeCoercion
+          .findTightestCommonType(ft, dt).getOrElse(
+            throw new IllegalArgumentException(
+              s"bloom prune: no common type for fact key $ft vs dim key $dt"))
+        (factKey.cast(common.sql), dimKey.cast(common.sql))
+      }
+    val bf = buildFilter(dim, dk, expectedItems, fpp)
     if (bf == null) fact.limit(0) // empty dim: nothing can join
     else fact.filter(GraftBridge.column(BloomFilterMightContain(
       Literal(bf, BinaryType),
-      new XxHash64(Seq(GraftBridge.expression(factKey))))))
+      new XxHash64(Seq(GraftBridge.expression(fk))))))
   }
 
   /** Inner equi-join with the fact side bloom-pruned before the shuffle.

@@ -102,8 +102,11 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
     val ord = order
     val kk = k
     val isPartial = partial
-    val threshold = conf.getConfString(
+    val thresholdRows = conf.getConfString(
       TopKPerGroup.SpillThresholdKey, TopKPerGroup.SpillThresholdDefault).toLong
+    val thresholdBytes = conf.getConfString(
+      TopKPerGroup.SpillThresholdBytesKey,
+      TopKPerGroup.SpillThresholdBytesDefault).toLong
     val outRows = longMetric("numOutputRows")
     val outGroups = longMetric("numGroups")
     val spills = longMetric("spillCount")
@@ -117,6 +120,8 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
       // heap head = WORST retained row, so the comparator is reversed
       val lt = GenerateOrdering.generate(ord, childOutput)
       val acc = new TopKPerGroup.HeapMap(kk, lt)
+      def overThreshold: Boolean =
+        acc.retainedRows >= thresholdRows || acc.retainedBytes >= thresholdBytes
 
       if (isPartial) {
         // flush-on-threshold: bounded memory, correctness unaffected (the
@@ -125,10 +130,11 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
           private var cur: Iterator[InternalRow] = Iterator.empty
           override def hasNext: Boolean = {
             while (!cur.hasNext && iter.hasNext) {
-              while (iter.hasNext && acc.retainedRows < threshold)
+              while (iter.hasNext && !overThreshold)
                 acc.insert(keyProj, toUnsafe, iter.next())
-              if (acc.retainedRows >= threshold && iter.hasNext) spills += 1
-              outGroups += acc.numGroups
+              if (overThreshold && iter.hasNext) spills += 1
+              // numGroups is only meaningful on the final pass: a group
+              // straddling several flushes would be counted once per flush
               cur = acc.drainAll() // arbitrary order: only final output order is user-visible
             }
             cur.hasNext
@@ -148,7 +154,7 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
         }
         while (iter.hasNext) {
           acc.insert(keyProj, toUnsafe, iter.next())
-          if (acc.retainedRows >= threshold && iter.hasNext) {
+          if (overThreshold && iter.hasNext) {
             val f = GraftBridge.createTempSpillFile("graft-topk-run")
             acc.spillSortedRun(f)
             runs += f
@@ -162,7 +168,7 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
             val tail = GraftBridge.createTempSpillFile("graft-topk-run")
             acc.spillSortedRun(tail)
             runs += tail
-            TopKPerGroup.mergeRuns(runs.toSeq, g.length, childOutput.length,
+            TopKPerGroup.mergeRuns(runs.toSeq, childOutput.length,
               kk, lt, outGroups)
           }
         out.map { r => outRows += 1; r }
@@ -193,12 +199,21 @@ class TopKPerGroupStrategy extends SparkStrategy {
 
 object TopKPerGroup {
 
-  /** Retained-heap-rows-per-task bound before the partial pass flushes /
-    * the final pass spills a sorted run. Default ≈ 2M rows (a few hundred
-    * MB of UnsafeRow copies at typical widths).
+  /** Retained-heap bounds per task before the partial pass flushes / the
+    * final pass spills a sorted run — whichever of the row- or byte-count
+    * trips first. The BYTE bound is the real memory guard (2M retained
+    * copies of a 5 KB text row is 10 GB; a row count alone cannot see
+    * that); the row bound keeps the hash map itself from ballooning on
+    * tiny rows. Honest scope: the accounting is our own (UnsafeRow
+    * sizes), not registered with Spark's TaskMemoryManager, so other
+    * consumers cannot force this operator to spill — size the byte
+    * threshold so threads-per-executor × threshold fits in the executor
+    * heap alongside them (default 256 MB).
     */
   val SpillThresholdKey = "spark.graft.topk.spill.threshold.rows"
   val SpillThresholdDefault: String = (2L * 1024 * 1024).toString
+  val SpillThresholdBytesKey = "spark.graft.topk.spill.threshold.bytes"
+  val SpillThresholdBytesDefault: String = (256L * 1024 * 1024).toString
 
   /** One k-bounded heap per group key, with the bookkeeping both exec
     * passes share. Not thread-safe (per-task use only).
@@ -207,6 +222,7 @@ object TopKPerGroup {
     private val heaps =
       new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
     var retainedRows: Long = 0L
+    var retainedBytes: Long = 0L
     def numGroups: Int = heaps.size()
 
     def insert(keyProj: UnsafeProjection, toUnsafe: UnsafeProjection,
@@ -216,13 +232,20 @@ object TopKPerGroup {
       if (heap == null) {
         heap = new java.util.PriorityQueue[UnsafeRow](
           math.max(1, math.min(k, 16)), lt.reversed())
-        heaps.put(key.copy(), heap)
+        val kc = key.copy()
+        retainedBytes += kc.getSizeInBytes
+        heaps.put(kc, heap)
       }
       if (heap.size < k) {
-        heap.offer(toUnsafe(row).copy())
+        val rc = toUnsafe(row).copy()
+        retainedBytes += rc.getSizeInBytes
+        heap.offer(rc)
         retainedRows += 1
       } else if (lt.compare(row, heap.peek()) < 0) {
-        heap.poll(); heap.offer(toUnsafe(row).copy())
+        retainedBytes -= heap.poll().getSizeInBytes
+        val rc = toUnsafe(row).copy()
+        retainedBytes += rc.getSizeInBytes
+        heap.offer(rc)
       }
     }
 
@@ -242,6 +265,7 @@ object TopKPerGroup {
       val vs = heaps.values().asScala.toArray
       heaps.clear()
       retainedRows = 0
+      retainedBytes = 0
       vs.iterator.flatMap(_.iterator().asScala)
     }
 
@@ -253,6 +277,7 @@ object TopKPerGroup {
       val vs = heaps.values().asScala.toArray
       heaps.clear()
       retainedRows = 0
+      retainedBytes = 0
       vs.iterator.flatMap(h => sortedRows(h).iterator)
     }
 
@@ -283,6 +308,7 @@ object TopKPerGroup {
       } finally out.close()
       heaps.clear()
       retainedRows = 0
+      retainedBytes = 0
     }
   }
 
@@ -335,8 +361,8 @@ object TopKPerGroup {
   /** Streaming k-way merge of spilled runs: one group in memory at a time
     * (≤ runs × k rows), emitting each group's true top-k best-first.
     */
-  private[plans] def mergeRuns(files: Seq[File], numKeyFields: Int,
-      numRowFields: Int, k: Int, lt: java.util.Comparator[InternalRow],
+  private[plans] def mergeRuns(files: Seq[File], numRowFields: Int,
+      k: Int, lt: java.util.Comparator[InternalRow],
       outGroups: org.apache.spark.sql.execution.metric.SQLMetric)
       : Iterator[InternalRow] = {
     val pq = new java.util.PriorityQueue[RunReader](math.max(1, files.size),

@@ -319,11 +319,26 @@ object ExtQueries {
     * completeness direction of the prefix join is covered by its own
     * ScalaTest equivalence and the d3 oracle).
     */
+  /** The previous x3v invocation's checkpointed pair RDD: superseded
+    * blocks are released on the next call, bounding the block-store
+    * footprint to ONE small pair table instead of growing per invocation
+    * (same supersession discipline as d4's iterative CC rounds).
+    */
+  private val x3vPairsPrev =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   def x3vLshSubsetExact(s: SparkSession, dir: String): DataFrame = {
-    // materialized once (three plan references, see wv2); shingle sets
-    // are then computed once per INVOLVED doc, not for the whole corpus
+    // materialized once (three plan references: join spine + both
+    // endpoints of the involved-docs semi-join); shingle sets are then
+    // computed once per INVOLVED doc, not for the whole corpus
     val pairs = Dedup.minhashLshPairs(s, dir, k = 5, numHashes = 32,
       bands = 8, jaccardMin = 0.5).select("doc_a", "doc_b").localCheckpoint()
+    Option(x3vPairsPrev.getAndSet(pairs)).foreach(unpersistCheckpoint)
     val involved = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val shingled = docs(s, dir).select(col("doc_id"), col("text"))

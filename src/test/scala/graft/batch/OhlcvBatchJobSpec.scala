@@ -182,6 +182,34 @@ class OhlcvBatchJobSpec extends SparkSpec {
       "backfilled store diverged from full recompute")
   }
 
+  test("incremental detects a corrected candle (same doc_id, new values)") {
+    implicit val s = spark
+    val t0 = 1717200000000L
+    val all = FixtureGen.candles("BTC_USDT", t0, 3600000L, 40)
+    val origDir = tmpDir("corr-orig-raw")
+    FixtureGen.writeCsv(origDir, "BTC_USDT_1h.csv", all)
+    val store = new ServingStore(tmpDir("corr-store"))
+    OhlcvBatchJob.run(spark, Seq(origDir), store)
+
+    // upstream corrects candle #20's close price and re-ships the file:
+    // same doc_id, different values — a doc_id-presence probe would miss it
+    val corrected = all.updated(20, {
+      val c = all(20); c.copy(close = c.close + 5.0)
+    })
+    val corrDir = tmpDir("corr-new-raw")
+    FixtureGen.writeCsv(corrDir, "BTC_USDT_1h.csv", corrected)
+    val n = OhlcvBatchJob.runIncremental(spark, Seq(corrDir), store)
+    assert(n == 40, s"correction should trigger a full recompute, got $n")
+
+    val truthStore = new ServingStore(tmpDir("corr-truth-store"))
+    OhlcvBatchJob.run(spark, Seq(corrDir), truthStore)
+    def snapshot(st: ServingStore) = st.table(Schemas.Tables.Historical)
+      .collect().map(r => (r.getAs[String]("doc_id"),
+        r.getAs[Double]("sma_7"), r.getAs[Double]("close"))).sortBy(_._1)
+    assert(snapshot(truthStore).sameElements(snapshot(store)),
+      "corrected store diverged from full recompute")
+  }
+
   test("run on empty input writes nothing") {
     implicit val s = spark
     val store = new ServingStore(tmpDir("ohlcv-empty-store"))

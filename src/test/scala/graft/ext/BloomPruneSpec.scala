@@ -63,6 +63,21 @@ class BloomPruneSpec extends SparkSpec {
       s"no BloomFilterMightContain filter in:\n${q.queryExecution.sparkPlan}")
   }
 
+  test("mismatched key types coerce before hashing (no false negatives)") {
+    import spark.implicits._
+    // int fact key vs long dim key: raw xxhash64 would hash them
+    // differently and prune every real match
+    val fact = (0 until 1000).map(i => (i, i % 7)).toDF("fk", "v")
+    val dim = (0 until 1000).filter(_ % 37 == 0)
+      .map(i => (i.toLong, s"d$i")).toDF("dk", "name")
+    val pruned = BloomPrune.prunedJoin(fact, dim, col("fk"), col("dk"), 100L)
+      .select("fk").collect().map(_.getInt(0)).toSet
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .select("fk").collect().map(_.getInt(0)).toSet
+    assert(pruned == plain && plain.nonEmpty,
+      s"type-mismatched keys lost matches: pruned=$pruned plain=$plain")
+  }
+
   test("empty dim prunes everything") {
     val (fact, dim) = factDim(1000)
     assert(BloomPrune.prunedJoin(fact, dim.filter(col("dk") < 0),

@@ -188,6 +188,32 @@ class TopKPerGroupSpec extends SparkSpec {
     }
   }
 
+  test("byte threshold trips on wide rows long before the row threshold") {
+    spark.conf.set(TopKPerGroup.SpillThresholdBytesKey, "4096")
+    val aqePrev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // ~1 KB payload per row: a row count alone would never flush here
+      val df = randomDf(2000, 200, seed = 29)
+        .withColumn("pad", concat_ws("", (1 to 16).map(_ => col("id").cast("string")): _*))
+        .withColumn("pad", rpad(col("pad"), 1024, "x"))
+      val q = TopKPerGroup.topK(df, Seq("g"), "v", 3, tiebreakCols = Seq("id"))
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val w = Window.partitionBy("g").orderBy(col("v").desc, col("id"))
+      val expect = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expect)
+      val execs = q.queryExecution.executedPlan.collect {
+        case e: TopKPerGroupExec => e }
+      assert(execs.map(_.metrics("spillCount").value).sum > 0,
+        "wide rows never tripped the byte threshold")
+    } finally {
+      spark.conf.unset(TopKPerGroup.SpillThresholdBytesKey)
+      spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
+    }
+  }
+
   test("rows within a group are emitted best-first (WindowExec order parity)") {
     // both with and without spilling: the user-visible intra-group order
     // must be the window order
