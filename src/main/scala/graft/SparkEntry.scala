@@ -102,6 +102,7 @@ object SparkEntry {
     "v1_vocab_topk" -> (ExtQueries.v1VocabTopk _),
     "t5_tfidf_top_terms" -> (ExtQueries.t5TfidfTopTerms _),
     // oracle-checked invariants over the approximate operators
+    "x1v_fingerprint_injective" -> (ExtQueries.x1vFingerprintInjective _),
     "x3v_lsh_subset_exact" -> (ExtQueries.x3vLshSubsetExact _),
     "x4v_ann_scores_match_brute" -> (ExtQueries.x4vAnnScoresMatchBrute _),
     "x8v_ivf_subset_exact" -> (ExtQueries.x8vIvfSubsetExact _),
@@ -693,6 +694,14 @@ object SparkEntry {
     // bound); the oracle states what it must equal. Subset violations are
     // empty by construction of a correct sketch, so the oracle is the
     // matching empty relation.
+    "x1v_fingerprint_injective" ->
+      """SELECT count(DISTINCT text) AS n_texts,
+                count(DISTINCT text) AS n_fnv,
+                count(DISTINCT list_sort(list_distinct(string_split(text, ' '))))
+                  AS n_bagsets,
+                count(DISTINCT list_sort(list_distinct(string_split(text, ' '))))
+                  AS n_bag
+         FROM documents""",
     "x3v_lsh_subset_exact" ->
       """SELECT doc_id AS doc_a, doc_id AS doc_b FROM documents WHERE FALSE""",
     "x4v_ann_scores_match_brute" ->

@@ -278,6 +278,25 @@ object ExtQueries {
       simhash64(col("text")).as("simhash"),
       xxhash64(sort_array(array_distinct(split(col("text"), " ")))).as("bag_hash"))
 
+  /** x1 invariant: the native 64-bit content hashes must be injective on
+    * this corpus — one distinct hash per distinct text, for both FNV-1a
+    * and the order-insensitive bag hash. A collision (astronomically
+    * unlikely at 64 bits, but exactly what a buggy hash loop produces)
+    * would make d1-style fingerprint-keyed dedup MERGE unrelated docs,
+    * so the oracle pins hash-count == text-count.
+    */
+  def x1vFingerprintInjective(s: SparkSession, dir: String): DataFrame = {
+    val bagSet = sort_array(array_distinct(split(col("text"), " ")))
+    docs(s, dir).agg(
+      count_distinct(col("text")).as("n_texts"),
+      count_distinct(graft.functions.Expressions.fnv1a64(col("text")))
+        .as("n_fnv"),
+      // bag hashes compare against distinct word SETS, not texts — two
+      // texts with the same words in another order share a bag by design
+      count_distinct(bagSet).as("n_bagsets"),
+      count_distinct(xxhash64(bagSet)).as("n_bag"))
+  }
+
   /** SimHash sketch table (doc → 64-bit sketch); near-dup pair mining is
     * verified in ScalaTest with synthetic near-duplicates.
     */
