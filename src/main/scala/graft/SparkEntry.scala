@@ -117,6 +117,7 @@ object SparkEntry {
     "x8_ivf_topk" -> (ExtQueries.x8IvfTopK _),
     "x5_frame_sample" -> (ExtQueries.x5FrameSample _),
     "t6_token_batches" -> (graft.ext.BatchPacking.t6TokenBatches _),
+    "t9_chunk_spans" -> (ExtQueries.t9ChunkSpans _),
     "t6v_packing_invariants" -> (graft.ext.BatchPacking.t6vPackingInvariants _),
     "x6_media_features" -> (ExtQueries.x6MediaFeatures _),
     "x13_media_resize" -> (ExtQueries.x13MediaResize _),
@@ -638,6 +639,13 @@ object SparkEntry {
                   regexp_replace(text, '\b(the|a)\b', '', 'g'),
                   '[ \t\n\r\f]+', ' ', 'g')), ' ')) AS n_tokens_after
          FROM documents""",
+    "t9_chunk_spans" ->
+      """SELECT doc_id, CAST(gs AS BIGINT) AS chunk_start,
+                CAST(least(gs + 100, n) AS BIGINT) AS chunk_end
+         FROM (SELECT doc_id, n,
+                      unnest(generate_series(0, greatest(n - 21, 0), 80)) AS gs
+               FROM (SELECT doc_id, len(string_split(text, ' ')) AS n
+                     FROM documents))""",
     "ct1_contamination" ->
       """WITH d AS (SELECT doc_id, substr(md5(text), 1, 2) AS h2, text
                     FROM documents),

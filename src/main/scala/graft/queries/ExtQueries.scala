@@ -241,6 +241,31 @@ object ExtQueries {
       size(split(collapsed, " ")).cast("long").as("n_tokens_after"))
   }
 
+  /** Sliding token-window chunking — the context-window primitive of RAG
+    * and pretraining pipelines: each doc becomes ceil(max(n-overlap,1) /
+    * stride) chunks of ≤ `win` whitespace tokens, consecutive chunks
+    * overlapping by `win - stride`. Pure generate-and-explode (sequence +
+    * explode fuse into the scan, no shuffle, no UDF); chunk token spans
+    * are emitted rather than substrings so the oracle is
+    * tokenizer-independent. Stride chosen so the final chunk always
+    * reaches the last token.
+    */
+  def t9ChunkSpans(s: SparkSession, dir: String): DataFrame = {
+    val win = 100
+    val stride = 80 // win - overlap(20)
+    val n = size(split(col("text"), " "))
+    docs(s, dir)
+      .select(col("doc_id"), n.as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0),
+          greatest(col("n_tokens") - (win - stride) - 1, lit(0)),
+          lit(stride))).as("chunk_start"))
+      .select(col("doc_id"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        least(col("chunk_start") + win, col("n_tokens")).cast("long")
+          .as("chunk_end"))
+  }
+
   /** Vocabulary top-k with term and document frequencies. */
   def v1VocabTopk(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabulary(s, dir, size = 1000)
