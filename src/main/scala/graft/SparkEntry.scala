@@ -52,6 +52,8 @@ object SparkEntry {
     "q5_local_supplier_volume" -> (CoreQueries.q5LocalSupplierVolume _),
     "q10_returned_customers" -> (CoreQueries.q10ReturnedCustomers _),
     "q14_promo_revenue" -> (CoreQueries.q14PromoRevenue _),
+    "q18_large_orders" -> (CoreQueries.q18LargeOrders _),
+    "q12_priority_counts" -> (CoreQueries.q12PriorityCounts _),
     "sq1_correlated_subquery" -> (CoreQueries.sq1CorrelatedSubquery _),
     "sq2_exists_subquery" -> (CoreQueries.sq2ExistsSubquery _),
     "r1_rollup" -> (CoreQueries.r1Rollup _),
@@ -90,6 +92,9 @@ object SparkEntry {
     "c2_consistent_sample" -> (ExtQueries.c2ConsistentSample _),
     "c3_stratified_sample" -> (ExtQueries.c3StratifiedSample _),
     "c4_group_sample" -> ((s, dir) => ExtQueries.c4GroupSample(s, dir)),
+    "c5_temperature_mix" -> ((s, dir) => ExtQueries.c5TemperatureMix(s, dir)),
+    "h1_length_histogram" -> (ExtQueries.h1LengthHistogram _),
+    "z1_zorder_key" -> (ExtQueries.z1ZorderKey _),
     "d5_embedding_bucket_dedup" -> (ExtQueries.d5EmbeddingBucketDedup _),
     "ct1_contamination" -> (ExtQueries.ct1Contamination _),
     "t7_repetition_ratio" -> (ExtQueries.t7RepetitionRatio _),
@@ -109,6 +114,7 @@ object SparkEntry {
     "x9v_kmv_exact_small" -> (CoreQueries.x9vKmvExactSmall _),
     "x7v_hll_error_bound" -> (CoreQueries.x7vHllErrorBound _),
     "x11v_quant_cosine_bound" -> (ExtQueries.x11vQuantCosineBound _),
+    "d8v_simhash_band_complete" -> (ExtQueries.d8vSimhashBandComplete _),
     // rows-only: native hashes / LSH internals (ScalaTest owns semantics)
     "x1_fingerprints_native" -> (ExtQueries.x1FingerprintsNative _),
     "x2_simhash_sketches" -> (ExtQueries.x2SimhashSketches _),
@@ -417,6 +423,29 @@ object SparkEntry {
                     * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
                   * 10000 + 0.5) / 10000 AS promo_pct
          FROM lineitem JOIN part ON l_partkey = p_partkey""",
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+         FROM (SELECT l_orderkey,
+                      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                        AS sum_qty
+               FROM lineitem GROUP BY l_orderkey
+               HAVING CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 > 300) b
+         JOIN orders ON o_orderkey = b.l_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 100""",
+    "q12_priority_counts" ->
+      """SELECT l_returnflag,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority NOT IN
+                  ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+         GROUP BY l_returnflag""",
     "q5_local_supplier_volume" ->
       """SELECT n_name,
                 CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
@@ -606,6 +635,51 @@ object SparkEntry {
                     ORDER BY md5(text), doc_id) AS rn
            FROM documents)
          WHERE rn <= 20""",
+    "c5_temperature_mix" ->
+      """WITH d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+         w AS (SELECT source,
+                      CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000
+                        + 0.5) AS BIGINT) AS wi
+               FROM d GROUP BY source),
+         tot AS (SELECT CAST(sum(wi) AS BIGINT) AS w_total FROM w),
+         q AS (SELECT source,
+                      CAST((200 * wi) // w_total AS BIGINT) AS quota
+               FROM w CROSS JOIN tot),
+         r AS (SELECT doc_id, source, h,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY h, doc_id) AS rn
+               FROM d)
+         SELECT r.doc_id, r.source, CAST(r.rn AS BIGINT) AS rn, q.quota
+         FROM r JOIN q USING (source)
+         WHERE r.rn <= q.quota""",
+    "h1_length_histogram" ->
+      """SELECT least(CAST(floor(n_tokens / 5) AS BIGINT), 19) AS bucket,
+                count(*) AS n_docs,
+                min(n_tokens) AS min_tokens,
+                max(n_tokens) AS max_tokens
+         FROM (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+                 AS n_tokens FROM documents)
+         GROUP BY least(CAST(floor(n_tokens / 5) AS BIGINT), 19)""",
+    "z1_zorder_key" ->
+      """SELECT event_id,
+                xb AS user_bucket, yb AS value_bucket,
+                (((xb >> 0) & 1) * 2 + ((xb >> 1) & 1) * 8
+                 + ((xb >> 2) & 1) * 32 + ((xb >> 3) & 1) * 128
+                 + ((xb >> 4) & 1) * 512 + ((xb >> 5) & 1) * 2048
+                 + ((xb >> 6) & 1) * 8192 + ((xb >> 7) & 1) * 32768
+                 + ((yb >> 0) & 1) * 1 + ((yb >> 1) & 1) * 4
+                 + ((yb >> 2) & 1) * 16 + ((yb >> 3) & 1) * 64
+                 + ((yb >> 4) & 1) * 256 + ((yb >> 5) & 1) * 1024
+                 + ((yb >> 6) & 1) * 4096 + ((yb >> 7) & 1) * 16384)
+                  AS zkey
+         FROM (SELECT event_id,
+                      CAST(user_id & 255 AS BIGINT) AS xb,
+                      least(CAST(floor(sqrt(value) * 8) AS BIGINT), 255)
+                        AS yb
+               FROM events)""",
+    "d8v_simhash_band_complete" ->
+      """SELECT doc_id AS doc_a, doc_id AS doc_b FROM documents
+         WHERE FALSE""",
     "d5_embedding_bucket_dedup" ->
       """SELECT bucket, min(vec_id) AS keeper_id, count(*) AS n_members
          FROM (SELECT vec_id, CAST(

@@ -407,6 +407,47 @@ object CoreQueries {
           .otherwise(lit(0).cast("decimal(12,2)"))).cast("double") * 100.0 /
           sum(discPrice).cast("double")).as("promo_pct"))
 
+  /** TPC-H Q18 shape (large-volume orders): group-HAVING on the fact
+    * table, then join the tiny survivor set back to orders/customer.
+    * Scale: the l_orderkey aggregation is the one unavoidable fact
+    * shuffle; the HAVING filter collapses it to a handful of keys, so AQE
+    * turns both downstream joins into broadcasts — orders and customer
+    * never shuffle. Quantity sums are DECIMAL-exact.
+    */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+        .as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    t(s, dir, "orders").join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q12 shape (priority class counts): a shipdate-bounded fact
+    * scan joined to orders, conditional two-way counts per return flag.
+    * Scale: the date predicate is pushed to the parquet scan (and prunes
+    * partitions on a date-partitioned landing zone); the conditional
+    * sums are map-side partial aggregates over 3 groups.
+    */
+  def q12PriorityCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01") &&
+        col("l_shipdate") < lit("1996-01-01"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+          col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+          .as("low_line_count"))
+
   /** Correlated scalar subquery through the SQL front-end: customers
     * richer than their nation's average balance. Catalyst decorrelates
     * the subquery into an aggregate + join (RewriteCorrelatedScalarSubquery)

@@ -473,4 +473,89 @@ object ExtQueries {
     Multimodal.resize(s, dir).toDF()
       .select("media_id", "kind", "src_width", "src_height",
         "dst_width", "dst_height", "n_bytes_in", "n_bytes_out")
+
+  /** Temperature-weighted source mixing — the pretraining-mix primitive:
+    * per-source quotas ∝ count^alpha (alpha = 0.5 here, the classic
+    * "sample rare domains up" exponent), rows chosen within each source
+    * by content-hash order so the selection is deterministic, engine-
+    * independent, and stable under re-runs/incremental ingests (same
+    * property as [[c2ConsistentSample]]).
+    *
+    * Scale: one count aggregate over the corpus (tiny result — one row
+    * per source), quotas broadcast back, one window ranked by (hash,
+    * doc_id) per source partition. No global sort; the per-source sort is
+    * the same shape as any grouped top-k and could route through the
+    * bounded-heap [[graft.plans.TopKPerGroup]] operator when quotas are
+    * uniform. Quota arithmetic goes through integer micro-weights
+    * (floor(sqrt(n)·1e6) — sqrt is IEEE-deterministic) so the total and
+    * the quota division are EXACT integer ops on both engines; a raw
+    * double sum of per-source weights would be summation-order-dependent
+    * and could flip a floor boundary between engines.
+    */
+  def c5TemperatureMix(s: SparkSession, dir: String,
+      targetRows: Int = 200): DataFrame = {
+    val d = docs(s, dir).withColumn("h", md5(col("text")))
+    val weights = d.groupBy("source")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("wi",
+        floor(sqrt(col("n").cast("double")) * 1e6 + 0.5).cast("long"))
+    val totalW = weights.agg(sum(col("wi")).as("w_total"))
+    val quotas = weights.crossJoin(broadcast(totalW))
+      .select(col("source"),
+        expr(s"CAST(($targetRows * wi) DIV w_total AS BIGINT)").as("quota"))
+    val ranked = d.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("h"), col("doc_id"))))
+    ranked.join(broadcast(quotas), Seq("source"))
+      .filter(col("rn") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("rn").cast("long").as("rn"),
+        col("quota"))
+  }
+
+  /** Corpus length histogram: fixed-width buckets over whitespace token
+    * counts — the standard corpus-stats pass before choosing packing /
+    * chunking parameters. Pure arithmetic bucketing (floor + cap), so the
+    * oracle is exact; one scan, one tiny aggregate (≤ 20 groups).
+    */
+  def h1LengthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val n = size(split(col("text"), " ")).cast("long")
+    docs(s, dir)
+      .select(least(floor(n / 5L), lit(19L)).cast("long").as("bucket"),
+        n.as("n_tokens"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_tokens").as("min_tokens"),
+        max("n_tokens").as("max_tokens"))
+  }
+
+  /** Z-order key computation over events (see [[graft.ext.ZOrder]]) —
+    * the clustering key for 2-d data skipping. Pure bit arithmetic, so
+    * the oracle recomputes it with shifts/masks; the layout + file-
+    * pruning behavior is asserted in ZOrderSpec.
+    */
+  def z1ZorderKey(s: SparkSession, dir: String): DataFrame =
+    graft.ext.ZOrder.eventsZKeyed(s, dir)
+
+  /** d8 invariant (completeness direction): by pigeonhole, any pair at
+    * Hamming distance ≤ 3 over a 64-bit SimHash must agree exactly on at
+    * least one of the 4 16-bit bands — so the banded candidate generator
+    * provably finds EVERY such pair. This recomputes the ground truth by
+    * brute force (all-pairs popcount over the compact (doc_id, simhash)
+    * sketch — 16 bytes/row, broadcast nested-loop, never materializing
+    * text pairs) and anti-joins the banded miner's output: any surviving
+    * row is a recall bug. Oracle: the empty relation.
+    */
+  def d8vSimhashBandComplete(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.simhashes(s, dir)
+    val a = sh.toDF("doc_a", "sim_a")
+    val b = sh.toDF("doc_b", "sim_b")
+    val exact = a.crossJoin(b)
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 3)
+      .select("doc_a", "doc_b")
+    exact.join(
+      Dedup.simhashNearDupPairs(s, dir, maxDist = 3)
+        .select("doc_a", "doc_b"),
+      Seq("doc_a", "doc_b"), "left_anti")
+  }
 }

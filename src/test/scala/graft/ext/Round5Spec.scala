@@ -1,0 +1,64 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.{CoreQueries, ExtQueries}
+
+/** Round-5 additions: temperature mix, length histogram, SimHash band
+  * completeness, TPC-H Q18/Q12 shapes.
+  */
+class Round5Spec extends SparkSpec {
+
+  test("c5 temperature mix: quotas sum ~target and upweight rare sources") {
+    val d = sf("sf0.01")
+    val mix = ExtQueries.c5TemperatureMix(spark, d, targetRows = 200)
+    val perSource = mix.groupBy("source")
+      .agg(count(lit(1)).as("kept"), max("quota").as("quota")).collect()
+    // floor in each quota loses < 1 row per source
+    val totalQuota = perSource.map(_.getLong(2)).sum
+    assert(totalQuota <= 200 && totalQuota > 200 - perSource.length,
+      s"quota total $totalQuota")
+    // kept == min(quota, n_source) per source; dedup determinism: rerun equal
+    assert(perSource.forall(r => r.getLong(1) <= r.getLong(2)))
+    val again = ExtQueries.c5TemperatureMix(spark, d, targetRows = 200)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == mix.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // temperature flattens: rare sources keep a LARGER fraction than
+    // dominant ones (sqrt weighting) — compare extremes
+    val counts = spark.read.parquet(s"$d/documents.parquet")
+      .groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fracs = perSource.map(r =>
+      (counts(r.getString(0)), r.getLong(2).toDouble / counts(r.getString(0))))
+    val rare = fracs.minBy(_._1)
+    val dominant = fracs.maxBy(_._1)
+    assert(rare._2 >= dominant._2,
+      s"rare source kept ${rare._2}, dominant kept ${dominant._2}")
+  }
+
+  test("h1 histogram covers every doc exactly once") {
+    val d = sf("sf0.01")
+    val h = ExtQueries.h1LengthHistogram(spark, d).collect()
+    val total = h.map(_.getLong(1)).sum
+    val nDocs = spark.read.parquet(s"$d/documents.parquet").count()
+    assert(total == nDocs)
+    assert(h.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 19))
+    assert(h.forall(r => r.getLong(2) <= r.getLong(3)))
+  }
+
+  test("d8v: banded SimHash miner finds every Hamming<=3 pair (pigeonhole)") {
+    assert(ExtQueries.d8vSimhashBandComplete(spark, sf("sf0.01")).count() == 0L)
+  }
+
+  test("q18/q12 shapes return stable non-empty results") {
+    val d = sf("sf0.001")
+    val q18 = CoreQueries.q18LargeOrders(spark, d).collect()
+    assert(q18.nonEmpty && q18.length <= 100)
+    // every returned order genuinely exceeds the quantity threshold
+    assert(q18.forall(_.getDouble(4) > 300))
+    val q12 = CoreQueries.q12PriorityCounts(spark, d).collect()
+    assert(q12.length == 3) // three return flags
+    assert(q12.forall(r => r.getLong(1) >= 0 && r.getLong(2) >= 0))
+  }
+}
