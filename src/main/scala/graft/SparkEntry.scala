@@ -54,6 +54,7 @@ object SparkEntry {
     "q14_promo_revenue" -> (CoreQueries.q14PromoRevenue _),
     "q18_large_orders" -> (CoreQueries.q18LargeOrders _),
     "q12_priority_counts" -> (CoreQueries.q12PriorityCounts _),
+    "f1_funnel_conversion" -> (CoreQueries.f1FunnelConversion _),
     "sq1_correlated_subquery" -> (CoreQueries.sq1CorrelatedSubquery _),
     "sq2_exists_subquery" -> (CoreQueries.sq2ExistsSubquery _),
     "r1_rollup" -> (CoreQueries.r1Rollup _),
@@ -94,6 +95,7 @@ object SparkEntry {
     "c4_group_sample" -> ((s, dir) => ExtQueries.c4GroupSample(s, dir)),
     "c5_temperature_mix" -> ((s, dir) => ExtQueries.c5TemperatureMix(s, dir)),
     "h1_length_histogram" -> (ExtQueries.h1LengthHistogram _),
+    "t11_relative_quality_gate" -> (ExtQueries.t11RelativeQualityGate _),
     "z1_zorder_key" -> (ExtQueries.z1ZorderKey _),
     "d5_embedding_bucket_dedup" -> (ExtQueries.d5EmbeddingBucketDedup _),
     "ct1_contamination" -> (ExtQueries.ct1Contamination _),
@@ -446,6 +448,20 @@ object SparkEntry {
          WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
            AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
          GROUP BY l_returnflag""",
+    "f1_funnel_conversion" ->
+      """WITH ev AS (SELECT user_id, event_type,
+                           epoch_ns(ts) // 1000000000 AS es FROM events),
+         fv AS (SELECT user_id, min(es) AS view_es FROM ev
+                WHERE event_type = 'view' GROUP BY user_id),
+         fc AS (SELECT ev.user_id, min(es) AS purchase_es
+                FROM ev JOIN fv USING (user_id)
+                WHERE event_type = 'purchase'
+                  AND es > view_es AND es <= view_es + 3600
+                GROUP BY ev.user_id)
+         SELECT fv.user_id, fv.view_es, fc.purchase_es,
+                CAST(CASE WHEN fc.purchase_es IS NOT NULL
+                  THEN 1 ELSE 0 END AS INT) AS converted
+         FROM fv LEFT JOIN fc USING (user_id)""",
     "q5_local_supplier_volume" ->
       """SELECT n_name,
                 CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
@@ -652,6 +668,14 @@ object SparkEntry {
          SELECT r.doc_id, r.source, CAST(r.rn AS BIGINT) AS rn, q.quota
          FROM r JOIN q USING (source)
          WHERE r.rn <= q.quota""",
+    "t11_relative_quality_gate" ->
+      """SELECT doc_id, source, n_tokens FROM (
+           SELECT doc_id, source,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  percent_rank() OVER (PARTITION BY source
+                    ORDER BY len(string_split(text, ' ')), doc_id) AS pr
+           FROM documents)
+         WHERE pr >= 0.25""",
     "h1_length_histogram" ->
       """SELECT least(CAST(floor(n_tokens / 5) AS BIGINT), 19) AS bucket,
                 count(*) AS n_docs,

@@ -448,6 +448,34 @@ object CoreQueries {
           col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
           .as("low_line_count"))
 
+  /** Funnel conversion (view → purchase within 1 h) — the sequence-
+    * analytics shape: first qualifying event per user, then the earliest
+    * follow-up event inside the window. All time math in integer epoch
+    * seconds (the events table carries sub-second components; Spark
+    * truncates ns→µs on read, so second-floored longs are the only
+    * representation both engines agree on exactly).
+    *
+    * Scale: two aggregates and one join, all keyed on user_id — one
+    * partitioning reused end-to-end (AQE co-partitions); per-user state
+    * is one row. No window functions, no sort.
+    */
+  def f1FunnelConversion(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000000000").as("es"))
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("es").as("view_es"))
+    val firstConv = ev.filter(col("event_type") === "purchase")
+      .join(firstView, "user_id")
+      .filter(col("es") > col("view_es") && col("es") <= col("view_es") + 3600L)
+      .groupBy("user_id").agg(min("es").as("purchase_es"))
+    firstView.join(firstConv, Seq("user_id"), "left")
+      .select(col("user_id"), col("view_es"), col("purchase_es"),
+        when(col("purchase_es").isNotNull, 1).otherwise(0)
+          .cast("int").as("converted"))
+  }
+
   /** Correlated scalar subquery through the SQL front-end: customers
     * richer than their nation's average balance. Catalyst decorrelates
     * the subquery into an aggregate + join (RewriteCorrelatedScalarSubquery)

@@ -528,6 +528,25 @@ object ExtQueries {
         max("n_tokens").as("max_tokens"))
   }
 
+  /** Relative quality gate: keep documents at or above their source's
+    * 25th length percentile — quality bars in real curation pipelines
+    * are RELATIVE to the domain (a short academic abstract is fine; a
+    * short forum scrape is noise). percent_rank is (rank-1)/(n-1) on
+    * both engines — exact integer inputs, identical double division —
+    * and the (n_tokens, doc_id) ordering makes the rank deterministic.
+    * Scale: one window over the source partitioning; no global sort.
+    */
+  def t11RelativeQualityGate(s: SparkSession, dir: String): DataFrame = {
+    val n = size(split(col("text"), " ")).cast("long")
+    docs(s, dir)
+      .withColumn("n_tokens", n)
+      .withColumn("pr", percent_rank().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("n_tokens"), col("doc_id"))))
+      .filter(col("pr") >= 0.25)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+  }
+
   /** Z-order key computation over events (see [[graft.ext.ZOrder]]) —
     * the clustering key for 2-d data skipping. Pure bit arithmetic, so
     * the oracle recomputes it with shifts/masks; the layout + file-
