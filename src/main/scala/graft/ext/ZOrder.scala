@@ -20,17 +20,14 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  /** Interleave the low `bits` bits of x (odd positions) and y (even
-    * positions) into a 2·bits-bit Morton key. Inputs must already be
-    * bucketed to [0, 2^bits).
+  /** Interleave the low 8 bits of x (odd positions) and y (even
+    * positions) into a 16-bit Morton key. Inputs must already be
+    * bucketed to [0, 256). Native codegen'd expression (3 parallel-
+    * prefix rounds per operand — see [[graft.functions.Morton]]); also
+    * registered as SQL `zorder_key(x, y)` by GraftExtensions.
     */
-  def zkey(x: Column, y: Column, bits: Int = 8): Column =
-    (0 until bits).map { i =>
-      shiftleft(shiftrightunsigned(x.cast("long"), i).bitwiseAND(lit(1L)),
-        2 * i + 1)
-        .bitwiseOR(shiftleft(
-          shiftrightunsigned(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
-    }.reduce(_ bitwiseOR _)
+  def zkey(x: Column, y: Column): Column =
+    graft.functions.Expressions.zorderKey8(x.cast("long"), y.cast("long"))
 
   /** Events table with 8-bit (user, value) buckets and their z-key.
     * The value dimension is sqrt-bucketed: `value` is right-skewed

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftBridge
@@ -121,6 +121,36 @@ import org.apache.spark.unsafe.types.UTF8String
       copy(left = l, right = r)
   }
 
+  /** Morton (Z-order) bit interleave — the multi-dimensional clustering
+    * key (Morton 1966). Bit-spread via parallel-prefix masks: 3 shift/or
+    * rounds per operand instead of 8 mask-shift-or terms per bit.
+    */
+  object Morton {
+    /** Spread the low 8 bits of v to even positions 0,2,…,14. */
+    def spread8(v: Long): Long = {
+      var x = v & 0xffL
+      x = (x | (x << 4)) & 0x0f0fL
+      x = (x | (x << 2)) & 0x3333L
+      x = (x | (x << 1)) & 0x5555L
+      x
+    }
+    /** 16-bit z-key: x bits at odd positions, y bits at even. */
+    def zkey8(x: Long, y: Long): Long = (spread8(x) << 1) | spread8(y)
+  }
+
+  case class ZOrderKey8(left: Expression, right: Expression)
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes = GraftBridge.longLongInputTypes
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Morton.zkey8(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.Morton.zkey8($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): ZOrderKey8 =
+      copy(left = l, right = r)
+  }
+
 // ---- Column-level API ----------------------------------------------------
 
 object Expressions {
@@ -129,6 +159,8 @@ object Expressions {
   def simhash64(c: Column): Column = GraftBridge.column(SimHash64(GraftBridge.expression(c)))
   def dotF(a: Column, b: Column): Column =
     GraftBridge.column(DotF(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def zorderKey8(x: Column, y: Column): Column =
+    GraftBridge.column(ZOrderKey8(GraftBridge.expression(x), GraftBridge.expression(y)))
 
   /** Cosine similarity between two float-array columns, double-accumulated
     * in element order (oracle-stable).

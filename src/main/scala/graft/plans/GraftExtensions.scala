@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotF, Fnv1a64, MinHashSig, ShingleHashes, SimHash64, SortedIntersectSize, WinnowFingerprints}
+import graft.functions.{DotF, Fnv1a64, MinHashSig, ShingleHashes, SimHash64, SortedIntersectSize, WinnowFingerprints, ZOrderKey8}
 
 /** SparkSessionExtensions entry point: registers the graft native
   * expressions as SQL functions, so `spark.sql("SELECT fnv1a64(text) …")`
@@ -51,6 +51,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (args: Seq[Expression]) =>
         MinHashSig(args(0), intArg(args(1), "minhash_sig"))))
+    ext.injectFunction((
+      new FunctionIdentifier("zorder_key"),
+      new ExpressionInfo(classOf[ZOrderKey8].getName, "zorder_key"),
+      (args: Seq[Expression]) => ZOrderKey8(args(0), args(1))))
     ext.injectFunction((
       new FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),

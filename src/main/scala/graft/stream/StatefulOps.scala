@@ -64,6 +64,52 @@ object StatefulOps {
         })
   }
 
+  final case class FunnelEvent(userId: Long, eventType: String, es: Long)
+  final case class FunnelState(viewEs: Long, converted: Boolean)
+  final case class FunnelConversion(userId: Long, viewEs: Long,
+      purchaseEs: Long)
+
+  /** Streaming funnel detection — the stateful analog of the batch
+    * `f1_funnel_conversion` query: per user, emit the first purchase that
+    * follows the first view within `windowSec`. State is two fields per
+    * user (earliest view, converted flag), independent of stream length;
+    * a conversion is emitted exactly once per user.
+    *
+    * Cross-batch ordering: events inside a batch fold in event-time
+    * order; an earlier view arriving in a LATER batch lowers the stored
+    * view time only while the user is unconverted (matching the batch
+    * query's global-min view for every user whose conversion is not yet
+    * emitted — once emitted, the decision is final: streaming results
+    * are append-only where the batch query could revise).
+    */
+  def funnelConversions(events: Dataset[FunnelEvent],
+      windowSec: Long = 3600L): Dataset[FunnelConversion] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, batch: Iterator[FunnelEvent],
+         state: GroupState[FunnelState]) => {
+          val sorted = batch.toSeq.sortBy(e => (e.es, e.eventType))
+          var st = state.getOption.getOrElse(FunnelState(Long.MinValue, false))
+          val out = sorted.flatMap { e =>
+            e.eventType match {
+              case "view" if !st.converted &&
+                  (st.viewEs == Long.MinValue || e.es < st.viewEs) =>
+                st = st.copy(viewEs = e.es)
+                None
+              case "purchase" if !st.converted && st.viewEs != Long.MinValue &&
+                  e.es > st.viewEs && e.es <= st.viewEs + windowSec =>
+                st = st.copy(converted = true)
+                Some(FunnelConversion(userId, st.viewEs, e.es))
+              case _ => None
+            }
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
   /** Per-symbol EMA over the candle stream. Events inside a batch are
     * folded in event-time order (the state machine is order-sensitive, so
     * we sort the group's batch — bounded by trigger size, not stream

@@ -32,6 +32,10 @@ object GraftBridge {
   val numericInputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
     Seq(org.apache.spark.sql.types.NumericType)
 
+  /** (long, long) input spec for binary integer expressions. */
+  val longLongInputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.LongType)
+
   /** Session-conf column resolver (case-insensitive unless
     * `spark.sql.caseSensitive`), so custom operators resolve names the way
     * every built-in DataFrame API does.

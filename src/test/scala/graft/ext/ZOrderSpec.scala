@@ -19,6 +19,14 @@ class ZOrderSpec extends SparkSpec {
     val all = ZOrder.eventsZKeyed(spark, sf("sf0.001"))
     val bounds = all.agg(min("zkey"), max("zkey")).head()
     assert(bounds.getLong(0) >= 0L && bounds.getLong(1) <= 65535L)
+    // native bit-twiddle expression == the per-bit shift/mask spec
+    val naive = (0 until 8).map { i =>
+      shiftleft(shiftrightunsigned(col("user_bucket"), i)
+        .bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftrightunsigned(col("value_bucket"), i)
+          .bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+    assert(all.filter(col("zkey") =!= naive).count() == 0L)
   }
 
   test("z-ordered layout prunes files on BOTH dimensions; single-key layout does not") {

@@ -37,13 +37,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
                      array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
                size(shingle_hashes('abcdef', 3)) AS n_shingles,
                size(minhash_sig(shingle_hashes('abcdef', 3), 16)) AS n_sig,
-               sorted_intersect_size(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS c
+               sorted_intersect_size(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS c,
+               zorder_key(3, 5) AS z
       """).collect()(0)
     assert(r.getLong(0) == Fnv.compute(UTF8String.fromString("a")))
     assert(r.getDouble(2) == 11.0)
     assert(r.getInt(3) == 4) // 'abc','bcd','cde','def'
     assert(r.getInt(4) == 16)
     assert(r.getLong(5) == 2L)
+    assert(r.getLong(6) == 27L) // x=011 odd bits, y=101 even -> 0b011011
   }
 
   test("winnow_fingerprints and kll_quantile callable from SQL") {

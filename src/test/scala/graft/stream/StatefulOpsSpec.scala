@@ -79,4 +79,43 @@ class StatefulOpsSpec extends SparkSpec {
         last.mkString(","))
     } finally q.stop()
   }
+
+  test("streaming funnel emits each user's conversion exactly once") {
+    import spark.implicits._
+    import StatefulOps.FunnelEvent
+    val mem = MemoryStream[FunnelEvent](13)(implicitly, spark.sqlContext)
+    val conv = StatefulOps.funnelConversions(mem.toDS(), windowSec = 3600L)
+    val q = conv.writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("funnel-ckpt").toString)
+      .format("memory").queryName("funnel_out")
+      .start()
+    try {
+      // u1: view then purchase inside window (cross-batch).
+      // u2: purchase BEFORE any view — no conversion.
+      // u3: view, purchase outside the window — no conversion.
+      mem.addData(
+        FunnelEvent(1L, "view", 1000L), FunnelEvent(2L, "purchase", 1000L),
+        FunnelEvent(3L, "view", 1000L), FunnelEvent(3L, "purchase", 5000L))
+      q.processAllAvailable()
+      mem.addData(FunnelEvent(1L, "purchase", 1500L))
+      q.processAllAvailable()
+      def rows() = spark.table("funnel_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows().toSeq == Seq((1L, 1000L, 1500L)), rows().mkString(","))
+      // a second qualifying purchase must NOT re-emit; a later view must
+      // not restart the funnel for a converted user
+      mem.addData(FunnelEvent(1L, "purchase", 1600L),
+        FunnelEvent(1L, "view", 500L))
+      q.processAllAvailable()
+      assert(rows().length == 1, "conversion emitted twice")
+      // u2's view arriving after its purchase: a LATER purchase converts
+      mem.addData(FunnelEvent(2L, "view", 2000L),
+        FunnelEvent(2L, "purchase", 2500L))
+      q.processAllAvailable()
+      assert(rows().toSet ==
+        Set((1L, 1000L, 1500L), (2L, 2000L, 2500L)), rows().mkString(","))
+    } finally q.stop()
+  }
 }
