@@ -55,6 +55,7 @@ object SparkEntry {
     "q18_large_orders" -> (CoreQueries.q18LargeOrders _),
     "q12_priority_counts" -> (CoreQueries.q12PriorityCounts _),
     "f1_funnel_conversion" -> (CoreQueries.f1FunnelConversion _),
+    "f2_cohort_retention" -> (ExtQueries.f2CohortRetention _),
     "sq1_correlated_subquery" -> (CoreQueries.sq1CorrelatedSubquery _),
     "sq2_exists_subquery" -> (CoreQueries.sq2ExistsSubquery _),
     "r1_rollup" -> (CoreQueries.r1Rollup _),
@@ -117,11 +118,13 @@ object SparkEntry {
     "x7v_hll_error_bound" -> (CoreQueries.x7vHllErrorBound _),
     "x11v_quant_cosine_bound" -> (ExtQueries.x11vQuantCosineBound _),
     "d8v_simhash_band_complete" -> (ExtQueries.d8vSimhashBandComplete _),
+    "e3v_knn_scores_match" -> (ExtQueries.e3vKnnScoresMatch _),
     // rows-only: native hashes / LSH internals (ScalaTest owns semantics)
     "x1_fingerprints_native" -> (ExtQueries.x1FingerprintsNative _),
     "x2_simhash_sketches" -> (ExtQueries.x2SimhashSketches _),
     "x3_minhash_lsh_pairs" -> (ExtQueries.x3MinhashLshPairs _),
     "x4_ann_topk" -> (ExtQueries.x4AnnTopK _),
+    "e3_knn_join" -> (ExtQueries.e3KnnJoin _),
     "x8_ivf_topk" -> (ExtQueries.x8IvfTopK _),
     "x5_frame_sample" -> (ExtQueries.x5FrameSample _),
     "t6_token_batches" -> (graft.ext.BatchPacking.t6TokenBatches _),
@@ -704,6 +707,19 @@ object SparkEntry {
     "d8v_simhash_band_complete" ->
       """SELECT doc_id AS doc_a, doc_id AS doc_b FROM documents
          WHERE FALSE""",
+    "e3v_knn_scores_match" ->
+      """SELECT vec_id AS src_id, vec_id AS nb_id FROM embeddings
+         WHERE FALSE""",
+    "f2_cohort_retention" ->
+      """WITH wk AS (SELECT user_id,
+                           (epoch_ns(ts) // 1000000000) // 604800 AS week
+                    FROM events),
+         c AS (SELECT user_id, min(week) AS cohort_week FROM wk
+               GROUP BY user_id)
+         SELECT c.cohort_week, wk.week - c.cohort_week AS week_offset,
+                CAST(count(DISTINCT wk.user_id) AS BIGINT) AS n_users
+         FROM wk JOIN c USING (user_id)
+         GROUP BY c.cohort_week, wk.week - c.cohort_week""",
     "d5_embedding_bucket_dedup" ->
       """SELECT bucket, min(vec_id) AS keeper_id, count(*) AS n_members
          FROM (SELECT vec_id, CAST(

@@ -181,6 +181,31 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("cell"), col("cosine"))
   }
 
+  /** kNN JOIN: top-k neighbors for EVERY vector — the batch shape behind
+    * near-dup clustering and diversity scoring (single-query probes like
+    * [[annTopK]] serve lookups; corpus curation needs all rows at once).
+    * Candidates are same-LSH-bucket pairs only (the equi-join carries
+    * (bucket, id, embedding) — never a cross product), ranked per source
+    * vector by the bounded-heap [[graft.plans.TopKPerGroup]] operator:
+    * no WindowExec sort, k rows of state per vector. Vectors whose
+    * bucket has no other member emit nothing (multi-probe neighbor
+    * buckets as in [[annTopK]] are the recall lever when needed).
+    */
+  def knnJoin(s: SparkSession, dir: String, k: Int = 3,
+      nPlanes: Int = 8): DataFrame = {
+    val b = lshBuckets(s, dir, nPlanes)
+    val l = b.select(col("vec_id").as("src_id"),
+      col("embedding").as("src_emb"), col("bucket"))
+    val r = b.select(col("vec_id").as("nb_id"),
+      col("embedding").as("nb_emb"), col("bucket"))
+    val cand = l.join(r, Seq("bucket"))
+      .filter(col("src_id") =!= col("nb_id"))
+      .select(col("src_id"), col("nb_id"),
+        cosineF(col("src_emb"), col("nb_emb")).as("cosine"))
+    graft.plans.TopKPerGroup.topK(cand, Seq("src_id"), "cosine", k,
+      desc = true, tiebreakCols = Seq("nb_id"))
+  }
+
   /** ANN top-k via LSH: score only vectors in the query's bucket (plus
     * Hamming-1 neighbor buckets for recall), exact cosine re-rank inside.
     * At 100 TB: bucket column is a partition/cluster key → the scan prunes

@@ -547,6 +547,53 @@ object ExtQueries {
       .select(col("doc_id"), col("source"), col("n_tokens"))
   }
 
+  /** kNN join (top-3 neighbors per vector, LSH-bucketed candidates) —
+    * rows-only: bucket membership depends on the seeded random planes,
+    * so there is no SQL oracle; e3v pins every emitted score to an
+    * independent recomputation and ExtSpec checks neighbor quality.
+    */
+  def e3KnnJoin(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnJoin(s, dir, k = 3, nPlanes = 8)
+
+  /** e3 invariant: every (src, neighbor, cosine) the kNN join emits must
+    * carry EXACTLY the cosine an independent HOF-only recomputation from
+    * the raw embeddings table produces (same left-to-right double
+    * accumulation → bit-equal; compared at 6 decimals). Violations →
+    * rows; oracle: the empty relation.
+    */
+  def e3vKnnScoresMatch(s: SparkSession, dir: String): DataFrame = {
+    val round6 = (c: org.apache.spark.sql.Column) =>
+      floor(c * 1000000 + lit(0.5)) / 1000000
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    def hofDot(a: String, b: String) =
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) *" +
+        s" CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    Similarity.knnJoin(s, dir, k = 3, nPlanes = 8)
+      .join(e.select(col("vec_id").as("src_id"),
+        col("embedding").as("a_emb")), "src_id")
+      .join(e.select(col("vec_id").as("nb_id"),
+        col("embedding").as("b_emb")), "nb_id")
+      .withColumn("cos_h", hofDot("a_emb", "b_emb") /
+        (sqrt(hofDot("a_emb", "a_emb")) * sqrt(hofDot("b_emb", "b_emb"))))
+      .filter(round6(col("cosine")) =!= round6(col("cos_h")))
+      .select(col("src_id"), col("nb_id"))
+  }
+
+  /** Cohort retention — per signup-week cohort, distinct active users at
+    * each week offset. All week math is integer epoch-second division;
+    * two aggregates + one join on the user_id partitioning.
+    */
+  def f2CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val wk = s.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), expr("(ts div 1000000000) div 604800").as("week"))
+    val cohort = wk.groupBy("user_id").agg(min("week").as("cohort_week"))
+    wk.join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
   /** Z-order key computation over events (see [[graft.ext.ZOrder]]) —
     * the clustering key for 2-d data skipping. Pure bit arithmetic, so
     * the oracle recomputes it with shifts/masks; the layout + file-

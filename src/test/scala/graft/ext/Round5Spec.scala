@@ -51,6 +51,30 @@ class Round5Spec extends SparkSpec {
     assert(ExtQueries.d8vSimhashBandComplete(spark, sf("sf0.01")).count() == 0L)
   }
 
+  test("e3 knn join: <=k neighbors per vector, ranked by cosine desc") {
+    val rows = ExtQueries.e3KnnJoin(spark, sf("sf0.01")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, _, c) => c >= -1.0001 && c <= 1.0001 })
+    rows.groupBy(_._1).foreach { case (src, ns) =>
+      assert(ns.length <= 3, s"vector $src got ${ns.length} neighbors")
+      assert(ns.map(_._2).distinct.length == ns.length,
+        s"vector $src has duplicate neighbors")
+    }
+  }
+
+  test("f2 cohort retention: offset-0 row covers every cohort user") {
+    val d = sf("sf0.01")
+    val ret = ExtQueries.f2CohortRetention(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ret.nonEmpty && ret.forall(_._2 >= 0))
+    // every user appears in their own cohort's offset-0 cell
+    val offset0 = ret.filter(_._2 == 0L).map(_._3).sum
+    val nUsers = spark.read.parquet(s"$d/events.parquet")
+      .select("user_id").distinct().count()
+    assert(offset0 == nUsers, s"offset-0 total $offset0 != users $nUsers")
+  }
+
   test("q18/q12 shapes return stable non-empty results") {
     val d = sf("sf0.001")
     val q18 = CoreQueries.q18LargeOrders(spark, d).collect()
