@@ -17,7 +17,11 @@ object Explain {
         "e1_cosine_topk", "x3_minhash_lsh_pairs", "a2_window_stats",
         "aj1_asof_join", "rj1_interval_join", "d3_ngram_jaccard_pairs",
         "e2_cosine_neardup_pairs", "x8_ivf_topk", "w10_grouped_topk",
-        "ct1_contamination", "d7_winnow_pairs", "c4_group_sample")
+        "ct1_contamination", "d7_winnow_pairs", "c4_group_sample",
+        "q18_large_orders", "q12_priority_counts", "f1_funnel_conversion",
+        "c5_temperature_mix", "z1_zorder_key", "e3_knn_join",
+        "t11_relative_quality_gate", "f2_cohort_retention",
+        "st1_table_stats", "dq1_quality_checks")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -56,6 +56,8 @@ object SparkEntry {
     "q12_priority_counts" -> (CoreQueries.q12PriorityCounts _),
     "f1_funnel_conversion" -> (CoreQueries.f1FunnelConversion _),
     "f2_cohort_retention" -> (ExtQueries.f2CohortRetention _),
+    "st1_table_stats" -> (CoreQueries.st1TableStats _),
+    "dq1_quality_checks" -> (CoreQueries.dq1QualityChecks _),
     "sq1_correlated_subquery" -> (CoreQueries.sq1CorrelatedSubquery _),
     "sq2_exists_subquery" -> (CoreQueries.sq2ExistsSubquery _),
     "r1_rollup" -> (CoreQueries.r1Rollup _),
@@ -710,6 +712,27 @@ object SparkEntry {
     "e3v_knn_scores_match" ->
       """SELECT vec_id AS src_id, vec_id AS nb_id FROM embeddings
          WHERE FALSE""",
+    "st1_table_stats" ->
+      """SELECT count(*) AS n_rows,
+                min(l_quantity) AS qty_min,
+                max(l_quantity) AS qty_max,
+                CAST(count(DISTINCT l_returnflag) AS BIGINT) AS flag_ndv,
+                CAST(count(DISTINCT l_orderkey) AS BIGINT) AS orderkey_ndv,
+                CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS price_nulls
+         FROM lineitem""",
+    "dq1_quality_checks" ->
+      """SELECT CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS null_orderkey,
+                CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nonpos_qty,
+                CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount,
+                (SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                  AS orphan_lines
+         FROM lineitem""",
     "f2_cohort_retention" ->
       """WITH wk AS (SELECT user_id,
                            (epoch_ns(ts) // 1000000000) // 604800 AS week

@@ -448,6 +448,43 @@ object CoreQueries {
           col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
           .as("low_line_count"))
 
+  /** ANALYZE-style table stats in ONE pass: row count, min/max, exact
+    * NDVs, null counts — the inputs a cost-based optimizer (or a human
+    * sizing shuffles) needs. One scan, one tiny aggregate. At 100 TB the
+    * exact count-distincts swap for HLL (`x7_approx_distinct` path) —
+    * exact NDV shuffles one row per distinct value; the rest is
+    * map-side-combinable as-is.
+    */
+  def st1TableStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      count(lit(1)).as("n_rows"),
+      min("l_quantity").as("qty_min"),
+      max("l_quantity").as("qty_max"),
+      countDistinct("l_returnflag").as("flag_ndv"),
+      countDistinct("l_orderkey").as("orderkey_ndv"),
+      sum(when(col("l_extendedprice").isNull, 1L).otherwise(0L))
+        .as("price_nulls"))
+
+  /** Data-quality gate: violation counts for the constraint set a
+    * pipeline would enforce before promoting a batch — null keys,
+    * out-of-domain values, referential orphans. The conditional sums
+    * ride the same single scan; the FK probe is a left-anti join
+    * (no row multiplication) that AQE short-circuits when empty.
+    */
+  def dq1QualityChecks(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val base = li.agg(
+      sum(when(col("l_orderkey").isNull, 1L).otherwise(0L))
+        .as("null_orderkey"),
+      sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("nonpos_qty"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+        .otherwise(0L)).as("bad_discount"))
+    val orphans = li.join(t(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_lines"))
+    base.crossJoin(orphans)
+  }
+
   /** Funnel conversion (view → purchase within 1 h) — the sequence-
     * analytics shape: first qualifying event per user, then the earliest
     * follow-up event inside the window. All time math in integer epoch
