@@ -57,6 +57,7 @@ object SparkEntry {
     "f1_funnel_conversion" -> (CoreQueries.f1FunnelConversion _),
     "f2_cohort_retention" -> (ExtQueries.f2CohortRetention _),
     "st1_table_stats" -> (CoreQueries.st1TableStats _),
+    "p15_json_extract" -> (CoreQueries.p15JsonExtract _),
     "dq1_quality_checks" -> (CoreQueries.dq1QualityChecks _),
     "sq1_correlated_subquery" -> (CoreQueries.sq1CorrelatedSubquery _),
     "sq2_exists_subquery" -> (CoreQueries.sq2ExistsSubquery _),
@@ -712,6 +713,10 @@ object SparkEntry {
     "e3v_knn_scores_match" ->
       """SELECT vec_id AS src_id, vec_id AS nb_id FROM embeddings
          WHERE FALSE""",
+    "p15_json_extract" ->
+      """SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         FROM events""",
     "st1_table_stats" ->
       """SELECT count(*) AS n_rows,
                 min(l_quantity) AS qty_min,

@@ -448,6 +448,19 @@ object CoreQueries {
           col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
           .as("low_line_count"))
 
+  /** Batch-side JSON extraction (the P8 from_json capability outside the
+    * stream): pull a typed field out of the semi-structured props column.
+    * get_json_object is codegen'd path extraction — no UDF, no
+    * row-by-row parser objects; at scale prefer promoting hot fields to
+    * columns at ingest (this query IS that promotion pass).
+    */
+  def p15JsonExtract(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+  }
+
   /** ANALYZE-style table stats in ONE pass: row count, min/max, exact
     * NDVs, null counts — the inputs a cost-based optimizer (or a human
     * sizing shuffles) needs. One scan, one tiny aggregate. At 100 TB the
