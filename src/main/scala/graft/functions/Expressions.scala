@@ -136,6 +136,18 @@ import org.apache.spark.unsafe.types.UTF8String
     }
     /** 16-bit z-key: x bits at odd positions, y bits at even. */
     def zkey8(x: Long, y: Long): Long = (spread8(x) << 1) | spread8(y)
+
+    /** Inverse of [[spread8]]: gather even-position bits back to the
+      * low 8. `(compact8(z >> 1), compact8(z))` inverts [[zkey8]] —
+      * bijectivity is what makes the key a lossless clustering address.
+      */
+    def compact8(v: Long): Long = {
+      var x = v & 0x5555L
+      x = (x | (x >> 1)) & 0x3333L
+      x = (x | (x >> 2)) & 0x0f0fL
+      x = (x | (x >> 4)) & 0x00ffL
+      x
+    }
   }
 
   case class ZOrderKey8(left: Expression, right: Expression)

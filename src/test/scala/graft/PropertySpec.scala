@@ -90,4 +90,18 @@ class PropertySpec extends SparkSpec {
         s"minhash estimate $estJ too far from true $trueJ")
     }
   }
+
+  test("Morton zkey8 is a bijection on [0,256)^2 (exhaustive)") {
+    import graft.functions.Morton
+    val seen = new java.util.BitSet(65536)
+    for (x <- 0L until 256L; y <- 0L until 256L) {
+      val z = Morton.zkey8(x, y)
+      assert(z >= 0L && z < 65536L, s"zkey8($x,$y)=$z out of range")
+      assert(!seen.get(z.toInt), s"zkey8 collision at ($x,$y) -> $z")
+      seen.set(z.toInt)
+      assert(Morton.compact8(z >> 1) == x && Morton.compact8(z) == y,
+        s"compact8 does not invert zkey8 at ($x,$y)")
+    }
+    assert(seen.cardinality() == 65536)
+  }
 }
