@@ -188,16 +188,26 @@ object Similarity {
     * (bucket, id, embedding) — never a cross product), ranked per source
     * vector by the bounded-heap [[graft.plans.TopKPerGroup]] operator:
     * no WindowExec sort, k rows of state per vector. Vectors whose
-    * bucket has no other member emit nothing (multi-probe neighbor
-    * buckets as in [[annTopK]] are the recall lever when needed).
+    * bucket has no other member emit nothing; `hamming1Probes` is the
+    * recall lever — the probe side explodes into its bucket plus the
+    * nPlanes Hamming-1 neighbors (candidates ×(nPlanes+1), still an
+    * equi-join on bucket, never a cross product).
     */
   def knnJoin(s: SparkSession, dir: String, k: Int = 3,
-      nPlanes: Int = 8): DataFrame = {
+      nPlanes: Int = 8, hamming1Probes: Boolean = false): DataFrame = {
     val b = lshBuckets(s, dir, nPlanes)
-    val l = b.select(col("vec_id").as("src_id"),
+    val l0 = b.select(col("vec_id").as("src_id"),
       col("embedding").as("src_emb"), col("bucket"))
+    val l = if (!hamming1Probes) l0
+      else b.select(col("vec_id").as("src_id"),
+        col("embedding").as("src_emb"),
+        explode(array((Seq(col("bucket")) ++ (0 until nPlanes).map(i =>
+          col("bucket").bitwiseXOR(lit(1L << i)))): _*)).as("bucket"))
     val r = b.select(col("vec_id").as("nb_id"),
       col("embedding").as("nb_emb"), col("bucket"))
+    // no pair dedup needed even with probes: each neighbor is stored
+    // under exactly ONE bucket and the probe values are distinct, so a
+    // (src, nb) pair can match at most once
     val cand = l.join(r, Seq("bucket"))
       .filter(col("src_id") =!= col("nb_id"))
       .select(col("src_id"), col("nb_id"),

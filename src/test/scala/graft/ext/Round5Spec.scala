@@ -63,6 +63,26 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("e3 multi-probe widens candidates: every same-bucket pair survives, coverage grows") {
+    val d = sf("sf0.01")
+    val base = Similarity.knnJoin(spark, d, k = 3, nPlanes = 8)
+    val probed = Similarity.knnJoin(spark, d, k = 3, nPlanes = 8,
+      hamming1Probes = true)
+    val baseSrcs = base.select("src_id").distinct().count()
+    val probedSrcs = probed.select("src_id").distinct().count()
+    assert(probedSrcs >= baseSrcs,
+      s"multi-probe covered $probedSrcs sources vs $baseSrcs")
+    // per source, the probed top-1 cosine is never worse than same-bucket
+    val b1 = base.groupBy("src_id").agg(max("cosine").as("c_base"))
+    val p1 = probed.groupBy("src_id").agg(max("cosine").as("c_probe"))
+    val worse = b1.join(p1, "src_id")
+      .filter(col("c_probe") < col("c_base") - 1e-12).count()
+    assert(worse == 0L, s"$worse sources regressed under multi-probe")
+    // no duplicate (src, nb) pairs from the probe explosion
+    assert(probed.groupBy("src_id", "nb_id").count()
+      .filter(col("count") > 1).count() == 0L)
+  }
+
   test("f2 cohort retention: offset-0 row covers every cohort user") {
     val d = sf("sf0.01")
     val ret = ExtQueries.f2CohortRetention(spark, d).collect()
