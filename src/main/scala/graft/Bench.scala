@@ -40,9 +40,13 @@ object Bench {
       // A first run over 1 s mixes first-touch costs (parquet footer
       // reads, codegen compiles) and scheduler noise into the signal;
       // re-run once and keep the min. Bounded: only the slow tail pays
-      // a second pass.
-      val t = if (err1.isEmpty && t1 > 1.0) math.min(t1, once(fn)._1) else t1
-      (name, t, err1)
+      // a second pass. A re-run FAILURE must surface, not read as a
+      // fast success.
+      val (t, err) = if (err1.isEmpty && t1 > 1.0) {
+        val (t2, err2) = once(fn)
+        if (err2.isEmpty) (math.min(t1, t2), None) else (t2, err2)
+      } else (t1, err1)
+      (name, t, err)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -57,6 +57,9 @@ object ZOrder {
     df.withColumn("_zkey", zkey(xBucket, yBucket))
       .repartitionByRange(nFiles, col("_zkey"))
       .sortWithinPartitions("_zkey")
+      // layout helper only — the key must not leak into (and double the
+      // storage of) the public table schema
+      .drop("_zkey")
       .write.mode("overwrite").parquet(outPath)
 
   /** Per-file (min, max) envelope of two columns — read back from the

@@ -15,10 +15,13 @@ class Round5Spec extends SparkSpec {
     val mix = ExtQueries.c5TemperatureMix(spark, d, targetRows = 200)
     val perSource = mix.groupBy("source")
       .agg(count(lit(1)).as("kept"), max("quota").as("quota")).collect()
-    // floor in each quota loses < 1 row per source
+    // floor in each quota loses < 1 row per source — bound by the TOTAL
+    // source count (a source whose quota floors to 0 emits no output row)
+    val nSources = spark.read.parquet(s"$d/documents.parquet")
+      .select("source").distinct().count()
     val totalQuota = perSource.map(_.getLong(2)).sum
-    assert(totalQuota <= 200 && totalQuota > 200 - perSource.length,
-      s"quota total $totalQuota")
+    assert(totalQuota <= 200 && totalQuota > 200 - nSources,
+      s"quota total $totalQuota over $nSources sources")
     // kept == min(quota, n_source) per source; dedup determinism: rerun equal
     assert(perSource.forall(r => r.getLong(1) <= r.getLong(2)))
     val again = ExtQueries.c5TemperatureMix(spark, d, targetRows = 200)
