@@ -54,7 +54,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("zorder_key"),
       new ExpressionInfo(classOf[ZOrderKey8].getName, "zorder_key"),
-      (args: Seq[Expression]) => ZOrderKey8(args(0), args(1))))
+      (args: Seq[Expression]) => {
+        if (args.length != 2)
+          throw new IllegalArgumentException(
+            s"zorder_key(x, y) takes 2 arguments, got ${args.length}")
+        ZOrderKey8(args(0), args(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),

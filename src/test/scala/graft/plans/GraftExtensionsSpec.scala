@@ -46,6 +46,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(4) == 16)
     assert(r.getLong(5) == 2L)
     assert(r.getLong(6) == 27L) // x=011 odd bits, y=101 even -> 0b011011
+    val e = intercept[Exception] {
+      spark.sql("SELECT zorder_key(1, 2, 3)").collect()
+    }
+    assert(e.getMessage.contains("takes 2 arguments"), e.getMessage)
   }
 
   test("winnow_fingerprints and kll_quantile callable from SQL") {
