@@ -135,6 +135,10 @@ object SparkEntry {
     "t6v_packing_invariants" -> (graft.ext.BatchPacking.t6vPackingInvariants _),
     "x6_media_features" -> (ExtQueries.x6MediaFeatures _),
     "x13_media_resize" -> (ExtQueries.x13MediaResize _),
+    // multimodal codec round-trip invariants (oracle: empty relation)
+    "x5v_frame_roundtrip" -> (ExtQueries.x5vFrameRoundtrip _),
+    "x6v_decode_roundtrip" -> (ExtQueries.x6vDecodeRoundtrip _),
+    "x13v_resize_contract" -> (ExtQueries.x13vResizeContract _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -875,5 +879,17 @@ object SparkEntry {
                 octet_length(encode(text)) AS n_bytes,
                 md5(text) AS md5_hex
          FROM documents""",
+    "x5v_frame_roundtrip" ->
+      """SELECT doc_id AS media_id, CAST('' AS VARCHAR) AS field,
+                CAST(0 AS BIGINT) AS got, CAST(0 AS BIGINT) AS want
+         FROM documents WHERE FALSE""",
+    "x6v_decode_roundtrip" ->
+      """SELECT doc_id AS media_id, CAST('' AS VARCHAR) AS field,
+                CAST(0 AS BIGINT) AS got, CAST(0 AS BIGINT) AS want
+         FROM documents WHERE FALSE""",
+    "x13v_resize_contract" ->
+      """SELECT doc_id AS media_id, CAST('' AS VARCHAR) AS field,
+                CAST(0 AS BIGINT) AS got, CAST(0 AS BIGINT) AS want
+         FROM documents WHERE FALSE""",
   )
 }

@@ -1,18 +1,38 @@
 package graft.ext
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.ByteBuffer
+
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal column plumbing (SURVEY.md §7.4): image/audio/video as opaque
+/** Multimodal column support (SURVEY.md §7.4): image/audio/video as opaque
   * BINARY columns with typed metadata, processed by partition-batched
-  * transforms. The Spark-side plumbing — schema, partitioning, batch
-  * iteration shape — is real and tested; the actual codec call is STUBBED
-  * behind [[Codec]] with a deterministic fake (media libraries are not in
-  * this container).
+  * transforms with REAL codecs — `javax.imageio.ImageIO` for PNG images and
+  * video frames, `javax.sound.sampled.AudioSystem` for WAV audio (both are
+  * public JDK APIs; no external native libs needed).
   *
-  * Scala equivalent of the mapInPandas pattern: `Dataset[T].mapPartitions`
-  * over case-class rows — one fused partition pass, no per-row driver
-  * round-trips, arbitrary native-lib calls allowed inside.
+  * Spark-shape notes:
+  *  - every decode/transform is `Dataset[T].mapPartitions` — one fused
+  *    partition pass per executor core, constant memory, no shuffle, no
+  *    per-row driver round-trips. This is the Scala equivalent of the
+  *    `mapInPandas` pattern.
+  *  - payloads are generated deterministically from `doc_id` (see
+  *    [[MediaGen]]) so correctness invariants can recompute the expected
+  *    dimensions independently and verify the actual codec round-trip
+  *    (x5v/x6v/x13v, oracle = empty relation).
+  *  - on a real cluster, pass `-Djava.awt.headless=true` via
+  *    `spark.executor.extraJavaOptions`; here we set it defensively before
+  *    first ImageIO use (local mode shares one JVM).
+  *
+  * Container format for "video": these fixtures use a minimal deterministic
+  * container — magic "GFV1", big-endian int frame count, then per frame a
+  * big-endian int length + real PNG bytes. Decoding walks the container and
+  * hands each frame to ImageIO, which is exactly the shape of a real
+  * frame-extraction pass (demux → per-frame decode).
   */
 object Multimodal {
 
@@ -20,26 +40,148 @@ object Multimodal {
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
       meta_format: String, n_bytes: Long)
 
-  /** Extracted features (decode stub output). */
+  /** Extracted features. For images/video, width/height are the real
+    * decoded pixel dimensions; n_frames is the real demuxed frame count.
+    * For audio, width/height are 0 and n_frames is the PCM frame count
+    * reported by the WAV header.
+    */
   final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
       checksum: Long, width: Int, height: Int, n_frames: Int,
       byte_entropy: Double)
 
-  /** STUB — the real implementation calls an image/audio codec here
-    * (e.g. libjpeg / ffmpeg via JNI). The fake is deterministic in the
-    * payload bytes so tests are stable: "dimensions" derive from a byte
-    * checksum, "entropy" is the real byte-histogram entropy (which IS a
-    * legitimate feature and exercises a full pass over the payload).
+  // -------------------------------------------------------------------------
+  // Deterministic media generation (fixture side).
+  // -------------------------------------------------------------------------
+
+  /** Deterministic generators: payload bytes are a pure function of
+    * `doc_id`, and the *parameters* (dims, frame count, sample count) are
+    * exposed so invariant queries can recompute expectations without
+    * decoding.
     */
-  object Codec {
-    def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
-      var cks = 0L
+  object MediaGen {
+    java.lang.System.setProperty("java.awt.headless", "true")
+
+    /** SplitMix64-style mixer — stable across JVMs (no Random involved). */
+    def mix(id: Long, salt: Long): Long = {
+      var z = id * 0x9e3779b97f4a7c15L + salt * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    private def bounded(id: Long, salt: Long, lo: Int, hi: Int): Int =
+      lo + (java.lang.Math.floorMod(mix(id, salt), (hi - lo).toLong)).toInt
+
+    def kindOf(id: Long): String =
+      (id % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
+
+    /** Expected image dims: small on purpose (fixtures are per-row encoded
+      * at read time; real pipelines read pre-encoded bytes from parquet).
+      */
+    def imageDims(id: Long): (Int, Int) =
+      (bounded(id, 1, 16, 129), bounded(id, 2, 16, 97))
+
+    /** Expected video params: (frameWidth, frameHeight, nFrames). */
+    def videoParams(id: Long): (Int, Int, Int) =
+      (bounded(id, 3, 16, 65), bounded(id, 4, 16, 49), bounded(id, 5, 2, 7))
+
+    /** Expected audio params: (sampleRateHz, nPcmFrames). */
+    def audioParams(id: Long): (Int, Int) = (8000, bounded(id, 6, 512, 2561))
+
+    /** A real PNG: per-pixel RGB from the mixer (id, frame, x, y). */
+    def png(id: Long, frame: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = mix(id * 131 + frame, (y.toLong << 20) | x.toLong)
+          img.setRGB(x, y, (v & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** A real WAV: 16-bit mono PCM, deterministic sine-ish wave. */
+    def wav(id: Long): Array[Byte] = {
+      val (rate, n) = audioParams(id)
+      val pcm = new Array[Byte](n * 2)
+      val freq = 100.0 + java.lang.Math.floorMod(mix(id, 8), 900L)
       var i = 0
-      while (i < payload.length) { cks = cks * 31 + (payload(i) & 0xff); i += 1 }
-      val w = 16 + (math.abs(cks) % 1920).toInt
-      val h = 16 + (math.abs(cks / 7) % 1080).toInt
-      val frames = 1 + (math.abs(cks / 11) % 32).toInt
-      (w, h, frames)
+      while (i < n) {
+        val s = (math.sin(2 * math.Pi * freq * i / rate) * 12000).toInt
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+      val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** A real "video": GFV1 container of nFrames length-prefixed PNGs. */
+    def video(id: Long): Array[Byte] = {
+      val (w, h, nFrames) = videoParams(id)
+      val bos = new ByteArrayOutputStream()
+      bos.write(Array[Byte]('G', 'F', 'V', '1'))
+      bos.write(ByteBuffer.allocate(4).putInt(nFrames).array())
+      var f = 0
+      while (f < nFrames) {
+        val p = png(id, f, w, h)
+        bos.write(ByteBuffer.allocate(4).putInt(p.length).array())
+        bos.write(p)
+        f += 1
+      }
+      bos.toByteArray
+    }
+
+    def payload(id: Long): Array[Byte] = kindOf(id) match {
+      case "image" => val (w, h) = imageDims(id); png(id, 0, w, h)
+      case "audio" => wav(id)
+      case _       => video(id)
+    }
+  }
+
+  // -------------------------------------------------------------------------
+  // Real codecs (decode side).
+  // -------------------------------------------------------------------------
+
+  object Codec {
+    java.lang.System.setProperty("java.awt.headless", "true")
+
+    /** Real image decode via ImageIO → (width, height). */
+    def decodeImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      require(img != null, "ImageIO could not decode payload")
+      img
+    }
+
+    /** Real WAV decode via AudioSystem → (sampleRateHz, nPcmFrames). */
+    def decodeWav(payload: Array[Byte]): (Int, Long) = {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      try (ais.getFormat.getSampleRate.toInt, ais.getFrameLength)
+      finally ais.close()
+    }
+
+    /** Demux the GFV1 container: returns the per-frame PNG byte slices. */
+    def demuxVideo(payload: Array[Byte]): IndexedSeq[Array[Byte]] = {
+      val bb = ByteBuffer.wrap(payload)
+      val magic = new Array[Byte](4)
+      bb.get(magic)
+      require(new String(magic, "US-ASCII") == "GFV1", "bad container magic")
+      val n = bb.getInt
+      (0 until n).map { _ =>
+        val len = bb.getInt
+        val frame = new Array[Byte](len)
+        bb.get(frame)
+        frame
+      }
     }
 
     def byteEntropy(payload: Array[Byte]): Double = {
@@ -64,10 +206,14 @@ object Multimodal {
     }
   }
 
-  /** Build a media table from the documents fixture: text bytes stand in
-    * for the opaque payload (deterministic), kind round-robins
-    * image/audio/video. Real pipelines read payloads from object-store
-    * parquet/binaryFile sources with exactly this schema.
+  // -------------------------------------------------------------------------
+  // Tables.
+  // -------------------------------------------------------------------------
+
+  /** Opaque-binary plumbing table (mm1): text bytes as payload so the
+    * DuckDB oracle can recompute `md5(payload)` from the source column.
+    * This is the schema contract a real pipeline uses for payloads read
+    * straight from parquet BINARY columns.
     */
   def mediaTable(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet").select(
@@ -78,43 +224,148 @@ object Multimodal {
       lit("stub/v1").as("meta_format"),
       octet_length(col("text")).cast("long").as("n_bytes"))
 
-  /** Partition-batched feature extraction — the mapInPandas-shaped pass.
-    * Decode/resize/frame-sample happen per-partition inside the executor;
-    * the iterator shape means constant memory per partition regardless of
-    * row count.
+  /** Real-media table: payloads are genuine PNG/WAV/GFV1 bytes generated
+    * deterministically from `doc_id` inside a partition pass. A production
+    * pipeline replaces this generator with `spark.read.parquet` over a
+    * BINARY column or `spark.read.format("binaryFile")` — everything
+    * downstream (decode, features, frame sampling, resize) is unchanged.
+    */
+  def realMedia(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val kind = MediaGen.kindOf(id)
+          val bytes = MediaGen.payload(id)
+          val fmt = kind match {
+            case "image" => "image/png"
+            case "audio" => "audio/wav"
+            case _       => "video/gfv1"
+          }
+          MediaRow(id, kind, bytes, fmt, bytes.length.toLong)
+        }
+      }
+  }
+
+  /** Partition-batched feature extraction with real decode: ImageIO for
+    * image dims, container demux + ImageIO for video, AudioSystem for WAV
+    * frame counts. One fused pass, no shuffle.
     */
   def extractFeatures(s: SparkSession, dir: String): Dataset[MediaFeatures] = {
     import s.implicits._
-    mediaTable(s, dir).as[MediaRow].mapPartitions { rows =>
+    realMedia(s, dir).mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, f) = Codec.decodeStub(r.payload)
+        val (w, h, nf) = r.kind match {
+          case "image" =>
+            val img = Codec.decodeImage(r.payload)
+            (img.getWidth, img.getHeight, 1)
+          case "audio" =>
+            val (_, frames) = Codec.decodeWav(r.payload)
+            (0, 0, frames.toInt)
+          case _ =>
+            val frames = Codec.demuxVideo(r.payload)
+            val first = Codec.decodeImage(frames.head)
+            (first.getWidth, first.getHeight, frames.length)
+        }
         MediaFeatures(r.media_id, r.kind, r.n_bytes,
-          Codec.checksum(r.payload), w, h,
-          if (r.kind == "video") f else 1,
-          Codec.byteEntropy(r.payload))
+          Codec.checksum(r.payload), w, h, nf, Codec.byteEntropy(r.payload))
       }
     }
   }
 
-  /** Frame sampling stub: every `stride`-th fixed-size chunk of the payload
-    * (what frame extraction looks like to Spark: one input row → N output
-    * rows, partition-local, no shuffle).
+  /** Real frame sampling: demux the container, keep every `stride`-th
+    * frame, decode each kept frame with ImageIO. One input row → N output
+    * rows, partition-local, no shuffle.
     */
-  def sampleFrames(s: SparkSession, dir: String, chunk: Int = 64,
-      stride: Int = 4): DataFrame = {
+  def sampleFrames(s: SparkSession, dir: String, stride: Int = 2): DataFrame = {
     import s.implicits._
-    mediaTable(s, dir).as[MediaRow]
+    realMedia(s, dir)
       .filter(_.kind == "video")
       .flatMap { r =>
-        val nChunks = math.max(1, r.payload.length / chunk)
-        (0 until nChunks by stride).map { ci =>
-          val from = ci * chunk
-          val until = math.min(from + chunk, r.payload.length)
-          (r.media_id, ci, until - from,
-            Codec.checksum(java.util.Arrays.copyOfRange(r.payload, from, until)))
+        val frames = Codec.demuxVideo(r.payload)
+        (0 until frames.length by stride).map { fi =>
+          val img = Codec.decodeImage(frames(fi))
+          (r.media_id, fi, img.getWidth, img.getHeight,
+            Codec.checksum(frames(fi)))
         }
       }
-      .toDF("media_id", "frame_idx", "frame_bytes", "frame_checksum")
+      .toDF("media_id", "frame_idx", "width", "height", "frame_checksum")
+  }
+
+  /** A resized media row: payload re-encoded after a real scale. */
+  final case class ResizedMedia(media_id: Long, kind: String,
+      src_width: Int, src_height: Int, dst_width: Int, dst_height: Int,
+      n_bytes_in: Long, n_bytes_out: Long, payload_out: Array[Byte])
+
+  /** Scale an image to fit a `maxDim` bounding box, aspect preserved
+    * (never upscales), bilinear interpolation, re-encoded as PNG.
+    */
+  private def scaleImage(img: java.awt.image.BufferedImage, maxDim: Int)
+      : (java.awt.image.BufferedImage, Int, Int) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+    val dw = math.max(1, math.round(w * scale).toInt)
+    val dh = math.max(1, math.round(h * scale).toInt)
+    if (scale >= 1.0) (img, w, h)
+    else {
+      val out = new java.awt.image.BufferedImage(
+        dw, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, dw, dh, null)
+      g.dispose()
+      (out, dw, dh)
+    }
+  }
+
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real resize pass over the visual kinds: images are decoded, scaled
+    * into the `maxDim` box (aspect preserved, never upscaled) and
+    * re-encoded as PNG; videos are demuxed and every frame is resized,
+    * then the container is rebuilt. Audio is out of scope for a spatial
+    * resize and is filtered out. One-row→one-row, partition-local.
+    */
+  def resize(s: SparkSession, dir: String, maxDim: Int = 32): Dataset[ResizedMedia] = {
+    import s.implicits._
+    realMedia(s, dir).filter(r => r.kind == "image" || r.kind == "video")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          if (r.kind == "image") {
+            val img = Codec.decodeImage(r.payload)
+            val (out, dw, dh) = scaleImage(img, maxDim)
+            val bytes = if (out eq img) r.payload else encodePng(out)
+            ResizedMedia(r.media_id, r.kind, img.getWidth, img.getHeight,
+              dw, dh, r.payload.length.toLong, bytes.length.toLong, bytes)
+          } else {
+            val frames = Codec.demuxVideo(r.payload)
+            val first = Codec.decodeImage(frames.head)
+            val bos = new ByteArrayOutputStream()
+            bos.write(Array[Byte]('G', 'F', 'V', '1'))
+            bos.write(ByteBuffer.allocate(4).putInt(frames.length).array())
+            var dw = 0
+            var dh = 0
+            frames.foreach { fb =>
+              val img = Codec.decodeImage(fb)
+              val (out, w2, h2) = scaleImage(img, maxDim)
+              dw = w2; dh = h2
+              val p = if (out eq img) fb else encodePng(out)
+              bos.write(ByteBuffer.allocate(4).putInt(p.length).array())
+              bos.write(p)
+            }
+            val bytes = bos.toByteArray
+            ResizedMedia(r.media_id, r.kind, first.getWidth, first.getHeight,
+              dw, dh, r.payload.length.toLong, bytes.length.toLong, bytes)
+          }
+        }
+      }
   }
 
   /** Binary metadata projection — oracle-checkable: byte length and MD5 of
@@ -125,41 +376,103 @@ object Multimodal {
       col("media_id"), col("kind"), col("n_bytes"),
       md5(col("payload")).as("md5_hex"))
 
-  /** A "resized" media row: payload replaced by its downsampled form plus
-    * the old/new logical dimensions.
-    */
-  final case class ResizedMedia(media_id: Long, kind: String,
-      src_width: Int, src_height: Int, dst_width: Int, dst_height: Int,
-      n_bytes_in: Long, n_bytes_out: Long, payload_out: Array[Byte])
+  // -------------------------------------------------------------------------
+  // Invariants (violation-oracle form: expected result is the EMPTY relation;
+  // any row is a codec bug). These make x5/x6/x13 oracle-checked: the
+  // generator's parameters are recomputed independently of the payload and
+  // compared against what the REAL decoder read back out of the bytes.
+  // -------------------------------------------------------------------------
 
-  /** Resize stub: one-row→one-row payload transform, the image-resize
-    * shape (decode → scale to fit a `maxDim` bounding box, aspect
-    * preserved → re-encode). The stub "re-encode" keeps every `stride`-th
-    * byte, with stride = ceil(max(w,h)/maxDim)² (area ratio) — so output
-    * size scales like a real downsample and the transform is deterministic
-    * and testable. Partition-local, constant memory, no shuffle.
+  /** x6v: decode(generate(id)) must reproduce the generator's parameters —
+    * image dims, video dims + frame count, audio sample-frame count — and
+    * every n_bytes must equal the payload length. Emits one row per
+    * violated field.
     */
-  def resize(s: SparkSession, dir: String, maxDim: Int = 256): Dataset[ResizedMedia] = {
+  def featuresRoundtripViolations(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    mediaTable(s, dir).as[MediaRow].mapPartitions { rows =>
-      rows.map { r =>
-        val (w, h, _) = Codec.decodeStub(r.payload)
-        val scale = math.max(1, math.ceil(math.max(w, h).toDouble / maxDim).toInt)
-        val dw = math.max(1, w / scale)
-        val dh = math.max(1, h / scale)
-        val out =
-          if (scale == 1) r.payload
-          else {
-            val stride = scale * scale
-            val n = (r.payload.length + stride - 1) / stride
-            val b = new Array[Byte](n)
-            var i = 0
-            while (i < n) { b(i) = r.payload(i * stride); i += 1 }
-            b
-          }
-        ResizedMedia(r.media_id, r.kind, w, h, dw, dh,
-          r.payload.length.toLong, out.length.toLong, out)
+    extractFeatures(s, dir).flatMap { f =>
+      val checks: Seq[(String, Long, Long)] = f.kind match {
+        case "image" =>
+          val (w, h) = MediaGen.imageDims(f.media_id)
+          Seq(("width", f.width.toLong, w.toLong),
+            ("height", f.height.toLong, h.toLong),
+            ("n_frames", f.n_frames.toLong, 1L))
+        case "audio" =>
+          val (_, n) = MediaGen.audioParams(f.media_id)
+          Seq(("n_frames", f.n_frames.toLong, n.toLong))
+        case _ =>
+          val (w, h, nf) = MediaGen.videoParams(f.media_id)
+          Seq(("width", f.width.toLong, w.toLong),
+            ("height", f.height.toLong, h.toLong),
+            ("n_frames", f.n_frames.toLong, nf.toLong))
       }
+      checks.collect { case (fld, got, want) if got != want =>
+        (f.media_id, fld, got, want)
+      }
+    }.toDF("media_id", "field", "got", "want")
+  }
+
+  /** x5v: per video, the sampler must emit exactly ceil(nFrames/stride)
+    * frames, each decoding to the generator's frame dims, with frame_idx
+    * hitting exactly the multiples of stride.
+    */
+  def frameSampleViolations(s: SparkSession, dir: String, stride: Int = 2)
+      : DataFrame = {
+    import s.implicits._
+    val got = sampleFrames(s, dir, stride)
+    // Per-frame dimension violations (no shuffle).
+    val dimBad = got.as[(Long, Int, Int, Int, Long)].flatMap {
+      case (id, fi, w, h, _) =>
+        val (ew, eh, nf) = MediaGen.videoParams(id)
+        val bad =
+          w != ew || h != eh || fi % stride != 0 || fi < 0 || fi >= nf
+        if (bad) Some((id, "frame_dims", (w.toLong << 32) | h.toLong,
+          (ew.toLong << 32) | eh.toLong))
+        else None
     }
+    // Per-video count violations (one keyed aggregation).
+    val cntBad = got.groupBy("media_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].flatMap { case (id, n) =>
+        val (_, _, nf) = MediaGen.videoParams(id)
+        val want = ((nf + stride - 1) / stride).toLong
+        if (n != want) Some((id, "frame_count", n, want)) else None
+      }
+    dimBad.union(cntBad).toDF("media_id", "field", "got", "want")
+  }
+
+  /** x13v: resize contract — dst dims fit the box, aspect preserved to
+    * rounding (cross-multiplied tolerance), never upscaled, and the output
+    * payload REALLY re-decodes to exactly (dst_width, dst_height) — the
+    * last check is a full second decode of the re-encoded bytes.
+    */
+  def resizeContractViolations(s: SparkSession, dir: String, maxDim: Int = 32)
+      : DataFrame = {
+    import s.implicits._
+    resize(s, dir, maxDim).flatMap { r =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+      if (r.dst_width > maxDim || r.dst_height > maxDim)
+        out += ((r.media_id, "box", r.dst_width.toLong, maxDim.toLong))
+      if (r.dst_width > r.src_width || r.dst_height > r.src_height)
+        out += ((r.media_id, "upscale", r.dst_width.toLong, r.src_width.toLong))
+      // aspect: |dw*sh - dh*sw| <= max(sw, sh) (±0.5px rounding on each axis)
+      val cross = math.abs(
+        r.dst_width.toLong * r.src_height - r.dst_height.toLong * r.src_width)
+      if (cross > math.max(r.src_width, r.src_height).toLong)
+        out += ((r.media_id, "aspect", cross, math.max(r.src_width, r.src_height).toLong))
+      // the re-encoded payload must decode to the declared dst dims
+      val (dw, dh) = r.kind match {
+        case "image" =>
+          val img = Codec.decodeImage(r.payload_out)
+          (img.getWidth, img.getHeight)
+        case _ =>
+          val frames = Codec.demuxVideo(r.payload_out)
+          val img = Codec.decodeImage(frames.head)
+          (img.getWidth, img.getHeight)
+      }
+      if (dw != r.dst_width || dh != r.dst_height)
+        out += ((r.media_id, "redecode", (dw.toLong << 32) | dh.toLong,
+          (r.dst_width.toLong << 32) | r.dst_height.toLong))
+      out.toSeq
+    }.toDF("media_id", "field", "got", "want")
   }
 }

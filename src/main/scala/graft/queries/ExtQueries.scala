@@ -462,17 +462,37 @@ object ExtQueries {
   def x5FrameSample(s: SparkSession, dir: String): DataFrame =
     Multimodal.sampleFrames(s, dir)
 
-  /** Partition-batched media feature extraction (decode stub). */
+  /** Partition-batched media feature extraction — REAL decode (ImageIO /
+    * AudioSystem / GFV1 demux).
+    */
   def x6MediaFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(s, dir).toDF()
 
-  /** Media resize pass (stubbed codec, real one-row→one-row payload
-    * transform plumbing); payload dropped from the declared output.
+  /** Real media resize pass (decode → bilinear scale into the box →
+    * re-encode PNG); payload dropped from the declared output.
     */
   def x13MediaResize(s: SparkSession, dir: String): DataFrame =
     Multimodal.resize(s, dir).toDF()
       .select("media_id", "kind", "src_width", "src_height",
         "dst_width", "dst_height", "n_bytes_in", "n_bytes_out")
+
+  /** x5 invariant: sampled frame dims/count must match the generator's
+    * parameters after a real decode. Oracle: empty relation.
+    */
+  def x5vFrameRoundtrip(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSampleViolations(s, dir)
+
+  /** x6 invariant: decode(generate(id)) reproduces the generator params
+    * for every kind. Oracle: empty relation.
+    */
+  def x6vDecodeRoundtrip(s: SparkSession, dir: String): DataFrame =
+    Multimodal.featuresRoundtripViolations(s, dir)
+
+  /** x13 invariant: resize contract (box, no upscale, aspect, re-decode
+    * dims). Oracle: empty relation.
+    */
+  def x13vResizeContract(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeContractViolations(s, dir)
 
   /** Temperature-weighted source mixing — the pretraining-mix primitive:
     * per-source quotas ∝ count^alpha (alpha = 0.5 here, the classic

@@ -366,54 +366,86 @@ class ExtSpec extends SparkSpec {
 
   // ---- multimodal ---------------------------------------------------------
 
-  test("media features are deterministic and entropy is sane") {
+  test("codec round-trip on one of each kind (pure JVM, no Spark)") {
+    // image: ImageIO decode reproduces generated dims
+    val (iw, ih) = Multimodal.MediaGen.imageDims(0L)
+    val img = Multimodal.Codec.decodeImage(Multimodal.MediaGen.png(0L, 0, iw, ih))
+    assert(img.getWidth == iw && img.getHeight == ih)
+    // audio: WAV header reports the generated PCM frame count
+    val (rate, n) = Multimodal.MediaGen.audioParams(1L)
+    val (gotRate, gotFrames) = Multimodal.Codec.decodeWav(Multimodal.MediaGen.wav(1L))
+    assert(gotRate == rate && gotFrames == n.toLong)
+    // video: demux yields nFrames decodable PNGs of the generated dims
+    val (vw, vh, nf) = Multimodal.MediaGen.videoParams(2L)
+    val frames = Multimodal.Codec.demuxVideo(Multimodal.MediaGen.video(2L))
+    assert(frames.length == nf)
+    frames.foreach { fb =>
+      val f = Multimodal.Codec.decodeImage(fb)
+      assert(f.getWidth == vw && f.getHeight == vh)
+    }
+  }
+
+  test("media features: real decode matches generator params, deterministic") {
     val feats = Multimodal.extractFeatures(spark, sf001).collect()
     assert(feats.length == 500)
     feats.foreach { f =>
       assert(f.byte_entropy >= 0.0 && f.byte_entropy <= 8.0)
-      assert(f.width >= 16 && f.height >= 16)
-      assert(f.kind == "video" || f.n_frames == 1)
+      f.kind match {
+        case "image" =>
+          val (w, h) = Multimodal.MediaGen.imageDims(f.media_id)
+          assert(f.width == w && f.height == h && f.n_frames == 1)
+        case "audio" =>
+          val (_, n) = Multimodal.MediaGen.audioParams(f.media_id)
+          assert(f.n_frames == n)
+        case _ =>
+          val (w, h, nf) = Multimodal.MediaGen.videoParams(f.media_id)
+          assert(f.width == w && f.height == h && f.n_frames == nf)
+      }
     }
     // determinism: re-run equals first run
     val again = Multimodal.extractFeatures(spark, sf001).collect()
     assert(feats.map(_.checksum).sorted.sameElements(again.map(_.checksum).sorted))
+    // and the invariant query itself is empty
+    assert(Multimodal.featuresRoundtripViolations(spark, sf001).count() == 0L)
   }
 
-  test("frame sampling yields ceil(chunks/stride) frames per video row") {
-    val media = Multimodal.mediaTable(spark, sf001)
-      .filter(col("kind") === "video").collect()
-    val frames = Multimodal.sampleFrames(spark, sf001, chunk = 64, stride = 4)
+  test("frame sampling: ceil(nFrames/stride) real decoded frames per video") {
+    val frames = Multimodal.sampleFrames(spark, sf001, stride = 2)
       .groupBy("media_id").agg(count(lit(1)).as("n")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    media.foreach { r =>
-      val nBytes = r.getAs[Long]("n_bytes")
-      val nChunks = math.max(1, nBytes.toInt / 64)
-      val expected = (0 until nChunks by 4).size.toLong
-      assert(frames(r.getAs[Long]("media_id")) == expected)
+    assert(frames.nonEmpty)
+    frames.foreach { case (id, n) =>
+      val (_, _, nf) = Multimodal.MediaGen.videoParams(id)
+      assert(n == (nf + 1) / 2, s"media $id: $n frames, expected ${(nf + 1) / 2}")
     }
+    assert(Multimodal.frameSampleViolations(spark, sf001).count() == 0L)
   }
 
-  test("resize: bounding box respected, aspect preserved, payload shrinks") {
-    val rows = Multimodal.resize(spark, sf001, maxDim = 256).collect()
+  test("resize: box respected, aspect preserved, output re-decodes to dst dims") {
+    val rows = Multimodal.resize(spark, sf001, maxDim = 32).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.dst_width <= 256 && r.dst_height <= 256,
+      assert(r.dst_width <= 32 && r.dst_height <= 32,
         s"media ${r.media_id}: ${r.dst_width}x${r.dst_height} exceeds box")
       assert(r.dst_width >= 1 && r.dst_height >= 1)
-      // same integer scale divides both axes → aspect preserved to rounding
-      val scale = math.max(1,
-        math.ceil(math.max(r.src_width, r.src_height) / 256.0).toInt)
-      assert(r.dst_width == math.max(1, r.src_width / scale) &&
-        r.dst_height == math.max(1, r.src_height / scale))
-      // payload scales ~ area ratio, never grows
-      assert(r.n_bytes_out <= r.n_bytes_in)
-      if (scale > 1)
-        assert(r.n_bytes_out == (r.n_bytes_in + scale * scale - 1) / (scale * scale))
-      assert(r.payload_out.length.toLong == r.n_bytes_out)
+      assert(r.dst_width <= r.src_width && r.dst_height <= r.src_height)
+      // aspect preserved to rounding: cross-multiplication tolerance
+      val cross = math.abs(
+        r.dst_width.toLong * r.src_height - r.dst_height.toLong * r.src_width)
+      assert(cross <= math.max(r.src_width, r.src_height).toLong,
+        s"media ${r.media_id}: aspect drift $cross")
+      // the re-encoded payload really decodes to the declared dst dims
+      val img = r.kind match {
+        case "image" => Multimodal.Codec.decodeImage(r.payload_out)
+        case _ => Multimodal.Codec.decodeImage(
+          Multimodal.Codec.demuxVideo(r.payload_out).head)
+      }
+      assert(img.getWidth == r.dst_width && img.getHeight == r.dst_height)
     }
     // determinism
-    val again = Multimodal.resize(spark, sf001, maxDim = 256).collect()
+    val again = Multimodal.resize(spark, sf001, maxDim = 32).collect()
     assert(rows.map(_.n_bytes_out).sorted.sameElements(
       again.map(_.n_bytes_out).sorted))
+    assert(Multimodal.resizeContractViolations(spark, sf001).count() == 0L)
   }
 }
