@@ -122,6 +122,7 @@ object SparkEntry {
     "x11v_quant_cosine_bound" -> (ExtQueries.x11vQuantCosineBound _),
     "d8v_simhash_band_complete" -> (ExtQueries.d8vSimhashBandComplete _),
     "e3v_knn_scores_match" -> (ExtQueries.e3vKnnScoresMatch _),
+    "e3r_knn_recall" -> (ExtQueries.e3rKnnRecall _),
     // rows-only: native hashes / LSH internals (ScalaTest owns semantics)
     "x1_fingerprints_native" -> (ExtQueries.x1FingerprintsNative _),
     "x2_simhash_sketches" -> (ExtQueries.x2SimhashSketches _),
@@ -891,5 +892,8 @@ object SparkEntry {
       """SELECT doc_id AS media_id, CAST('' AS VARCHAR) AS field,
                 CAST(0 AS BIGINT) AS got, CAST(0 AS BIGINT) AS want
          FROM documents WHERE FALSE""",
+    "e3r_knn_recall" ->
+      """SELECT CAST('' AS VARCHAR) AS metric, CAST(0.0 AS DOUBLE) AS recall
+         FROM embeddings WHERE FALSE""",
   )
 }

@@ -581,6 +581,14 @@ object ExtQueries {
     * accumulation → bit-equal; compared at 6 decimals). Violations →
     * rows; oracle: the empty relation.
     */
+  /** e3 invariant (recall direction): corpus-level recall@3 of the LSH
+    * kNN join vs the exact blocked all-pairs top-3 must clear the pinned
+    * floor. Oracle: the empty relation. The exact side is deliberately
+    * quadratic ground truth → lives in the invariant query set.
+    */
+  def e3rKnnRecall(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnRecallViolations(s, dir, k = 3, nPlanes = 8)
+
   def e3vKnnScoresMatch(s: SparkSession, dir: String): DataFrame = {
     val round6 = (c: org.apache.spark.sql.Column) =>
       floor(c * 1000000 + lit(0.5)) / 1000000
