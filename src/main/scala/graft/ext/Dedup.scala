@@ -18,7 +18,9 @@ import graft.functions.Expressions.{fnv1a64, simhash64}
   *
   * 100 TB notes: the only all-pairs step (within-bucket pairing) is bounded
   * by bucket size; band hashing spreads uniformly unless the corpus is
-  * pathological (boilerplate) — production adds a bucket-size cap/salt.
+  * pathological (boilerplate) — those hot buckets are capped and sub-split
+  * by [[SkewSafe.cappedEquiJoin]] so no single task holds a quadratic
+  * block (completeness preserved; d8v pins it).
   */
 object Dedup {
 
@@ -49,10 +51,15 @@ object Dedup {
 
   /** SimHash near-dup pairs: Hamming distance ≤ `maxDist`. Candidate
     * generation via 4 rotated 16-bit band keys (pigeonhole: distance ≤ 3
-    * guarantees one exact band match), then exact popcount verify —
-    * all-pairs only within tiny band buckets.
+    * guarantees one exact band match), then exact popcount verify.
+    * Within-bucket pairing is all-pairs, so band buckets are capped at
+    * `bucketCap` rows via [[SkewSafe.cappedEquiJoin]] — a boilerplate
+    * corpus (many identical sketches → one giant bucket) spreads across
+    * ceil(n/cap) tasks instead of pinning one reducer quadratically, and
+    * completeness is preserved (d8v pins it).
     */
-  def simhashNearDupPairs(s: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+  def simhashNearDupPairs(s: SparkSession, dir: String, maxDist: Int = 3,
+      bucketCap: Int = 1024): DataFrame = {
     val sh = simhashes(s, dir)
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
@@ -61,12 +68,15 @@ object Dedup {
             .bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    val l = banded.alias("l")
-    val r = banded.alias("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-        col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+    val l = banded.select(col("doc_id").as("doc_a"),
+      col("simhash").as("sim_a"), col("band"), col("key"))
+    val r = banded.select(col("doc_id").as("doc_b"),
+      col("simhash").as("sim_b"), col("band"), col("key"))
+    SkewSafe.cappedEquiJoin(l, r, Seq("band", "key"),
+        xxhash64(col("doc_b")), bucketCap)
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
@@ -95,22 +105,27 @@ object Dedup {
     * exact shingle-set Jaccard filters false positives.
     */
   def minhashLshPairs(s: SparkSession, dir: String, k: Int = 5,
-      numHashes: Int = 32, bands: Int = 8, jaccardMin: Double = 0.5): DataFrame = {
+      numHashes: Int = 32, bands: Int = 8, jaccardMin: Double = 0.5,
+      bucketCap: Int = 1024): DataFrame = {
     val perBand = numHashes / bands
     val sig = minhashSignatures(shingles(docs(s, dir), k), numHashes)
     // Band join carries ONLY (doc_id, band, key) — shipping the shingle
     // arrays through the exploded self-join multiplies shuffle bytes by
     // bands×2; they are attached once per side to the deduped candidates.
+    // Buckets above bucketCap are sub-split (skew guard, completeness
+    // preserved — see SkewSafe.cappedEquiJoin).
     val banded = sig.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           hash(slice(col("sig"), b * perBand + 1, perBand)).as("key"))): _*))
         .as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = banded.alias("l").join(banded.alias("r"),
-        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
-        col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+    val cand = SkewSafe.cappedEquiJoin(
+        banded.select(col("doc_id").as("doc_a"), col("band"), col("key")),
+        banded.select(col("doc_id").as("doc_b"), col("band"), col("key")),
+        Seq("band", "key"), xxhash64(col("doc_b")), bucketCap)
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     verifyCandidates(cand, sig.select(col("doc_id"), col("shingle_hashes")),
       jaccardMin)

@@ -242,8 +242,11 @@ object Similarity {
     val r = b.select(col("vec_id").as("nb_id"),
       col("embedding").as("nb_emb"), col("table_id"), col("bucket"))
     // dedup collisions across tables/probes BEFORE the heap: distinct on
-    // the scored pair (cosine is deterministic, so it dedups cleanly)
-    val cand = l.join(r, Seq("table_id", "bucket"))
+    // the scored pair (cosine is deterministic, so it dedups cleanly).
+    // Hot buckets (a templated-content corpus hashing to one signature)
+    // are capped via the skew-safe join — no single quadratic task.
+    val cand = SkewSafe.cappedEquiJoin(l, r, Seq("table_id", "bucket"),
+        xxhash64(col("nb_id")), cap = 1024)
       .filter(col("src_id") =!= col("nb_id"))
       .select(col("src_id"), col("nb_id"),
         cosineF(col("src_emb"), col("nb_emb")).as("cosine"))

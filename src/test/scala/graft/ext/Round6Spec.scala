@@ -10,6 +10,27 @@ import graft.queries.ExtQueries
   */
 class Round6Spec extends SparkSpec {
 
+  /** Run `body` with the plan shape the skew guard exists for: a big-big
+    * SHUFFLED join (broadcast joins don't have the hot-reducer problem,
+    * and at this tiny test scale Spark would broadcast), and AQE
+    * coalescing off (it would merge the tiny sub-blocks back together and
+    * hide the split this suite needs to observe).
+    */
+  private def asShuffledJoin[T](body: => T): T = {
+    val ks = Seq(
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      // the shared test session runs 4 shuffle partitions; the spread
+      // assertions need room for the ~12 sub-keys to separate
+      "spark.sql.shuffle.partitions" -> "64")
+    val olds = ks.map { case (k, _) => k -> spark.conf.getOption(k) }
+    ks.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally olds.foreach { case (k, o) =>
+      o.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("e3r: multi-table+probe kNN join clears the pinned recall floor") {
     // floor = 0.30; measured 0.39/0.31/0.36..0.43 across sf0.001..sf0.1
     // with nTables=4 + Hamming-1 probes (worst-case near-random vectors)
@@ -20,5 +41,78 @@ class Round6Spec extends SparkSpec {
     val dup = Similarity.knnJoin(spark, sf("sf0.01"), k = 3)
       .groupBy("src_id", "nb_id").count().filter(col("count") > 1).count()
     assert(dup == 0L)
+  }
+
+  test("cappedEquiJoin: complete on one giant key, spread across tasks") {
+    import spark.implicits._
+    val n = 600
+    // adversarial: EVERY row lands in the same bucket
+    val l = (0 until n).map(i => (i.toLong, 0, 0L)).toDF("doc_a", "band", "key")
+    val r = (0 until n).map(i => (i.toLong, 0, 0L)).toDF("doc_b", "band", "key")
+    val joined = SkewSafe.cappedEquiJoin(l, r, Seq("band", "key"),
+      xxhash64(col("doc_b")), cap = 50)
+    // completeness: all n*n matches appear exactly once
+    assert(joined.count() == n.toLong * n)
+    assert(joined.groupBy("doc_a", "doc_b").count()
+      .filter(col("count") > 1).count() == 0L)
+    // skew spread: no single task holds the quadratic block — with
+    // g = ceil(600/50) = 12 sub-keys the biggest join partition holds
+    // ~n*cap rows, not all 360k (AQE coalescing disabled so the split
+    // is observable at this tiny scale)
+    asShuffledJoin {
+      val perPart = joined.withColumn("pid", spark_partition_id())
+        .groupBy("pid").count().collect().map(_.getLong(1))
+      assert(perPart.length >= 6, s"expected >=6 tasks, got ${perPart.length}")
+      assert(perPart.max <= 2L * n * 50,
+        s"hot bucket not split: max partition ${perPart.max} of ${n * n}")
+    }
+    // cold keys pass through unchanged (no replication overhead)
+    val lc = Seq((1L, 1, 1L), (2L, 1, 1L)).toDF("doc_a", "band", "key")
+    val rc = Seq((3L, 1, 1L)).toDF("doc_b", "band", "key")
+    assert(SkewSafe.cappedEquiJoin(lc, rc, Seq("band", "key"),
+      xxhash64(col("doc_b")), cap = 50).count() == 2L)
+  }
+
+  test("simhash pairs on an all-identical corpus: capped, still complete") {
+    import spark.implicits._
+    val n = 400
+    val tmp = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    val text = "identical boilerplate document body for every single row"
+    (0 until n).map(i => (i.toLong, text, "en", "s", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.simhashNearDupPairs(spark, tmp, maxDist = 3,
+      bucketCap = 32)
+    // identical docs => identical sketches => every unordered pair found
+    assert(pairs.count() == n.toLong * (n - 1) / 2)
+    // and the capped candidate join spreads the hot bucket: observe the
+    // raw join stage (pre-distinct) with AQE coalescing off
+    asShuffledJoin {
+      val banded = Dedup.simhashes(spark, tmp).select(col("doc_id"),
+        lit(0).as("band"), col("simhash").as("key"))
+      val cand = SkewSafe.cappedEquiJoin(
+        banded.select(col("doc_id").as("doc_a"), col("band"), col("key")),
+        banded.select(col("doc_id").as("doc_b"), col("band"), col("key")),
+        Seq("band", "key"), xxhash64(col("doc_b")), cap = 32)
+      val perPart = cand.withColumn("pid", spark_partition_id())
+        .groupBy("pid").count().collect().map(_.getLong(1))
+      assert(perPart.length >= 6, s"expected >=6 tasks, got ${perPart.length}")
+      assert(perPart.max <= 2L * n * 32,
+        s"hot bucket not split: max partition ${perPart.max}")
+    }
+  }
+
+  test("knnJoin survives an all-identical-embedding corpus (one hot bucket)") {
+    import spark.implicits._
+    val n = 300
+    val tmp = java.nio.file.Files.createTempDirectory("graft-skew-emb").toString
+    val v = Array.tabulate(64)(i => (1.0f / (i + 1)))
+    (0 until n).map(i => (i.toLong, "same", v)).toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val knn = Similarity.knnJoin(spark, tmp, k = 3)
+    val rows = knn.collect()
+    // every vector finds neighbors (all in the same bucket), k each
+    assert(rows.length == n * 3)
+    assert(rows.forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-6))
   }
 }
