@@ -142,6 +142,27 @@ object SparkEntry {
     "x13v_resize_contract" -> (ExtQueries.x13vResizeContract _),
   )
 
+  /** Verifier/invariant queries (VERDICT r5 item 4): ground-truth
+    * recomputations that pin the approximate operators — several are
+    * DELIBERATELY brute-force (d8v and e3r are O(n²) all-pairs, x4v is a
+    * full brute scan). CORRECTNESS runs them like any query; Bench times
+    * and reports them separately from the operator set so a scale-up
+    * sweep measures operators, not their verifiers, and can skip these
+    * entirely (SPARK_GRAFT_SKIP_INVARIANTS=1).
+    */
+  val invariantQueries: Set[String] = Set(
+    "d8v_simhash_band_complete", "e3r_knn_recall", "e3v_knn_scores_match",
+    "kq1v_kll_rank_bound", "t6v_packing_invariants",
+    "wv1_winnow_subset_shingles", "wv2_winnow_pairs_subset_exact",
+    "x10v_percentile_bound", "x11v_quant_cosine_bound",
+    "x12v_heavy_hitters_exact", "x13v_resize_contract",
+    "x1v_fingerprint_injective", "x3v_lsh_subset_exact",
+    "x4v_ann_scores_match_brute", "x5v_frame_roundtrip",
+    "x6v_decode_roundtrip", "x7v_hll_error_bound", "x8v_ivf_subset_exact",
+    "x9v_kmv_exact_small")
+  require(invariantQueries.subsetOf(queries.keySet),
+    s"unknown invariant keys: ${invariantQueries.diff(queries.keySet)}")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     * Built from a Seq so duplicate keys fail loudly instead of the last

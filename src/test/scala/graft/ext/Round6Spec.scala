@@ -102,6 +102,17 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("invariant query tagging: declared, resolvable, and sane") {
+    val inv = graft.SparkEntry.invariantQueries
+    assert(inv.subsetOf(graft.SparkEntry.queries.keySet))
+    // the known O(n^2) verifiers are tagged
+    assert(inv("d8v_simhash_band_complete") && inv("e3r_knn_recall") &&
+      inv("wv2_winnow_pairs_subset_exact"))
+    // operators are NOT tagged
+    assert(!inv("e3_knn_join") && !inv("d8_simhash_pairs") &&
+      !inv("q1_lineitem_agg"))
+  }
+
   test("knnJoin survives an all-identical-embedding corpus (one hot bucket)") {
     import spark.implicits._
     val n = 300
