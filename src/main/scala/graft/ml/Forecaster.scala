@@ -69,6 +69,27 @@ object Forecaster {
 
   final case class Forecast(timestampMs: Long, predictedPrice: Double)
 
+  /** Held-out one-step-ahead RMSE: for each t in [split, n), predict
+    * series(t) from the preceding windowSize ACTUAL values (the serving
+    * shape — each step sees real history, errors don't compound). Used to
+    * quantify M2 model quality against the persistence baseline; the
+    * scaler must be the one the model trained with (train/serve pairing,
+    * see [[Bundle]]).
+    */
+  def oneStepRmse(model: LagModel, scaler: MinMaxScaler,
+      series: Array[Double], split: Int): Double = {
+    val w = model.windowSize
+    require(split >= w, s"split $split < window $w")
+    require(split < series.length, s"no held-out points past $split")
+    val sqErrs = (split until series.length).map { t =>
+      val win = series.slice(t - w, t).map(scaler.transform)
+      val pred = scaler.inverse(model.predict(win))
+      val d = pred - series(t)
+      d * d
+    }
+    math.sqrt(sqErrs.sum / sqErrs.length)
+  }
+
   /** M3: recursive multi-step forecast. `closes` is the chronological tail
     * of the series (must be >= model.windowSize long — M4 validation);
     * returns `steps` predictions at `lastKnownMs + i * stepMs`.

@@ -10,28 +10,49 @@ import org.apache.spark.sql.SparkSession
   * on lag-window features and plugs into the same recursive-forecast
   * mechanism ([[Forecaster.LagModel]]).
   *
+  * DIFFERENCED formulation: features are the window's w−1 first
+  * differences, the label is the NEXT difference, and serving adds the
+  * predicted delta to the last level. Tree ensembles cannot extrapolate
+  * outside the trained input/label range, so a level-on-level model
+  * saturates as soon as a trend or random walk drifts past the training
+  * span — measured on held-out hours it was WORSE than the persistence
+  * baseline (RMSE 2.16 vs 1.55 seasonal, 3.33 vs 0.57 on the fixture
+  * walk). Differencing makes both features and target stationary;
+  * GbtLagModelSpec pins GBT ≤ persistence on held-out hours.
+  *
   * Training is distributed (MLlib over a DataFrame of lag windows);
   * inference inside the 24-step recursion is driver-side single-vector
   * `model.predict` — exactly the reference's serving shape.
   */
 object GbtLagModel {
 
+  private def diffs(window: Array[Double]): Array[Double] = {
+    val d = new Array[Double](window.length - 1)
+    var i = 0
+    while (i < d.length) { d(i) = window(i + 1) - window(i); i += 1 }
+    d
+  }
+
   final case class Wrapped(model: GBTRegressionModel, windowSize: Int)
       extends Forecaster.LagModel {
     def predict(window: Array[Double]): Double =
-      model.predict(Vectors.dense(window))
+      window.last + model.predict(Vectors.dense(diffs(window)))
   }
 
-  /** Train on a (scaled) chronological series: features = each
-    * `windowSize`-length lag window, label = the next value.
+  /** Train on a (scaled) chronological series: features = the w−1 first
+    * differences of each `windowSize`-length lag window, label = the next
+    * difference.
     */
   def train(spark: SparkSession, series: Array[Double], windowSize: Int,
       maxIter: Int = 20, maxDepth: Int = 3): Wrapped = {
+    require(windowSize >= 2, s"windowSize must be >= 2, got $windowSize")
     require(series.length > windowSize + 1,
       s"need > ${windowSize + 1} points, got ${series.length}")
     import spark.implicits._
     val rows = series.sliding(windowSize + 1)
-      .map(w => (Vectors.dense(w.take(windowSize)), w.last)).toSeq
+      .map { w =>
+        (Vectors.dense(diffs(w.take(windowSize))), w.last - w(windowSize - 1))
+      }.toSeq
     val df = rows.toDF("features", "label")
     val m = new GBTRegressor()
       .setMaxIter(maxIter)
@@ -83,7 +104,8 @@ object GbtLagModel {
       java.nio.file.Paths.get(path, "scaler.properties"))
     try props.load(in) finally in.close()
     val windowSize = props.getProperty("windowSize").toInt
-    require(m.numFeatures == windowSize,
+    // M4: the differenced model takes windowSize - 1 features
+    require(m.numFeatures == windowSize - 1,
       s"model expects ${m.numFeatures} features but bundle window is $windowSize") // M4
     Forecaster.Bundle(Wrapped(m, windowSize),
       Forecaster.MinMaxScaler(props.getProperty("dataMin").toDouble,

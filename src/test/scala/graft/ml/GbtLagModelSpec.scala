@@ -27,6 +27,46 @@ class GbtLagModelSpec extends SparkSpec {
     }
   }
 
+  test("forecast quality: GBT beats persistence RMSE on held-out hours " +
+    "(seasonal series)") {
+    // hourly shape a lag model can exploit: daily + weekly cycles, mild
+    // trend, small deterministic noise
+    val rnd = new scala.util.Random(7)
+    val series = Array.tabulate(600) { i =>
+      100.0 + 8.0 * math.sin(2 * math.Pi * i / 24.0) +
+        3.0 * math.sin(2 * math.Pi * i / 168.0) +
+        0.02 * i + rnd.nextGaussian() * 0.4
+    }
+    val split = 500 // train on the first 500 h, hold out the last 100 h
+    val bundle = GbtLagModel.trainBundle(spark, series.take(split),
+      windowSize = 24)
+    val gbt = Forecaster.oneStepRmse(bundle.model, bundle.scaler, series, split)
+    val persist = Forecaster.oneStepRmse(
+      Forecaster.PersistenceModel(24), bundle.scaler, series, split)
+    assert(gbt <= persist,
+      f"GBT RMSE $gbt%.3f worse than persistence $persist%.3f on held-out hours")
+    // and not just barely: the cyclic structure should be genuinely learned
+    assert(gbt <= 0.7 * persist,
+      f"GBT RMSE $gbt%.3f did not materially beat persistence $persist%.3f")
+  }
+
+  test("forecast quality parity on the random-walk fixture (no train skew)") {
+    // the OHLCV fixture series is a seeded random walk — persistence is
+    // near-optimal there, so the pin is parity (no blow-up from scaling
+    // bugs or train/serve skew), not superiority
+    val closes = graft.ingest.FixtureGen
+      .candles("BTC_USDT", 1720000000000L, 3600000L, 600)
+      .map(_.close).toArray
+    val split = 500
+    val bundle = GbtLagModel.trainBundle(spark, closes.take(split),
+      windowSize = 5)
+    val gbt = Forecaster.oneStepRmse(bundle.model, bundle.scaler, closes, split)
+    val persist = Forecaster.oneStepRmse(
+      Forecaster.PersistenceModel(5), bundle.scaler, closes, split)
+    assert(gbt <= 1.3 * persist,
+      f"GBT RMSE $gbt%.3f blew past persistence $persist%.3f on the fixture walk")
+  }
+
   test("bundle persistence round-trip: identical forecasts, M4 load validation") {
     val series = Array.tabulate(300)(i => 50.0 + (i % 5).toDouble)
     val trained = GbtLagModel.trainBundle(spark, series, windowSize = 5,
