@@ -21,7 +21,10 @@ object Explain {
         "q18_large_orders", "q12_priority_counts", "f1_funnel_conversion",
         "c5_temperature_mix", "z1_zorder_key", "e3_knn_join",
         "t11_relative_quality_gate", "f2_cohort_retention",
-        "st1_table_stats", "dq1_quality_checks")
+        "st1_table_stats", "dq1_quality_checks",
+        "p15_json_extract", "h1_length_histogram",
+        "d8v_simhash_band_complete", "e3v_knn_scores_match",
+        "e3r_knn_recall", "x6_media_features", "x13_media_resize")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -150,17 +150,41 @@ import org.apache.spark.unsafe.types.UTF8String
     }
   }
 
+  /** SQL `zorder_key(x, y)`. Inputs MUST already be bucketed to
+    * [0, 256) — out-of-range values fail the query (both interpreted and
+    * codegen paths) instead of being silently masked to a
+    * plausible-but-wrong clustering key (a wrong key degrades file
+    * skipping without any visible error, the worst failure mode for a
+    * layout primitive).
+    */
   case class ZOrderKey8(left: Expression, right: Expression)
       extends BinaryExpression with ImplicitCastInputTypes {
     override def inputTypes = GraftBridge.longLongInputTypes
     override def dataType: DataType = LongType
-    override def nullSafeEval(a: Any, b: Any): Any =
-      Morton.zkey8(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[Long]
+      val y = b.asInstanceOf[Long]
+      if (x < 0L || x > 255L || y < 0L || y > 255L)
+        throw new IllegalArgumentException(ZOrderKey8.rangeError(x, y))
+      Morton.zkey8(x, y)
+    }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev,
-        (a, b) => s"graft.functions.Morton.zkey8($a, $b)")
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        if ($a < 0L || $a > 255L || $b < 0L || $b > 255L) {
+          throw new IllegalArgumentException(
+            graft.functions.ZOrderKey8.rangeError($a, $b));
+        }
+        ${ev.value} = graft.functions.Morton.zkey8($a, $b);""")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): ZOrderKey8 =
       copy(left = l, right = r)
+  }
+
+  object ZOrderKey8 {
+    /** Shared by the interpreted and generated paths. */
+    def rangeError(x: Long, y: Long): String =
+      s"zorder_key(x, y) requires inputs in [0, 256), got ($x, $y): " +
+        "pre-bin each dimension to an 8-bit bucket (e.g. `col & 255` or " +
+        "`least(floor(...), 255)`) before interleaving"
   }
 
 // ---- Column-level API ----------------------------------------------------

@@ -511,6 +511,10 @@ object ExtQueries {
     * the quota division are EXACT integer ops on both engines; a raw
     * double sum of per-source weights would be summation-order-dependent
     * and could flip a floor boundary between engines.
+    *
+    * NOTE: the registered `c5_temperature_mix` oracle SQL hardcodes the
+    * default targetRows=200 — only that invocation is oracle-checked;
+    * other values are covered by Round5Spec's quota-shape assertions.
     */
   def c5TemperatureMix(s: SparkSession, dir: String,
       targetRows: Int = 200): DataFrame = {

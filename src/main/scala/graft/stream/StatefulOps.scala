@@ -81,6 +81,15 @@ object StatefulOps {
     * query's global-min view for every user whose conversion is not yet
     * emitted — once emitted, the decision is final: streaming results
     * are append-only where the batch query could revise).
+    *
+    * KNOWN DIVERGENCE from the batch `f1` query (pinned by the u2 test):
+    * state stores only the earliest view, never pending purchases — a
+    * purchase that ARRIVES in an earlier batch than its qualifying view
+    * is permanently dropped, even though the batch query (which sees all
+    * events at once) would count it. Consumers needing parity under
+    * out-of-order arrival must buffer recent purchases under a watermark
+    * (state grows by one (userId, purchaseEs) per unmatched purchase
+    * inside the watermark horizon) or reconcile against the batch query.
     */
   def funnelConversions(events: Dataset[FunnelEvent],
       windowSec: Long = 3600L): Dataset[FunnelConversion] = {

@@ -102,6 +102,24 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("zorder_key fails loudly on out-of-range input instead of masking") {
+    import spark.implicits._
+    val bad = Seq((300L, 10L)).toDF("x", "y")
+    val e = intercept[Exception] {
+      bad.select(graft.functions.Expressions.zorderKey8(col("x"), col("y")))
+        .collect()
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(messages.contains("zorder_key"), s"unexpected error chain: $messages")
+    // in-range inputs still interleave correctly
+    val z = Seq((255L, 0L)).toDF("x", "y")
+      .select(graft.functions.Expressions.zorderKey8(col("x"), col("y"))
+        .as("z")).head().getLong(0)
+    assert(z == graft.functions.Morton.zkey8(255L, 0L))
+  }
+
   test("invariant query tagging: declared, resolvable, and sane") {
     val inv = graft.SparkEntry.invariantQueries
     assert(inv.subsetOf(graft.SparkEntry.queries.keySet))
