@@ -232,8 +232,14 @@ object Multimodal {
     */
   def realMedia(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
+    // The fixture parquet is one small file → one input partition, which
+    // would serialize every encode/decode onto a single core. Spread the
+    // ids first: at 100 TB the payload table is naturally multi-partition
+    // and this repartition reproduces that shape (the shuffle ships only
+    // 8-byte ids).
     s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { ids =>
         ids.map { id =>
           val kind = MediaGen.kindOf(id)
