@@ -86,6 +86,8 @@ object SparkEntry {
     "d3_ngram_jaccard_pairs" -> (ExtQueries.d3NgramJaccardPairs _),
     "d4_dup_clusters" -> ((s, dir) =>
       graft.ext.Dedup.duplicateClusters(s, dir, k = 3, jaccardMin = 0.4)),
+    "d9_cluster_keep_best" -> ((s, dir) =>
+      graft.ext.Dedup.keepBestPerCluster(s, dir, k = 3, jaccardMin = 0.4)),
     "e1_cosine_topk" -> (ExtQueries.e1CosineTopK _),
     "e2_cosine_neardup_pairs" -> (ExtQueries.e2CosineNearDupPairs _),
     "t1_token_counts" -> (ExtQueries.t1TokenCounts _),
@@ -562,6 +564,35 @@ object SparkEntry {
              SELECT u.n, cc.label FROM und u JOIN cc ON cc.n = u.m)
          SELECT n AS doc_id, min(label) AS cluster_id
          FROM cc GROUP BY n""",
+    // survivor list after dedup: per cluster keep the longest doc
+    // (smallest id on ties); unclustered docs keep themselves
+    "d9_cluster_keep_best" ->
+      s"""WITH RECURSIVE $D3PairsCte,
+           und AS (SELECT doc_a AS n, doc_b AS m FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+           cc(n, label) AS (
+             SELECT n, n FROM (SELECT DISTINCT n FROM und)
+             UNION
+             SELECT u.n, cc.label FROM und u JOIN cc ON cc.n = u.m),
+           clusters AS (SELECT n AS doc_id, min(label) AS cluster_id
+                        FROM cc GROUP BY n),
+           sizes AS (SELECT cluster_id, count(*) AS n_members
+                     FROM clusters GROUP BY cluster_id),
+           ranked AS (
+             SELECT c.cluster_id, c.doc_id,
+                    row_number() OVER (PARTITION BY c.cluster_id
+                      ORDER BY d.n_chars DESC, d.doc_id) AS rn
+             FROM clusters c JOIN documents d USING (doc_id)),
+           kept AS (SELECT r.doc_id, r.cluster_id, s.n_members
+                    FROM ranked r JOIN sizes s USING (cluster_id)
+                    WHERE rn = 1),
+           singles AS (SELECT doc_id, doc_id AS cluster_id,
+                              CAST(1 AS BIGINT) AS n_members
+                       FROM documents
+                       WHERE doc_id NOT IN (SELECT doc_id FROM clusters))
+         SELECT doc_id, cluster_id, n_members FROM kept
+         UNION ALL
+         SELECT doc_id, cluster_id, n_members FROM singles""",
     "e1_cosine_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
            scored AS (

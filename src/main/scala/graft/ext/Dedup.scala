@@ -199,6 +199,37 @@ object Dedup {
     connectedComponents(
       prefixJaccardPairs(s, dir, k, jaccardMin).select("doc_a", "doc_b"))
 
+  /** Canonical-representative selection (d9) — the step AFTER clustering
+    * in a real dedup pipeline: clusters alone don't say which doc to
+    * keep. Per near-dup cluster keep exactly ONE doc — the longest
+    * (dedup keeps the most complete variant), smallest doc_id on ties —
+    * and every unclustered doc survives as its own keeper. Output:
+    * (doc_id, cluster_id, n_members) — the survivor list with its dedup
+    * provenance.
+    *
+    * Plan shape at 100 TB: clusters come from the iterative CC (compact
+    * keys); the keeper per cluster is the bounded-heap
+    * [[graft.plans.TopKPerGroup]] with k=1 (one exchange on cluster_id,
+    * one row of state per cluster — no WindowExec sort); the singleton
+    * side is a left-anti join against the (small) clustered-id set.
+    */
+  def keepBestPerCluster(s: SparkSession, dir: String, k: Int = 3,
+      jaccardMin: Double = 0.4): DataFrame = {
+    val clusters = duplicateClusters(s, dir, k, jaccardMin)
+    val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+    val sizes = clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"))
+    val keepers = graft.plans.TopKPerGroup.topK(
+        clusters.join(d, "doc_id"), Seq("cluster_id"), "n_chars", 1,
+        desc = true, tiebreakCols = Seq("doc_id"))
+      .join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("n_members"))
+    val singles = d.join(clusters, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"),
+        lit(1L).as("n_members"))
+    keepers.unionByName(singles)
+  }
+
   /** Exact Jaccard over pre-sorted distinct shingle arrays `sh_a`/`sh_b`:
     * |A∩B| by native linear merge, |A∪B| = |A|+|B|-|A∩B|.
     */

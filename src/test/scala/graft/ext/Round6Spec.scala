@@ -131,6 +131,28 @@ class Round6Spec extends SparkSpec {
       !inv("q1_lineitem_agg"))
   }
 
+  test("d9 keep-best: partitions the corpus, keeper maximizes length") {
+    val d = sf("sf0.01")
+    val out = Dedup.keepBestPerCluster(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = spark.read.parquet(s"$d/documents.parquet").count()
+    // survivors' member counts cover every doc exactly once
+    assert(out.map(_._3).sum == nDocs)
+    assert(out.map(_._1).distinct.length == out.length)
+    // cross-check every multi-doc cluster's keeper against a direct
+    // max-by over the cluster membership
+    val clusters = Dedup.duplicateClusters(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val chars = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = clusters.groupBy(_._2).map { case (cid, ms) =>
+      cid -> ms.map(_._1).minBy(id => (-chars(id), id))
+    }
+    val got = out.filter(_._3 > 1).map(r => r._2 -> r._1).toMap
+    assert(got == want, "keeper mismatch vs direct max-by")
+  }
+
   test("knnJoin survives an all-identical-embedding corpus (one hot bucket)") {
     import spark.implicits._
     val n = 300
