@@ -93,6 +93,7 @@ object SparkEntry {
     "t1_token_counts" -> (ExtQueries.t1TokenCounts _),
     "t2_quality_scores" -> (ExtQueries.t2QualityScores _),
     "t3_lang_guess" -> (ExtQueries.t3LangGuess _),
+    "t10_unigram_lm_score" -> (ExtQueries.t10UnigramLmScore _),
     "mm1_binary_meta" -> (ExtQueries.mm1BinaryMeta _),
     "sk1_salted_sum" -> (ExtQueries.sk1SaltedSum _),
     "c1_curation_pipeline" -> (ExtQueries.c1CurationPipeline _),
@@ -947,5 +948,15 @@ object SparkEntry {
     "e3r_knn_recall" ->
       """SELECT CAST('' AS VARCHAR) AS metric, CAST(0.0 AS DOUBLE) AS recall
          FROM embeddings WHERE FALSE""",
+    "t10_unigram_lm_score" ->
+      """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                        FROM documents),
+           freq AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+           tot AS (SELECT sum(c) AS t FROM freq)
+         SELECT doc_id, count(*) AS n_words,
+                floor(avg(ln(CAST(c AS DOUBLE) / t)) * 1000000 + 0.5)
+                  / 1000000 AS lm_score_r6
+         FROM words JOIN freq USING (w), tot
+         GROUP BY doc_id""",
   )
 }

@@ -58,16 +58,24 @@ object Dedup {
     * ceil(n/cap) tasks instead of pinning one reducer quadratically, and
     * completeness is preserved (d8v pins it).
     */
+  /** Explode a (…, simhash) frame into its 4 rotated 16-bit band keys —
+    * the shared candidate-key layout for batch pair mining and the
+    * streaming near-dup gate (pigeonhole: Hamming ≤ 3 over 64 bits ⇒ at
+    * least one of the 4 bands matches exactly).
+    */
+  def simhashBands(sh: DataFrame): DataFrame =
+    sh.withColumn("bk",
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("simhash"), b * 16)
+              .bitwiseAND(lit(0xffffL)).as("key"))): _*)))
+      .withColumn("band", col("bk.band"))
+      .withColumn("key", col("bk.key"))
+      .drop("bk")
+
   def simhashNearDupPairs(s: SparkSession, dir: String, maxDist: Int = 3,
       bucketCap: Int = 1024): DataFrame = {
-    val sh = simhashes(s, dir)
-    val banded = sh.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("simhash"), b * 16)
-            .bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+    val banded = simhashBands(simhashes(s, dir))
     val l = banded.select(col("doc_id").as("doc_a"),
       col("simhash").as("sim_a"), col("band"), col("key"))
     val r = banded.select(col("doc_id").as("doc_b"),

@@ -46,6 +46,33 @@ object TextAnalysis {
         / nChars * 10000 + lit(0.5)) / 10000).as("punct_ratio"))
   }
 
+  /** Unigram language-model quality score — the deterministic stand-in
+    * for CCNet/RefinedWeb-style LM perplexity filtering: score(doc) =
+    * mean over its tokens of ln p(w), with p estimated from the corpus
+    * itself (maximum likelihood; every token is in-vocab by
+    * construction, so no smoothing term changes ranks). Low scores =
+    * improbable token streams → filter candidates.
+    *
+    * Plan shape at 100 TB: explode to (doc_id, word), one compact-key
+    * aggregation for the frequency table, join words→freq (Spark
+    * broadcasts it while it fits; the plan stays a hash join when the
+    * vocabulary outgrows that), one groupBy(doc_id) to average. No
+    * driver-side vocab materialization.
+    */
+  def unigramLmScore(s: SparkSession, dir: String): DataFrame = {
+    val words = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val freq = words.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum("c").as("t"))
+    words.join(freq, "w")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        (floor(avg(log(col("c").cast("double") / col("t")))
+          * 1000000 + lit(0.5)) / 1000000).as("lm_score_r6"))
+  }
+
   /** Language ID by stopword-hit heuristic: count hits from tiny per-
     * language function-word lists over the token stream; argmax wins, ties
     * broken by list order. (N-gram profiles are the classic method —

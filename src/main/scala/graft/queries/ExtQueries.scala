@@ -61,6 +61,10 @@ object ExtQueries {
   def t3LangGuess(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langGuess(s, dir)
 
+  /** Unigram LM quality score (CCNet-style perplexity-filter stand-in). */
+  def t10UnigramLmScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLmScore(s, dir)
+
   /** Composed curation chain: quality gate → language gate → dedup →
     * token accounting (fully SQL-expressible, so oracle-checked).
     */
