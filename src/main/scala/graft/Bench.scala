@@ -93,9 +93,15 @@ object Bench {
       s""""operator_total":$opTotal,"invariant_total":$invTotal,""" +
       s""""queries":${jsonMap(ops)},"invariants":${jsonMap(inv)},""" +
       s""""errors":$errs,"skip_invariants":$skipInvariants,"sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes("UTF-8"))
+    // stdout FIRST: a bad SPARK_GRAFT_BENCH_OUT path must not throw away
+    // a completed sweep (the file exists to survive stdout truncation,
+    // not the other way around)
     println(json)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] WARN could not write $outPath: $e")
+    }
     spark.stop()
     // A query that throws must fail the run loudly, not read as a speedup.
     if (results.exists(_._3.isDefined)) sys.exit(1)

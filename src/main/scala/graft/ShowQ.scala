@@ -9,7 +9,17 @@ import org.apache.spark.sql.SparkSession
   */
 object ShowQ {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: ShowQ <query> [sfDir] [maxRows]\n" +
+        s"queries: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     val name = args(0)
+    if (!SparkEntry.queries.contains(name)) {
+      System.err.println(s"unknown query '$name'; valid: " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+      sys.exit(2)
+    }
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
     val maxRows = args.lift(2).map(_.toInt).getOrElse(50)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -954,8 +954,8 @@ object SparkEntry {
            freq AS (SELECT w, count(*) AS c FROM words GROUP BY w),
            tot AS (SELECT sum(c) AS t FROM freq)
          SELECT doc_id, count(*) AS n_words,
-                floor(avg(ln(CAST(c AS DOUBLE) / t)) * 1000000 + 0.5)
-                  / 1000000 AS lm_score_r6
+                CAST(sum(CAST(floor(ln(CAST(c AS DOUBLE) / t) * 1000000)
+                  AS BIGINT)) AS BIGINT) AS lm_micro_sum
          FROM words JOIN freq USING (w), tot
          GROUP BY doc_id""",
   )

@@ -62,12 +62,8 @@ object Multimodal {
     java.lang.System.setProperty("java.awt.headless", "true")
 
     /** SplitMix64-style mixer — stable across JVMs (no Random involved). */
-    def mix(id: Long, salt: Long): Long = {
-      var z = id * 0x9e3779b97f4a7c15L + salt * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
+    def mix(id: Long, salt: Long): Long =
+      graft.functions.SplitMix.mix2(id, salt)
     private def bounded(id: Long, salt: Long, lo: Int, hi: Int): Int =
       lo + (java.lang.Math.floorMod(mix(id, salt), (hi - lo).toLong)).toInt
 
@@ -230,15 +226,23 @@ object Multimodal {
     * BINARY column or `spark.read.format("binaryFile")` — everything
     * downstream (decode, features, frame sampling, resize) is unchanged.
     */
-  def realMedia(s: SparkSession, dir: String): Dataset[MediaRow] = {
+  def realMedia(s: SparkSession, dir: String,
+      kinds: Set[String] = Set("image", "audio", "video")): Dataset[MediaRow] = {
     import s.implicits._
+    // Kind is a pure function of doc_id, so kind-restricted consumers
+    // (sampleFrames: video only; resize: visual only) filter BEFORE the
+    // expensive payload generation instead of encoding bytes they drop.
+    // doc_id % 3 ∈ wanted  ⇔  kindOf(doc_id) ∈ kinds
+    val wanted = (0 to 2).filter(m => kinds(MediaGen.kindOf(m.toLong)))
     // The fixture parquet is one small file → one input partition, which
     // would serialize every encode/decode onto a single core. Spread the
     // ids first: at 100 TB the payload table is naturally multi-partition
     // and this repartition reproduces that shape (the shuffle ships only
     // 8-byte ids).
     s.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+      .select(col("doc_id"))
+      .filter((col("doc_id") % 3).isin(wanted.map(m => m.toLong: java.lang.Long): _*))
+      .as[Long]
       .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { ids =>
         ids.map { id =>
@@ -286,8 +290,7 @@ object Multimodal {
     */
   def sampleFrames(s: SparkSession, dir: String, stride: Int = 2): DataFrame = {
     import s.implicits._
-    realMedia(s, dir)
-      .filter(_.kind == "video")
+    realMedia(s, dir, kinds = Set("video"))
       .flatMap { r =>
         val frames = Codec.demuxVideo(r.payload)
         (0 until frames.length by stride).map { fi =>
@@ -341,7 +344,7 @@ object Multimodal {
     */
   def resize(s: SparkSession, dir: String, maxDim: Int = 32): Dataset[ResizedMedia] = {
     import s.implicits._
-    realMedia(s, dir).filter(r => r.kind == "image" || r.kind == "video")
+    realMedia(s, dir, kinds = Set("image", "video"))
       .mapPartitions { rows =>
         rows.map { r =>
           if (r.kind == "image") {
@@ -425,25 +428,34 @@ object Multimodal {
   def frameSampleViolations(s: SparkSession, dir: String, stride: Int = 2)
       : DataFrame = {
     import s.implicits._
-    val got = sampleFrames(s, dir, stride)
-    // Per-frame dimension violations (no shuffle).
-    val dimBad = got.as[(Long, Int, Int, Int, Long)].flatMap {
-      case (id, fi, w, h, _) =>
+    // ONE pass over the sampled frames: flag each frame's dim/index
+    // validity inline, then a single keyed aggregation yields both the
+    // per-frame violation count and the per-video frame count (a naive
+    // dimBad ∪ cntBad over the uncached source would re-run the whole
+    // generate→demux→decode pipeline twice).
+    sampleFrames(s, dir, stride).as[(Long, Int, Int, Int, Long)]
+      .map { case (id, fi, w, h, _) =>
         val (ew, eh, nf) = MediaGen.videoParams(id)
         val bad =
           w != ew || h != eh || fi % stride != 0 || fi < 0 || fi >= nf
-        if (bad) Some((id, "frame_dims", (w.toLong << 32) | h.toLong,
-          (ew.toLong << 32) | eh.toLong))
-        else None
-    }
-    // Per-video count violations (one keyed aggregation).
-    val cntBad = got.groupBy("media_id").agg(count(lit(1)).as("n"))
-      .as[(Long, Long)].flatMap { case (id, n) =>
+        (id, if (bad) 1L else 0L)
+      }
+      .groupByKey(_._1)
+      .mapGroups { (id, rows) =>
+        var n = 0L
+        var bad = 0L
+        rows.foreach { r => n += 1; bad += r._2 }
+        (id, n, bad)
+      }
+      .flatMap { case (id, n, bad) =>
         val (_, _, nf) = MediaGen.videoParams(id)
         val want = ((nf + stride - 1) / stride).toLong
-        if (n != want) Some((id, "frame_count", n, want)) else None
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+        if (bad > 0) out += ((id, "frame_dims", bad, 0L))
+        if (n != want) out += ((id, "frame_count", n, want))
+        out.toSeq
       }
-    dimBad.union(cntBad).toDF("media_id", "field", "got", "want")
+      .toDF("media_id", "field", "got", "want")
   }
 
   /** x13v: resize contract — dst dims fit the box, aspect preserved to

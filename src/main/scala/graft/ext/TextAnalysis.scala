@@ -64,13 +64,21 @@ object TextAnalysis {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     val freq = words.groupBy("w").agg(count(lit(1)).as("c"))
     val total = freq.agg(sum("c").as("t"))
+    // Integer micro-logprobs: floor(ln(c/t)·1e6) per WORD, summed as
+    // BIGINT. A doc-level double average would be summation-order-
+    // dependent (Spark partial aggs vs DuckDB's order) and could flip a
+    // 6-decimal rounding boundary between engines — the c5 lesson. The
+    // per-word floor is a pure function of the integers (c, t); the only
+    // residual risk is a word whose ln lands within ~1 ulp of an integer
+    // micro boundary, which the t10 margin test pins as absent.
     words.join(freq, "w")
       .crossJoin(broadcast(total))
+      .withColumn("lp_micro",
+        floor(log(col("c").cast("double") / col("t")) * 1000000).cast("long"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_words"),
-        (floor(avg(log(col("c").cast("double") / col("t")))
-          * 1000000 + lit(0.5)) / 1000000).as("lm_score_r6"))
+        sum(col("lp_micro")).as("lm_micro_sum"))
   }
 
   /** Language ID by stopword-hit heuristic: count hits from tiny per-

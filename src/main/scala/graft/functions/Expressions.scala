@@ -215,6 +215,21 @@ object Expressions {
   def winnowFingerprints(c: Column, k: Int, w: Int): Column =
     GraftBridge.column(WinnowFingerprints(GraftBridge.expression(c), k, w))
 }
+/** Shared two-stream splitmix64 mixer (Steele et al., "Fast Splittable
+  * Pseudorandom Number Generators"): one deterministic 64-bit stream per
+  * (value, salt) pair. The single home for the constant set — media
+  * fixture generation (Multimodal.MediaGen) and the scale-up corpus
+  * generator (tools.ScaleGen) both key their determinism to it.
+  */
+object SplitMix {
+  @inline def mix2(a: Long, b: Long): Long = {
+    var z = a * 0x9e3779b97f4a7c15L + b * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}
+
 /** One-pass MinHash signature: k minima over splitmix64-mixed shingle
   * hashes. Replaces k separate `transform(array, xxhash64)` passes (k array
   * allocations per row) with a single O(n·k) loop and one output array.

@@ -583,12 +583,6 @@ object ExtQueries {
   def e3KnnJoin(s: SparkSession, dir: String): DataFrame =
     Similarity.knnJoin(s, dir, k = 3, nPlanes = 8)
 
-  /** e3 invariant: every (src, neighbor, cosine) the kNN join emits must
-    * carry EXACTLY the cosine an independent HOF-only recomputation from
-    * the raw embeddings table produces (same left-to-right double
-    * accumulation → bit-equal; compared at 6 decimals). Violations →
-    * rows; oracle: the empty relation.
-    */
   /** e3 invariant (recall direction): corpus-level recall@3 of the LSH
     * kNN join vs the exact blocked all-pairs top-3 must clear the pinned
     * floor. Oracle: the empty relation. The exact side is deliberately
@@ -597,6 +591,12 @@ object ExtQueries {
   def e3rKnnRecall(s: SparkSession, dir: String): DataFrame =
     Similarity.knnRecallViolations(s, dir, k = 3, nPlanes = 8)
 
+  /** e3 invariant (score direction): every (src, neighbor, cosine) the
+    * kNN join emits must carry EXACTLY the cosine an independent
+    * HOF-only recomputation from the raw embeddings table produces (same
+    * left-to-right double accumulation → bit-equal; compared at 6
+    * decimals). Violations → rows; oracle: the empty relation.
+    */
   def e3vKnnScoresMatch(s: SparkSession, dir: String): DataFrame = {
     val round6 = (c: org.apache.spark.sql.Column) =>
       floor(c * 1000000 + lit(0.5)) / 1000000

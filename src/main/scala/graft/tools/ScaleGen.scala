@@ -30,12 +30,8 @@ import org.apache.spark.sql.functions._
   */
 object ScaleGen {
 
-  private def mix(a: Long, b: Long): Long = {
-    var z = a * 0x9e3779b97f4a7c15L + b * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  private def mix(a: Long, b: Long): Long =
+    graft.functions.SplitMix.mix2(a, b)
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/root/repo/scaledata/sf1")

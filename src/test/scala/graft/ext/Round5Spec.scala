@@ -68,9 +68,12 @@ class Round5Spec extends SparkSpec {
 
   test("e3 multi-probe widens candidates: every same-bucket pair survives, coverage grows") {
     val d = sf("sf0.01")
-    val base = Similarity.knnJoin(spark, d, k = 3, nPlanes = 8)
+    // defaults are probes=ON, tables=4 since r6 — pin the single-table
+    // no-probe base explicitly so this stays a real comparison
+    val base = Similarity.knnJoin(spark, d, k = 3, nPlanes = 8,
+      hamming1Probes = false, nTables = 1)
     val probed = Similarity.knnJoin(spark, d, k = 3, nPlanes = 8,
-      hamming1Probes = true)
+      hamming1Probes = true, nTables = 1)
     val baseSrcs = base.select("src_id").distinct().count()
     val probedSrcs = probed.select("src_id").distinct().count()
     assert(probedSrcs >= baseSrcs,

@@ -131,6 +131,26 @@ class Round6Spec extends SparkSpec {
       !inv("q1_lineitem_agg"))
   }
 
+  test("t10: no per-word micro-logprob sits on an integer floor boundary") {
+    // The t10 oracle floors ln(c/t)*1e6 per WORD so aggregation is exact
+    // integer math; the only cross-engine risk left is a word whose value
+    // lies within ~1 ulp of an integer boundary (Math.log vs libm ln).
+    // Pin a 1e-6 margin — 500x a double ulp at this magnitude — for every
+    // distinct (c, t) in the gated corpora.
+    for (d <- Seq(sf("sf0.001"), sf("sf0.01"))) {
+      val words = spark.read.parquet(s"$d/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("w"))
+      val freqs = words.groupBy("w").count().collect().map(_.getLong(1))
+      val t = freqs.sum.toDouble
+      freqs.distinct.foreach { c =>
+        val v = math.log(c / t) * 1000000
+        val dist = math.abs(v - math.rint(v))
+        assert(dist > 1e-6,
+          f"c=$c t=$t%.0f: micro-logprob $v%.9f within $dist%.2e of a boundary")
+      }
+    }
+  }
+
   test("d9 keep-best: partitions the corpus, keeper maximizes length") {
     val d = sf("sf0.01")
     val out = Dedup.keepBestPerCluster(spark, d).collect()
