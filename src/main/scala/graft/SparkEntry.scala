@@ -126,6 +126,7 @@ object SparkEntry {
     "d8v_simhash_band_complete" -> (ExtQueries.d8vSimhashBandComplete _),
     "e3v_knn_scores_match" -> (ExtQueries.e3vKnnScoresMatch _),
     "e3r_knn_recall" -> (ExtQueries.e3rKnnRecall _),
+    "x4r_ann_recall" -> (ExtQueries.x4rAnnRecall _),
     // rows-only: native hashes / LSH internals (ScalaTest owns semantics)
     "x1_fingerprints_native" -> (ExtQueries.x1FingerprintsNative _),
     "x2_simhash_sketches" -> (ExtQueries.x2SimhashSketches _),
@@ -160,7 +161,7 @@ object SparkEntry {
     "x10v_percentile_bound", "x11v_quant_cosine_bound",
     "x12v_heavy_hitters_exact", "x13v_resize_contract",
     "x1v_fingerprint_injective", "x3v_lsh_subset_exact",
-    "x4v_ann_scores_match_brute", "x5v_frame_roundtrip",
+    "x4v_ann_scores_match_brute", "x4r_ann_recall", "x5v_frame_roundtrip",
     "x6v_decode_roundtrip", "x7v_hll_error_bound", "x8v_ivf_subset_exact",
     "x9v_kmv_exact_small")
   require(invariantQueries.subsetOf(queries.keySet),
@@ -946,6 +947,9 @@ object SparkEntry {
                 CAST(0 AS BIGINT) AS got, CAST(0 AS BIGINT) AS want
          FROM documents WHERE FALSE""",
     "e3r_knn_recall" ->
+      """SELECT CAST('' AS VARCHAR) AS metric, CAST(0.0 AS DOUBLE) AS recall
+         FROM embeddings WHERE FALSE""",
+    "x4r_ann_recall" ->
       """SELECT CAST('' AS VARCHAR) AS metric, CAST(0.0 AS DOUBLE) AS recall
          FROM embeddings WHERE FALSE""",
     "t10_unigram_lm_score" ->

@@ -293,25 +293,77 @@ object Similarity {
       .select(lit("recall_at_k").as("metric"), col("recall"))
   }
 
-  /** ANN top-k via LSH: score only vectors in the query's bucket (plus
-    * Hamming-1 neighbor buckets for recall), exact cosine re-rank inside.
-    * At 100 TB: bucket column is a partition/cluster key → the scan prunes
-    * to a handful of buckets instead of the full corpus.
+  /** x4 invariant (recall direction): MEAN recall@k of the multi-table
+    * LSH ANN probe vs exact brute-force top-k, averaged over the first
+    * `nQueries` vectors — a single query's recall swings with its
+    * bucket luck (measured 0.3–0.5 per query at 8 tables), the 10-query
+    * mean is stable. Both sides rank by (cosine desc, vec_id) so
+    * boundary ties resolve identically; the probe follows [[annTopK]]'s
+    * construction exactly (same tables, probes, dedup). Emits one row
+    * iff mean recall < `floor`; oracle: the empty relation.
+    */
+  def annRecallViolations(s: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 20, nPlanes: Int = 16, nTables: Int = 8,
+      floor: Double = 0.35): DataFrame = {
+    val e = emb(s, dir)
+    // exact side: nQueries × n scored pairs, bounded-heap top-k per query
+    val qs = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("src_id"), col("embedding").as("q_emb"))
+    val exactCand = e.select(col("vec_id").as("nb_id"), col("embedding"))
+      .join(broadcast(qs), col("nb_id") =!= col("src_id"))
+      .select(col("src_id"), col("nb_id"),
+        cosineF(col("embedding"), col("q_emb")).as("cosine"))
+    val exact = graft.plans.TopKPerGroup.topK(exactCand, Seq("src_id"),
+      "cosine", k, desc = true, tiebreakCols = Seq("nb_id"))
+    // ANN side: annTopK's probe shape, restricted to the nQueries sources
+    val b = lshBucketsMulti(s, dir, nPlanes, nTables)
+    val probes = b.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("src_id"), col("embedding").as("q_emb"),
+        col("table_id"),
+        explode(array((Seq(col("bucket")) ++ (0 until nPlanes).map(i =>
+          col("bucket").bitwiseXOR(lit(1L << i)))): _*)).as("bucket"))
+    val annCand = probes
+      .join(b.select(col("vec_id").as("nb_id"),
+        col("embedding").as("nb_emb"), col("table_id"), col("bucket")),
+        Seq("table_id", "bucket"))
+      .filter(col("src_id") =!= col("nb_id"))
+      .select(col("src_id"), col("nb_id"),
+        cosineF(col("q_emb"), col("nb_emb")).as("cosine"))
+      .distinct()
+    val ann = graft.plans.TopKPerGroup.topK(annCand, Seq("src_id"),
+      "cosine", k, desc = true, tiebreakCols = Seq("nb_id"))
+      .select(col("src_id"), col("nb_id")).withColumn("hit", lit(1L))
+    exact.select("src_id", "nb_id")
+      .join(ann, Seq("src_id", "nb_id"), "left")
+      .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") /
+        count(lit(1))).as("recall"))
+      .filter(col("recall") < floor)
+      .select(lit("ann_mean_recall_at_k").as("metric"), col("recall"))
+  }
+
+  /** ANN top-k via LSH: score only vectors sharing a (table, bucket) key
+    * with the query — `nTables` independent hyperplane tables
+    * (OR-construction, same recall amplification as [[knnJoin]]) plus
+    * the Hamming-1 neighbor buckets per table — then exact cosine
+    * re-rank. Measured recall@20 for the fixture query: 0.0–0.2 with one
+    * table → 0.45–0.75 with 4 tables (x4r pins the floor). At 100 TB:
+    * (table_id, bucket) is a partition/cluster key → the scan prunes to
+    * nTables×(nPlanes+1) buckets instead of the full corpus.
     */
   def annTopK(s: SparkSession, dir: String, queryId: Long = 0L, k: Int = 20,
-      nPlanes: Int = 16): DataFrame = {
-    val b = lshBuckets(s, dir, nPlanes)
+      nPlanes: Int = 16, nTables: Int = 8): DataFrame = {
+    val b = lshBucketsMulti(s, dir, nPlanes, nTables)
     val q = b.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_embedding"), col("bucket").as("q_bucket"))
-    val neighborBuckets = array(
-      (Seq(col("q_bucket")) ++
-        (0 until nPlanes).map(i => col("q_bucket").bitwiseXOR(lit(1L << i)))): _*)
+      .select(col("table_id"), col("embedding").as("q_embedding"),
+        array((Seq(col("bucket")) ++ (0 until nPlanes).map(i =>
+          col("bucket").bitwiseXOR(lit(1L << i)))): _*).as("cand_buckets"))
     b.filter(col("vec_id") =!= queryId)
-      .crossJoin(broadcast(q.withColumn("cand_buckets", neighborBuckets)))
+      .join(broadcast(q), Seq("table_id"))
       .filter(array_contains(col("cand_buckets"), col("bucket")))
-      .withColumn("cosine", cosineF(col("embedding"), col("q_embedding")))
+      .select(col("vec_id"), col("label"),
+        cosineF(col("embedding"), col("q_embedding")).as("cosine"))
+      .dropDuplicates("vec_id") // a candidate can collide in several tables
       .orderBy(desc("cosine"), col("vec_id"))
       .limit(k)
-      .select(col("vec_id"), col("label"), col("cosine"))
   }
 }

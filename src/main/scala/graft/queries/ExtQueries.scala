@@ -348,6 +348,13 @@ object ExtQueries {
   def x4AnnTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.annTopK(s, dir, queryId = 0L, k = 20, nPlanes = 8)
 
+  /** x4 invariant (recall direction): mean ANN recall@20 over the first
+    * 10 query vectors vs exact brute-force top-20 must clear the pinned
+    * floor. Oracle: the empty relation.
+    */
+  def x4rAnnRecall(s: SparkSession, dir: String): DataFrame =
+    Similarity.annRecallViolations(s, dir, nQueries = 10, k = 20, nPlanes = 8)
+
   /** IVF coarse-quantized ANN (k-means cells + nprobe probing). */
   def x8IvfTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(s, dir, queryId = 0L, k = 20, nlist = 8, nprobe = 3)
