@@ -1,0 +1,76 @@
+package graft.plans
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+
+import graft.SparkSpec
+import graft.SparkEntry
+
+/** Plan-shape regression guards: the scale properties this engine claims
+  * (pushdown, broadcast choices, no global sorts, bounded-heap top-k)
+  * are properties of the PHYSICAL PLAN — a silent planner regression
+  * (lost filter pushdown, a broadcast turning into a sort-merge join, a
+  * window sneaking back into d9) would keep every correctness oracle
+  * green while destroying 100 TB behavior. These tests pin the
+  * pre-AQE physical plan (`sparkPlan` — deterministic, no execution
+  * needed; AQE only ever upgrades these shapes at runtime).
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val d = sf("sf0.001")
+
+  private def plan(name: String) =
+    SparkEntry.queries(name)(spark, d).queryExecution.sparkPlan
+
+  private def planStr(name: String) = plan(name).toString
+
+  test("s1: filters and projection reach the parquet scan") {
+    val scans = plan("s1_scan_filter_project").collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "no parquet scan in the plan")
+    val scan = scans.head
+    assert(scan.metadata.get("PushedFilters").exists(f => f != "[]"),
+      s"no pushed filters: ${scan.metadata.get("PushedFilters")}")
+    // pruned read schema: far fewer columns than lineitem's 16
+    assert(scan.requiredSchema.length <= 6,
+      s"scan reads ${scan.requiredSchema.length} columns: " +
+        scan.requiredSchema.fieldNames.mkString(","))
+  }
+
+  test("dimension joins broadcast (j1, q18 survivor set)") {
+    assert(planStr("j1_broadcast_join_agg").contains("BroadcastHashJoin"))
+    assert(planStr("q18_large_orders").contains("BroadcastHashJoin"))
+  }
+
+  test("global top-k compiles to TakeOrderedAndProject, never a full sort") {
+    for (q <- Seq("w5_top1_desc", "e1_cosine_topk")) {
+      val p = planStr(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q lost TakeOrdered")
+    }
+  }
+
+  test("d9: bounded-heap keeper selection — no window, partial+final heaps") {
+    val p = plan("d9_cluster_keep_best")
+    assert(p.collect { case w: WindowExec => w }.isEmpty,
+      "a WindowExec crept into d9")
+    val topks = p.collect { case t: TopKPerGroupExec => t }
+    assert(topks.length == 2, s"expected partial+final TopK, got ${topks.length}")
+  }
+
+  test("z1: the clustering key is a pure projection — zero exchanges") {
+    val p = plan("z1_zorder_key")
+    assert(p.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      "z-key projection should not shuffle")
+  }
+
+  test("no accidental cartesian products in the new r6 queries") {
+    for (q <- Seq("t10_unigram_lm_score", "d9_cluster_keep_best",
+        "e3_knn_join", "x4r_ann_recall")) {
+      val p = plan(q)
+      assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+        s"$q plans a CartesianProduct")
+    }
+  }
+}
