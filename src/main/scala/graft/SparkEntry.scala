@@ -69,6 +69,8 @@ object SparkEntry {
     "aj1_asof_join" -> (CoreQueries.aj1AsofJoin _),
     "rj1_interval_join" -> (CoreQueries.rj1IntervalJoin _),
     "r2_cube" -> (CoreQueries.r2Cube _),
+    "r3_grouping_sets" -> (CoreQueries.r3GroupingSets _),
+    "w12_range_frame" -> (CoreQueries.w12RangeFrame _),
     "w9_lead_lag_ntile" -> (CoreQueries.w9LeadLagNtile _),
     "w10_grouped_topk" -> (CoreQueries.w10GroupedTopk _),
     "w11_rank_distributions" -> (CoreQueries.w11RankDistributions _),
@@ -952,6 +954,22 @@ object SparkEntry {
     "x4r_ann_recall" ->
       """SELECT CAST('' AS VARCHAR) AS metric, CAST(0.0 AS DOUBLE) AS recall
          FROM embeddings WHERE FALSE""",
+    "r3_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                  AS BIGINT) AS gid,
+                sum(l_quantity) AS sum_qty, count(*) AS cnt
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_returnflag), (l_linestatus), ())""",
+    "w12_range_frame" ->
+      """SELECT event_id, user_id,
+                sum(CAST(value AS DECIMAL(14,2))) OVER (
+                  PARTITION BY user_id
+                  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                  AS trail_1h_sum
+         FROM events""",
     "t10_unigram_lm_score" ->
       """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                         FROM documents),

@@ -681,6 +681,46 @@ object CoreQueries {
     * user-keyed exchange; deltas are exact binary double subtraction so
     * both engines agree bit-for-bit).
     */
+  /** GROUPING SETS through the SQL front-end — Catalyst plans one Expand
+    * + one hash aggregate for an arbitrary set list (r1 rollup / r2 cube
+    * are its fixed-shape specializations); grouping() disambiguates the
+    * null-as-subtotal rows from genuine null keys. The Expand multiplies
+    * map-side rows by the number of sets, but the shuffle still carries
+    * only (set, group) partials — the 100 TB-safe shape for multi-grain
+    * reporting in one pass.
+    */
+  def r3GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("r3_lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+                CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                  AS BIGINT) AS gid,
+                sum(l_quantity) AS sum_qty, count(1) AS cnt
+         FROM r3_lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_returnflag), (l_linestatus), ())""")
+  }
+
+  /** RANGE-frame window: per user, the trailing-1-hour sum of event
+    * values — value-based frame bounds over event time (w1's SMA frames
+    * are ROWS-based). Same single exchange + in-partition sort as every
+    * window here; the frame scan is streaming (two pointers), not
+    * quadratic. Values go through DECIMAL so the frame sum is exact
+    * integer arithmetic on both engines (a double frame-sum is
+    * accumulation-order-dependent across engines).
+    */
+  def w12RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_s"))
+      .rangeBetween(-3600L, Window.currentRow)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ts_s"),
+        col("value").cast("decimal(14,2)").as("v"))
+      .select(col("event_id"), col("user_id"),
+        sum(col("v")).over(w).as("trail_1h_sum"))
+  }
+
   def w9LeadLagNtile(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     events(s, dir).select(
