@@ -24,7 +24,9 @@ object Explain {
         "st1_table_stats", "dq1_quality_checks",
         "p15_json_extract", "h1_length_histogram",
         "d8v_simhash_band_complete", "e3v_knn_scores_match",
-        "e3r_knn_recall", "x6_media_features", "x13_media_resize")
+        "e3r_knn_recall", "x6_media_features", "x13_media_resize",
+        "d9_cluster_keep_best", "t10_unigram_lm_score", "x4r_ann_recall",
+        "r3_grouping_sets", "w12_range_frame")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
