@@ -97,9 +97,12 @@ object Bench {
     // a completed sweep (the file exists to survive stdout truncation,
     // not the other way around)
     println(json)
+    // NonFatal, not just IOException: Paths.get on a malformed path
+    // throws InvalidPathException (a RuntimeException) — a completed
+    // sweep must never exit nonzero because its artifact path is bad
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
-    catch { case e: java.io.IOException =>
+    catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] WARN could not write $outPath: $e")
     }
     spark.stop()

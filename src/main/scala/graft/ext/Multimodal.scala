@@ -67,8 +67,13 @@ object Multimodal {
     private def bounded(id: Long, salt: Long, lo: Int, hi: Int): Int =
       lo + (java.lang.Math.floorMod(mix(id, salt), (hi - lo).toLong)).toInt
 
+    // floorMod so negative ids get a well-defined kind that matches the
+    // Spark-side pmod pushdown filter in realMedia (Scala's % maps both
+    // -1 and -2 to the default arm, which pmod cannot reproduce)
     def kindOf(id: Long): String =
-      (id % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
+      java.lang.Math.floorMod(id, 3L) match {
+        case 0L => "image"; case 1L => "audio"; case _ => "video"
+      }
 
     /** Expected image dims: small on purpose (fixtures are per-row encoded
       * at read time; real pipelines read pre-encoded bytes from parquet).
@@ -232,7 +237,8 @@ object Multimodal {
     // Kind is a pure function of doc_id, so kind-restricted consumers
     // (sampleFrames: video only; resize: visual only) filter BEFORE the
     // expensive payload generation instead of encoding bytes they drop.
-    // doc_id % 3 ∈ wanted  ⇔  kindOf(doc_id) ∈ kinds
+    // pmod(doc_id, 3) ∈ wanted  ⇔  kindOf(doc_id) ∈ kinds (kindOf uses
+    // floorMod, which pmod mirrors exactly — negative ids included)
     val wanted = (0 to 2).filter(m => kinds(MediaGen.kindOf(m.toLong)))
     // The fixture parquet is one small file → one input partition, which
     // would serialize every encode/decode onto a single core. Spread the
@@ -241,7 +247,8 @@ object Multimodal {
     // 8-byte ids).
     s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"))
-      .filter((col("doc_id") % 3).isin(wanted.map(m => m.toLong: java.lang.Long): _*))
+      .filter(pmod(col("doc_id"), lit(3L))
+        .isin(wanted.map(m => m.toLong: java.lang.Long): _*))
       .as[Long]
       .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { ids =>
@@ -433,6 +440,10 @@ object Multimodal {
     // per-frame violation count and the per-video frame count (a naive
     // dimBad ∪ cntBad over the uncached source would re-run the whole
     // generate→demux→decode pipeline twice).
+    // the flag map stays typed (videoParams is Scala), but the rollup is
+    // a relational groupBy().agg() so map-side partial aggregation keeps
+    // the shuffle at one (video, partition) partial, not one row per
+    // sampled frame
     sampleFrames(s, dir, stride).as[(Long, Int, Int, Int, Long)]
       .map { case (id, fi, w, h, _) =>
         val (ew, eh, nf) = MediaGen.videoParams(id)
@@ -440,13 +451,10 @@ object Multimodal {
           w != ew || h != eh || fi % stride != 0 || fi < 0 || fi >= nf
         (id, if (bad) 1L else 0L)
       }
-      .groupByKey(_._1)
-      .mapGroups { (id, rows) =>
-        var n = 0L
-        var bad = 0L
-        rows.foreach { r => n += 1; bad += r._2 }
-        (id, n, bad)
-      }
+      .toDF("media_id", "bad")
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n"), sum(col("bad")).as("n_bad"))
+      .as[(Long, Long, Long)]
       .flatMap { case (id, n, bad) =>
         val (_, _, nf) = MediaGen.videoParams(id)
         val want = ((nf + stride - 1) / stride).toLong

@@ -181,6 +181,16 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("cell"), col("cosine"))
   }
 
+  /** The multi-probe bucket set: a row's own `bucket` plus its nPlanes
+    * Hamming-1 neighbors. The ONE home for the probe construction —
+    * knnJoin, annTopK, and the recall invariants (e3r, x4r) must stay in
+    * lockstep, or an invariant would keep measuring a construction the
+    * operator no longer uses.
+    */
+  private def probeBuckets(nPlanes: Int) = array(
+    (Seq(col("bucket")) ++ (0 until nPlanes).map(i =>
+      col("bucket").bitwiseXOR(lit(1L << i)))): _*)
+
   /** Multi-table LSH signatures — the classic OR-construction for recall
     * amplification (Indyk–Motwani; Charikar hyperplanes per table): each
     * of `nTables` independent plane sets hashes every vector to one
@@ -237,8 +247,7 @@ object Similarity {
     val l = if (!hamming1Probes) l0
       else b.select(col("vec_id").as("src_id"),
         col("embedding").as("src_emb"), col("table_id"),
-        explode(array((Seq(col("bucket")) ++ (0 until nPlanes).map(i =>
-          col("bucket").bitwiseXOR(lit(1L << i)))): _*)).as("bucket"))
+        explode(probeBuckets(nPlanes)).as("bucket"))
     val r = b.select(col("vec_id").as("nb_id"),
       col("embedding").as("nb_emb"), col("table_id"), col("bucket"))
     // dedup collisions across tables/probes BEFORE the heap: distinct on
@@ -287,20 +296,26 @@ object Similarity {
       k, desc = true, tiebreakCols = Seq("nb_id"))
     exact.select("src_id", "nb_id")
       .join(ann, Seq("src_id", "nb_id"), "left")
-      .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") /
-        count(lit(1))).as("recall"))
-      .filter(col("recall") < floor)
-      .select(lit("recall_at_k").as("metric"), col("recall"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+        count(lit(1)).as("total"))
+      // total == 0 (empty exact side) must fail loudly, not vacuously pass
+      .filter(col("total") === 0 ||
+        col("hits").cast("double") / col("total") < floor)
+      .select(lit("recall_at_k").as("metric"),
+        (col("hits").cast("double") / col("total")).as("recall"))
   }
 
-  /** x4 invariant (recall direction): MEAN recall@k of the multi-table
-    * LSH ANN probe vs exact brute-force top-k, averaged over the first
-    * `nQueries` vectors — a single query's recall swings with its
-    * bucket luck (measured 0.3–0.5 per query at 8 tables), the 10-query
-    * mean is stable. Both sides rank by (cosine desc, vec_id) so
-    * boundary ties resolve identically; the probe follows [[annTopK]]'s
-    * construction exactly (same tables, probes, dedup). Emits one row
-    * iff mean recall < `floor`; oracle: the empty relation.
+  /** x4 invariant (recall direction): recall@k of the multi-table LSH
+    * ANN probe vs exact brute-force top-k, pooled over the first
+    * `nQueries` vectors — a single query's recall swings with its bucket
+    * luck (measured 0.3–0.5 per query at 8 tables), the 10-query pool is
+    * stable. Pooled hits/total EQUALS the per-query mean here: every
+    * query contributes exactly k exact rows (n ≫ k on every fixture).
+    * Both sides rank by (cosine desc, vec_id) so boundary ties resolve
+    * identically; the probe uses the same [[probeBuckets]] construction
+    * as [[annTopK]]. Emits one row iff recall < `floor` — or iff the
+    * exact side is EMPTY (a fixture without vec_ids below nQueries must
+    * fail loudly, not pass vacuously). Oracle: the empty relation.
     */
   def annRecallViolations(s: SparkSession, dir: String, nQueries: Int = 10,
       k: Int = 20, nPlanes: Int = 16, nTables: Int = 8,
@@ -320,8 +335,7 @@ object Similarity {
     val probes = b.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("src_id"), col("embedding").as("q_emb"),
         col("table_id"),
-        explode(array((Seq(col("bucket")) ++ (0 until nPlanes).map(i =>
-          col("bucket").bitwiseXOR(lit(1L << i)))): _*)).as("bucket"))
+        explode(probeBuckets(nPlanes)).as("bucket"))
     val annCand = probes
       .join(b.select(col("vec_id").as("nb_id"),
         col("embedding").as("nb_emb"), col("table_id"), col("bucket")),
@@ -335,10 +349,13 @@ object Similarity {
       .select(col("src_id"), col("nb_id")).withColumn("hit", lit(1L))
     exact.select("src_id", "nb_id")
       .join(ann, Seq("src_id", "nb_id"), "left")
-      .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") /
-        count(lit(1))).as("recall"))
-      .filter(col("recall") < floor)
-      .select(lit("ann_mean_recall_at_k").as("metric"), col("recall"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+        count(lit(1)).as("total"))
+      // total == 0 (empty exact side) must fail loudly, not vacuously pass
+      .filter(col("total") === 0 ||
+        col("hits").cast("double") / col("total") < floor)
+      .select(lit("ann_pooled_recall_at_k").as("metric"),
+        (col("hits").cast("double") / col("total")).as("recall"))
   }
 
   /** ANN top-k via LSH: score only vectors sharing a (table, bucket) key
@@ -355,8 +372,7 @@ object Similarity {
     val b = lshBucketsMulti(s, dir, nPlanes, nTables)
     val q = b.filter(col("vec_id") === queryId)
       .select(col("table_id"), col("embedding").as("q_embedding"),
-        array((Seq(col("bucket")) ++ (0 until nPlanes).map(i =>
-          col("bucket").bitwiseXOR(lit(1L << i)))): _*).as("cand_buckets"))
+        probeBuckets(nPlanes).as("cand_buckets"))
     b.filter(col("vec_id") =!= queryId)
       .join(broadcast(q), Seq("table_id"))
       .filter(array_contains(col("cand_buckets"), col("bucket")))
