@@ -80,6 +80,8 @@ object SparkEntry {
     "x12v_heavy_hitters_exact" -> (CoreQueries.x12vHeavyHittersExact _),
     "q6_revenue_delta" -> (CoreQueries.q6RevenueDelta _),
     "p14_pivot" -> (CoreQueries.p14Pivot _),
+    "p16_unpivot" -> (CoreQueries.p16Unpivot _),
+    "a8_exact_percentiles" -> (CoreQueries.a8ExactPercentiles _),
     // ML surface (§2.6)
     "m1_minmax_scale" -> (CoreQueries.m1MinmaxScale _),
     // §7.4 extensions: dedup / similarity / text analysis / multimodal
@@ -954,6 +956,25 @@ object SparkEntry {
     "x4r_ann_recall" ->
       """SELECT CAST('' AS VARCHAR) AS metric, CAST(0.0 AS DOUBLE) AS recall
          FROM embeddings WHERE FALSE""",
+    "p16_unpivot" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+                m AS measure, v AS val
+         FROM (
+           SELECT l_orderkey, l_linenumber, 'quantity' AS m,
+                  CAST(l_quantity AS DECIMAL(14,2)) AS v FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'price',
+                  CAST(l_extendedprice AS DECIMAL(14,2)) FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'discount',
+                  CAST(l_discount AS DECIMAL(14,2)) FROM lineitem)""",
+    "a8_exact_percentiles" ->
+      """SELECT event_type,
+                floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS p50,
+                floor(quantile_cont(value, 0.9) * 10000 + 0.5) / 10000 AS p90,
+                floor(quantile_cont(value, 0.99) * 10000 + 0.5) / 10000 AS p99,
+                count(*) AS n
+         FROM events GROUP BY event_type""",
     "r3_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)

@@ -628,6 +628,40 @@ object CoreQueries {
       .count()
       .na.fill(0L)
 
+  /** UNPIVOT (wide → long) via `stack` — the inverse of p14's pivot and
+    * the standard normalization step before measure-generic processing
+    * (one metric column + a measure tag instead of N metric columns).
+    * Generates 3 rows per input row inside the scan projection — no
+    * shuffle, no UDF; values pass through DECIMAL so the long table is
+    * byte-identical on any engine.
+    */
+  def p16Unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("line_no"),
+        expr("""stack(3,
+                  'quantity', CAST(l_quantity AS DECIMAL(14,2)),
+                  'price', CAST(l_extendedprice AS DECIMAL(14,2)),
+                  'discount', CAST(l_discount AS DECIMAL(14,2)))
+                AS (measure, val)"""))
+
+  /** Exact grouped percentiles (percentile_cont semantics: linear
+    * interpolation over the sorted group) — the exact twin of the
+    * x10v/kq1v SKETCH percentile bounds: this is what they approximate.
+    * Interpolated doubles floor-rounded at 4 places (both engines use
+    * the same lo + f·(hi−lo) formula; noise is ~1e-13).
+    */
+  def a8ExactPercentiles(s: SparkSession, dir: String): DataFrame = {
+    def r4(c: org.apache.spark.sql.Column) =
+      floor(c * 10000 + lit(0.5)) / 10000
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        r4(expr("percentile(value, 0.5)")).as("p50"),
+        r4(expr("percentile(value, 0.9)")).as("p90"),
+        r4(expr("percentile(value, 0.99)")).as("p99"),
+        count(lit(1)).as("n"))
+  }
+
   /** KMV bottom-k distinct sketch (custom TypedImperativeAggregate) next
     * to the exact count — at |users| < k the sketch must BE exact, which
     * doubles as its driver-checkable contract.
