@@ -120,6 +120,19 @@ class Round6Spec extends SparkSpec {
     assert(z == graft.functions.Morton.zkey8(255L, 0L))
   }
 
+  test("recall invariants fail loudly on an empty exact side") {
+    import spark.implicits._
+    // a corpus whose vec_ids all sit above the probe range: the exact
+    // side is empty, which must emit a violation row, not pass vacuously
+    val tmp = java.nio.file.Files.createTempDirectory("graft-empty-emb").toString
+    val v = Array.tabulate(64)(i => i.toFloat / 64)
+    (100 until 140).map(i => (i.toLong, "x", v))
+      .toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    assert(Similarity.annRecallViolations(spark, tmp, nQueries = 10).count() == 1L,
+      "empty exact side must surface as a violation")
+  }
+
   test("invariant query tagging: declared, resolvable, and sane") {
     val inv = graft.SparkEntry.invariantQueries
     assert(inv.subsetOf(graft.SparkEntry.queries.keySet))
