@@ -134,6 +134,7 @@ object SparkEntry {
     // rows-only: native hashes / LSH internals (ScalaTest owns semantics)
     "x1_fingerprints_native" -> (ExtQueries.x1FingerprintsNative _),
     "x2_simhash_sketches" -> (ExtQueries.x2SimhashSketches _),
+    "x2v_simhash_recompute" -> (ExtQueries.x2vSimhashRecompute _),
     "x3_minhash_lsh_pairs" -> (ExtQueries.x3MinhashLshPairs _),
     "x4_ann_topk" -> (ExtQueries.x4AnnTopK _),
     "e3_knn_join" -> (ExtQueries.e3KnnJoin _),
@@ -164,7 +165,8 @@ object SparkEntry {
     "wv1_winnow_subset_shingles", "wv2_winnow_pairs_subset_exact",
     "x10v_percentile_bound", "x11v_quant_cosine_bound",
     "x12v_heavy_hitters_exact", "x13v_resize_contract",
-    "x1v_fingerprint_injective", "x3v_lsh_subset_exact",
+    "x1v_fingerprint_injective", "x2v_simhash_recompute",
+    "x3v_lsh_subset_exact",
     "x4v_ann_scores_match_brute", "x4r_ann_recall", "x5v_frame_roundtrip",
     "x6v_decode_roundtrip", "x7v_hll_error_bound", "x8v_ivf_subset_exact",
     "x9v_kmv_exact_small")
@@ -915,6 +917,10 @@ object SparkEntry {
                 count(DISTINCT list_sort(list_distinct(string_split(text, ' '))))
                   AS n_bag
          FROM documents""",
+    "x2v_simhash_recompute" ->
+      """SELECT doc_id, CAST(0 AS BIGINT) AS recomputed,
+                CAST(0 AS BIGINT) AS simhash
+         FROM documents WHERE FALSE""",
     "x3v_lsh_subset_exact" ->
       """SELECT doc_id AS doc_a, doc_id AS doc_b FROM documents WHERE FALSE""",
     "x4v_ann_scores_match_brute" ->
@@ -958,7 +964,7 @@ object SparkEntry {
          FROM embeddings WHERE FALSE""",
     "p16_unpivot" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
-                m AS measure, v AS val
+                m AS measure, CAST(v * 100 AS BIGINT) AS val_cents
          FROM (
            SELECT l_orderkey, l_linenumber, 'quantity' AS m,
                   CAST(l_quantity AS DECIMAL(14,2)) AS v FROM lineitem
@@ -985,11 +991,12 @@ object SparkEntry {
                                  (l_returnflag), (l_linestatus), ())""",
     "w12_range_frame" ->
       """SELECT event_id, user_id,
-                sum(CAST(value AS DECIMAL(14,2))) OVER (
+                CAST(sum(CAST(value AS DECIMAL(14,2))) OVER (
                   PARTITION BY user_id
                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
-                  AS trail_1h_sum
+                  * 100 AS BIGINT)
+                  AS trail_1h_cents
          FROM events""",
     "t10_unigram_lm_score" ->
       """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w

@@ -399,14 +399,46 @@ object Multimodal {
   // compared against what the REAL decoder read back out of the bytes.
   // -------------------------------------------------------------------------
 
+  /** The id set an operator over `kinds` MUST emit — derived from the
+    * documents table + the kind partition (pmod(id,3) mirrors kindOf),
+    * independent of the operator under test. Violation queries anti-join
+    * their emitted ids against this so a row dropped WHOLESALE by the
+    * pipeline (or an operator that silently emits nothing) is a
+    * violation, not a vacuous pass — the fail-loudly-on-empty contract
+    * the recall invariants pin.
+    */
+  private def expectedMediaIds(s: SparkSession, dir: String,
+      kinds: Set[String]): DataFrame = {
+    val wanted = (0 to 2).filter(m => kinds(MediaGen.kindOf(m.toLong)))
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("media_id"))
+      .filter(pmod(col("media_id"), lit(3L))
+        .isin(wanted.map(m => m.toLong: java.lang.Long): _*))
+  }
+
+  /** `missing_media` violation rows: one per expected id absent from
+    * `emitted`. The anti-join re-runs the emitting pipeline for its id
+    * projection (typed mapPartitions blocks column pruning) — acceptable
+    * ×2 in the invariant set, which scale sweeps exclude.
+    */
+  private def missingMediaViolations(s: SparkSession, dir: String,
+      kinds: Set[String], emitted: DataFrame, field: String): DataFrame =
+    expectedMediaIds(s, dir, kinds)
+      .join(emitted.select("media_id").distinct(), Seq("media_id"),
+        "left_anti")
+      .select(col("media_id"), lit(field).as("field"),
+        lit(0L).as("got"), lit(1L).as("want"))
+
   /** x6v: decode(generate(id)) must reproduce the generator's parameters —
     * image dims, video dims + frame count, audio sample-frame count — and
     * every n_bytes must equal the payload length. Emits one row per
-    * violated field.
+    * violated field, plus a `missing_media` row per id the feature pass
+    * dropped entirely.
     */
   def featuresRoundtripViolations(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    extractFeatures(s, dir).flatMap { f =>
+    val feats = extractFeatures(s, dir)
+    val fieldViolations = feats.flatMap { f =>
       val checks: Seq[(String, Long, Long)] = f.kind match {
         case "image" =>
           val (w, h) = MediaGen.imageDims(f.media_id)
@@ -426,11 +458,15 @@ object Multimodal {
         (f.media_id, fld, got, want)
       }
     }.toDF("media_id", "field", "got", "want")
+    fieldViolations.union(missingMediaViolations(s, dir,
+      Set("image", "audio", "video"), feats.toDF(), "missing_media"))
   }
 
   /** x5v: per video, the sampler must emit exactly ceil(nFrames/stride)
     * frames, each decoding to the generator's frame dims, with frame_idx
-    * hitting exactly the multiples of stride.
+    * hitting exactly the multiples of stride. A video the sampler drops
+    * WHOLESALE (including the emits-nothing degenerate case) yields a
+    * `missing_video` row via the expected-id anti-join.
     */
   def frameSampleViolations(s: SparkSession, dir: String, stride: Int = 2)
       : DataFrame = {
@@ -444,7 +480,8 @@ object Multimodal {
     // a relational groupBy().agg() so map-side partial aggregation keeps
     // the shuffle at one (video, partition) partial, not one row per
     // sampled frame
-    sampleFrames(s, dir, stride).as[(Long, Int, Int, Int, Long)]
+    val sampled = sampleFrames(s, dir, stride)
+    val perVideo = sampled.as[(Long, Int, Int, Int, Long)]
       .map { case (id, fi, w, h, _) =>
         val (ew, eh, nf) = MediaGen.videoParams(id)
         val bad =
@@ -464,6 +501,8 @@ object Multimodal {
         out.toSeq
       }
       .toDF("media_id", "field", "got", "want")
+    perVideo.union(missingMediaViolations(s, dir, Set("video"),
+      sampled, "missing_video"))
   }
 
   /** x13v: resize contract — dst dims fit the box, aspect preserved to
@@ -474,7 +513,8 @@ object Multimodal {
   def resizeContractViolations(s: SparkSession, dir: String, maxDim: Int = 32)
       : DataFrame = {
     import s.implicits._
-    resize(s, dir, maxDim).flatMap { r =>
+    val resized = resize(s, dir, maxDim)
+    val contract = resized.flatMap { r =>
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
       if (r.dst_width > maxDim || r.dst_height > maxDim)
         out += ((r.media_id, "box", r.dst_width.toLong, maxDim.toLong))
@@ -500,5 +540,7 @@ object Multimodal {
           (r.dst_width.toLong << 32) | r.dst_height.toLong))
       out.toSeq
     }.toDF("media_id", "field", "got", "want")
+    contract.union(missingMediaViolations(s, dir, Set("image", "video"),
+      resized.toDF(), "missing_media"))
   }
 }

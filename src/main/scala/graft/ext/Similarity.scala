@@ -202,6 +202,15 @@ object Similarity {
   def lshBucketsMulti(s: SparkSession, dir: String, nPlanes: Int = 8,
       nTables: Int = 4, seed: Long = 42L): DataFrame = {
     val dim = 64 // embeddings fixture dim (TESTDATA.md)
+    // Fail loudly on fixture-schema drift: the hyperplanes are length-64,
+    // and Vec.dot runs over min(len) — a shorter/longer embedding would
+    // silently produce degenerate buckets (recall collapse), the worst
+    // failure mode for an index. Per-row guard stays in codegen.
+    val dimGuard = when(size(col("embedding")) === dim, col("embedding"))
+      .otherwise(raise_error(concat(
+        lit(s"lshBucketsMulti: expected $dim-dim embedding, got "),
+        size(col("embedding")).cast("string"),
+        lit(" for vec_id="), col("vec_id").cast("string"))))
     val tableBuckets = (0 until nTables).map { t =>
       val rnd = new scala.util.Random(seed + 1000L * t)
       val sigBits = Seq.fill(nPlanes)(
@@ -214,6 +223,7 @@ object Similarity {
       struct(lit(t).as("table_id"), sigBits.reduce(_ + _).as("bucket"))
     }
     emb(s, dir)
+      .withColumn("embedding", dimGuard)
       .withColumn("tb", explode(array(tableBuckets: _*)))
       .select(col("vec_id"), col("label"), col("embedding"),
         col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))

@@ -26,6 +26,12 @@ import org.apache.spark.sql.SparkSession
   */
 object GbtLagModel {
 
+  /** Persisted-bundle format: 2 = differenced target (model arity
+    * windowSize−1). Format 1 (level-on-level, arity windowSize) carried
+    * no version key; load() maps its absence to 1.
+    */
+  val FormatVersion = 2
+
   private def diffs(window: Array[Double]): Array[Double] = {
     val d = new Array[Double](window.length - 1)
     var i = 0
@@ -85,6 +91,11 @@ object GbtLagModel {
     }
     wrapped.model.write.overwrite().save(s"$path/gbt")
     val props = new java.util.Properties()
+    // Bundle format 2 = differenced target (numFeatures == windowSize-1).
+    // Version-stamping lets load() distinguish "old format, retrain" from
+    // genuine corruption — the generic M4 arity message misdiagnoses a
+    // format change.
+    props.setProperty("formatVersion", GbtLagModel.FormatVersion.toString)
     props.setProperty("windowSize", wrapped.windowSize.toString)
     props.setProperty("dataMin", bundle.scaler.dataMin.toString)
     props.setProperty("dataMax", bundle.scaler.dataMax.toString)
@@ -104,6 +115,12 @@ object GbtLagModel {
       java.nio.file.Paths.get(path, "scaler.properties"))
     try props.load(in) finally in.close()
     val windowSize = props.getProperty("windowSize").toInt
+    // Pre-versioning bundles (format 1, undifferenced target) carry no
+    // formatVersion key: fail with the actionable message, not M4's.
+    val fmt = Option(props.getProperty("formatVersion")).map(_.toInt).getOrElse(1)
+    require(fmt == GbtLagModel.FormatVersion,
+      s"bundle format $fmt predates the differenced-target format " +
+        s"${GbtLagModel.FormatVersion}: retrain and re-save the bundle")
     // M4: the differenced model takes windowSize - 1 features
     require(m.numFeatures == windowSize - 1,
       s"model expects ${m.numFeatures} features but bundle window is $windowSize") // M4

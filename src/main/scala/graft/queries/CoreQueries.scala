@@ -632,8 +632,11 @@ object CoreQueries {
     * the standard normalization step before measure-generic processing
     * (one metric column + a measure tag instead of N metric columns).
     * Generates 3 rows per input row inside the scan projection — no
-    * shuffle, no UDF; values pass through DECIMAL so the long table is
-    * byte-identical on any engine.
+    * shuffle, no UDF. Arithmetic stays DECIMAL(14,2) (exact), but the
+    * OUTPUT is integer cents: raw DECIMAL columns hash differently
+    * across engines at the gate (decimal vs float rendering of 44.00),
+    * so we ship CAST(v*100 AS BIGINT) — the t10/c5 integer-unit
+    * discipline.
     */
   def p16Unpivot(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -643,6 +646,8 @@ object CoreQueries {
                   'price', CAST(l_extendedprice AS DECIMAL(14,2)),
                   'discount', CAST(l_discount AS DECIMAL(14,2)))
                 AS (measure, val)"""))
+      .select(col("l_orderkey"), col("line_no"), col("measure"),
+        (col("val") * 100).cast("long").as("val_cents"))
 
   /** Exact grouped percentiles (percentile_cont semantics: linear
     * interpolation over the sorted group) — the exact twin of the
@@ -739,9 +744,11 @@ object CoreQueries {
     * values — value-based frame bounds over event time (w1's SMA frames
     * are ROWS-based). Same single exchange + in-partition sort as every
     * window here; the frame scan is streaming (two pointers), not
-    * quadratic. Values go through DECIMAL so the frame sum is exact
-    * integer arithmetic on both engines (a double frame-sum is
-    * accumulation-order-dependent across engines).
+    * quadratic. The frame sum runs in DECIMAL (exact, order-independent)
+    * but the OUTPUT is integer cents — Spark widens sum(DECIMAL(14,2))
+    * to DECIMAL(24,2), DuckDB to DECIMAL(38,2), and the gate's hasher
+    * renders those through different dtypes; CAST(sum*100 AS BIGINT)
+    * makes the shipped value engine-invariant.
     */
   def w12RangeFrame(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id")
@@ -752,7 +759,7 @@ object CoreQueries {
         unix_timestamp(col("ts")).as("ts_s"),
         col("value").cast("decimal(14,2)").as("v"))
       .select(col("event_id"), col("user_id"),
-        sum(col("v")).over(w).as("trail_1h_sum"))
+        (sum(col("v")).over(w) * 100).cast("long").as("trail_1h_cents"))
   }
 
   def w9LeadLagNtile(s: SparkSession, dir: String): DataFrame = {

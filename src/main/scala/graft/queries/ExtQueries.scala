@@ -332,6 +332,43 @@ object ExtQueries {
   def x2SimhashSketches(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashes(s, dir)
 
+  /** x2 invariant (r6 verdict item 3): recompute every SimHash sketch by
+    * an INDEPENDENT relational path and pin equality with the fused
+    * native expression. Independent means: tokenization by the `split`
+    * builtin (regex engine) instead of the expression's char loop,
+    * per-token hashes via the scalar FNV expression (itself pinned
+    * injective by x1v), and the ±1 bit voting + sign packing done as 64
+    * SQL aggregates + a bitwiseOR fold instead of the fused in-loop
+    * accumulator. Any divergence in tokenize/vote/pack logic emits a
+    * violation row; oracle: the empty relation. Tokenless docs (empty
+    * text) get no vote row — the left join maps them to the expression's
+    * all-zero-votes sketch (0L), so they are checked, not skipped.
+    *
+    * Scale note: one explode + one 64-column grouped aggregate — heavy
+    * relative to the fused expression (that's the point of the fused
+    * form), so this lives in the invariant set that scale sweeps skip.
+    */
+  def x2vSimhashRecompute(s: SparkSession, dir: String): DataFrame = {
+    val fnv = graft.functions.Expressions.fnv1a64 _
+    val toks = docs(s, dir).select(col("doc_id"),
+      explode(filter(split(col("text"), " "), t => length(t) > 0)).as("tok"))
+    val voteCols = (0 until 64).map { b =>
+      sum(when(shiftrightunsigned(fnv(col("tok")), b)
+        .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$b")
+    }
+    val votes = toks.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    val packed = votes.select(col("doc_id"),
+      (0 until 64).map(b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ bitwiseOR _).as("recomputed"))
+    Dedup.simhashes(s, dir)
+      .join(packed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("recomputed"), lit(0L)).as("recomputed"),
+        col("simhash"))
+      .filter(col("recomputed") =!= col("simhash"))
+  }
+
   /** SimHash banded near-dup pairs (Hamming ≤ 3, pigeonhole-complete via
     * four 16-bit bands) — the Hamming-metric sibling of d3/d7; pair
     * quality is ScalaTest-verified on planted near-dups, so rows-only.
@@ -523,12 +560,13 @@ object ExtQueries {
     * double sum of per-source weights would be summation-order-dependent
     * and could flip a floor boundary between engines.
     *
-    * NOTE: the registered `c5_temperature_mix` oracle SQL hardcodes the
-    * default targetRows=200 — only that invocation is oracle-checked;
-    * other values are covered by Round5Spec's quota-shape assertions.
+    * The mix size is PINNED at 200 because that is exactly what the
+    * registered oracle SQL verifies — a tunable the oracle can't see is
+    * a dishonest signature (r6 advice); generalizing means
+    * parameterizing the oracle too, not widening this signature.
     */
-  def c5TemperatureMix(s: SparkSession, dir: String,
-      targetRows: Int = 200): DataFrame = {
+  def c5TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val targetRows = 200
     val d = docs(s, dir).withColumn("h", md5(col("text")))
     val weights = d.groupBy("source")
       .agg(count(lit(1)).as("n"))

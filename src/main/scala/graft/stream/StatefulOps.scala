@@ -65,34 +65,36 @@ object StatefulOps {
   }
 
   final case class FunnelEvent(userId: Long, eventType: String, es: Long)
-  final case class FunnelState(viewEs: Long, converted: Boolean)
+  final case class FunnelState(viewEs: Long, converted: Boolean,
+      pending: List[Long], maxEs: Long)
   final case class FunnelConversion(userId: Long, viewEs: Long,
       purchaseEs: Long)
 
   /** Streaming funnel detection — the stateful analog of the batch
     * `f1_funnel_conversion` query: per user, emit the first purchase that
-    * follows the first view within `windowSec`. State is two fields per
-    * user (earliest view, converted flag), independent of stream length;
-    * a conversion is emitted exactly once per user.
+    * follows the first view within `windowSec`. A conversion is emitted
+    * exactly once per user; once emitted the decision is final (streaming
+    * results are append-only where the batch query could revise).
     *
-    * Cross-batch ordering: events inside a batch fold in event-time
-    * order; an earlier view arriving in a LATER batch lowers the stored
-    * view time only while the user is unconverted (matching the batch
-    * query's global-min view for every user whose conversion is not yet
-    * emitted — once emitted, the decision is final: streaming results
-    * are append-only where the batch query could revise).
+    * Cross-batch ordering, both directions:
+    *  - a view arriving in a LATER batch lowers the stored view time
+    *    while the user is unconverted (the batch query's global-min view);
+    *  - a purchase arriving in an EARLIER batch than its qualifying view
+    *    is buffered in `pending` and matched when that view lands — the
+    *    r6 divergence (purchase permanently dropped) is closed.
     *
-    * KNOWN DIVERGENCE from the batch `f1` query (pinned by the u2 test):
-    * state stores only the earliest view, never pending purchases — a
-    * purchase that ARRIVES in an earlier batch than its qualifying view
-    * is permanently dropped, even though the batch query (which sees all
-    * events at once) would count it. Consumers needing parity under
-    * out-of-order arrival must buffer recent purchases under a watermark
-    * (state grows by one (userId, purchaseEs) per unmatched purchase
-    * inside the watermark horizon) or reconcile against the batch query.
+    * The buffer is watermark-bounded, not unbounded: a pending purchase
+    * is pruned once it can no longer qualify against ANY future view —
+    * either the stored earliest view already places it outside the window
+    * (views only ever get earlier, so `p > viewEs + windowSec` is final),
+    * or it has fallen `latenessSec` behind the key's max event time (the
+    * per-key watermark horizon for out-of-order views). State is
+    * therefore O(pending-inside-horizon) per user, independent of stream
+    * length.
     */
   def funnelConversions(events: Dataset[FunnelEvent],
-      windowSec: Long = 3600L): Dataset[FunnelConversion] = {
+      windowSec: Long = 3600L,
+      latenessSec: Long = 3600L): Dataset[FunnelConversion] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.groupByKey(_.userId)
@@ -100,20 +102,40 @@ object StatefulOps {
         (userId: Long, batch: Iterator[FunnelEvent],
          state: GroupState[FunnelState]) => {
           val sorted = batch.toSeq.sortBy(e => (e.es, e.eventType))
-          var st = state.getOption.getOrElse(FunnelState(Long.MinValue, false))
+          var st = state.getOption.getOrElse(
+            FunnelState(Long.MinValue, false, Nil, Long.MinValue))
+          // earliest pending purchase inside the window of the current view
+          def matchPending(): Option[FunnelConversion] =
+            if (st.converted || st.viewEs == Long.MinValue) None
+            else st.pending
+              .filter(p => p > st.viewEs && p <= st.viewEs + windowSec)
+              .sorted.headOption.map { p =>
+                st = st.copy(converted = true, pending = Nil)
+                FunnelConversion(userId, st.viewEs, p)
+              }
           val out = sorted.flatMap { e =>
+            st = st.copy(maxEs = math.max(st.maxEs, e.es))
             e.eventType match {
               case "view" if !st.converted &&
                   (st.viewEs == Long.MinValue || e.es < st.viewEs) =>
                 st = st.copy(viewEs = e.es)
-                None
+                matchPending()
               case "purchase" if !st.converted && st.viewEs != Long.MinValue &&
                   e.es > st.viewEs && e.es <= st.viewEs + windowSec =>
-                st = st.copy(converted = true)
+                st = st.copy(converted = true, pending = Nil)
                 Some(FunnelConversion(userId, st.viewEs, e.es))
+              case "purchase" if !st.converted =>
+                st = st.copy(pending = e.es :: st.pending)
+                None
               case _ => None
             }
           }
+          if (!st.converted)
+            st = st.copy(pending = st.pending.filter { p =>
+              val stillInAnyWindow =
+                st.viewEs == Long.MinValue || p <= st.viewEs + windowSec
+              stillInAnyWindow && p >= st.maxEs - latenessSec
+            })
           state.update(st)
           out.iterator
         })

@@ -12,7 +12,7 @@ class Round5Spec extends SparkSpec {
 
   test("c5 temperature mix: quotas sum ~target and upweight rare sources") {
     val d = sf("sf0.01")
-    val mix = ExtQueries.c5TemperatureMix(spark, d, targetRows = 200)
+    val mix = ExtQueries.c5TemperatureMix(spark, d)
     val perSource = mix.groupBy("source")
       .agg(count(lit(1)).as("kept"), max("quota").as("quota")).collect()
     // floor in each quota loses < 1 row per source — bound by the TOTAL
@@ -24,7 +24,7 @@ class Round5Spec extends SparkSpec {
       s"quota total $totalQuota over $nSources sources")
     // kept == min(quota, n_source) per source; dedup determinism: rerun equal
     assert(perSource.forall(r => r.getLong(1) <= r.getLong(2)))
-    val again = ExtQueries.c5TemperatureMix(spark, d, targetRows = 200)
+    val again = ExtQueries.c5TemperatureMix(spark, d)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == mix.select("doc_id").collect().map(_.getLong(0)).toSet)
     // temperature flattens: rare sources keep a LARGER fraction than

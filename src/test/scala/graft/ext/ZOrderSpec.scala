@@ -29,6 +29,33 @@ class ZOrderSpec extends SparkSpec {
     assert(all.filter(col("zkey") =!= naive).count() == 0L)
   }
 
+  test("zkey fails loudly on out-of-range inputs (no silent masking)") {
+    import spark.implicits._
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null) c = c.getCause
+      s"${c.getClass.getName}: ${c.getMessage}"
+    }
+    // codegen path (whole-stage over a DataFrame)
+    for ((x, y) <- Seq((256L, 0L), (0L, 256L), (-1L, 5L))) {
+      val e = intercept[Throwable] {
+        Seq((x, y)).toDF("x", "y")
+          .select(ZOrder.zkey(col("x"), col("y"))).collect()
+      }
+      assert(rootMsg(e).contains("[0, 256)"), s"($x,$y): ${rootMsg(e)}")
+    }
+    // interpreted path (direct eval, no codegen)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val ex = intercept[IllegalArgumentException] {
+      graft.functions.ZOrderKey8(Literal(999L), Literal(1L))
+        .eval(null)
+    }
+    assert(ex.getMessage.contains("[0, 256)"))
+    // in-range still fine after the guard
+    assert(Seq((255L, 255L)).toDF("x", "y")
+      .select(ZOrder.zkey(col("x"), col("y"))).head().getLong(0) == 65535L)
+  }
+
   test("z-ordered layout prunes files on BOTH dimensions; single-key layout does not") {
     val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
     val e = ZOrder.eventsZKeyed(spark, sf("sf0.01"))

@@ -85,7 +85,14 @@ class GbtLagModelSpec extends SparkSpec {
     // M4: a tampered windowSize fails arity validation at load
     val props = java.nio.file.Paths.get(dir, "scaler.properties")
     java.nio.file.Files.writeString(props,
-      "windowSize=7\ndataMin=50.0\ndataMax=54.0\n")
-    intercept[IllegalArgumentException] { GbtLagModel.load(spark, dir) }
+      "formatVersion=2\nwindowSize=7\ndataMin=50.0\ndataMax=54.0\n")
+    val m4 = intercept[IllegalArgumentException] { GbtLagModel.load(spark, dir) }
+    assert(m4.getMessage.contains("features"), m4.getMessage)
+    // a bundle saved BEFORE the differenced format (no formatVersion key)
+    // fails with the retrain message, not M4's misdiagnosis
+    java.nio.file.Files.writeString(props,
+      "windowSize=5\ndataMin=50.0\ndataMax=54.0\n")
+    val old = intercept[IllegalArgumentException] { GbtLagModel.load(spark, dir) }
+    assert(old.getMessage.contains("retrain"), old.getMessage)
   }
 }

@@ -116,6 +116,54 @@ class StatefulOpsSpec extends SparkSpec {
       q.processAllAvailable()
       assert(rows().toSet ==
         Set((1L, 1000L, 1500L), (2L, 2000L, 2500L)), rows().mkString(","))
+      // u4: the purchase ARRIVES a batch before its qualifying view —
+      // buffered under the lateness horizon and matched when the view
+      // lands (batch-f1 parity; the r6 divergence)
+      mem.addData(FunnelEvent(4L, "purchase", 10000L))
+      q.processAllAvailable()
+      assert(rows().length == 2, "buffered purchase emitted without a view")
+      mem.addData(FunnelEvent(4L, "view", 9000L))
+      q.processAllAvailable()
+      assert(rows().toSet == Set((1L, 1000L, 1500L), (2L, 2000L, 2500L),
+        (4L, 9000L, 10000L)), rows().mkString(","))
+      // the buffered match is exactly-once too: replay-shaped extra
+      // qualifying purchase must not re-emit
+      mem.addData(FunnelEvent(4L, "purchase", 9500L))
+      q.processAllAvailable()
+      assert(rows().length == 3, "converted user re-emitted")
+    } finally q.stop()
+  }
+
+  test("streaming funnel prunes pending purchases beyond the lateness horizon") {
+    import spark.implicits._
+    import StatefulOps.FunnelEvent
+    val mem = MemoryStream[FunnelEvent](14)(implicitly, spark.sqlContext)
+    val conv = StatefulOps.funnelConversions(mem.toDS(), windowSec = 3600L,
+      latenessSec = 1000L)
+    val q = conv.writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("funnel-prune-ckpt").toString)
+      .format("memory").queryName("funnel_prune_out")
+      .start()
+    try {
+      // purchase at 100, then the key's event time advances past
+      // 100 + latenessSec → the pending purchase is watermark-pruned
+      mem.addData(FunnelEvent(7L, "purchase", 100L))
+      q.processAllAvailable()
+      mem.addData(FunnelEvent(7L, "error", 5000L))
+      q.processAllAvailable()
+      // a view that WOULD have matched arrives too late: no conversion
+      mem.addData(FunnelEvent(7L, "view", 50L))
+      q.processAllAvailable()
+      assert(spark.table("funnel_prune_out").collect().isEmpty,
+        "pruned purchase still converted")
+      // but a fresh qualifying purchase after the view still converts
+      mem.addData(FunnelEvent(7L, "purchase", 60L))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_prune_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq == Seq((7L, 50L, 60L)), rows.mkString(","))
     } finally q.stop()
   }
 }

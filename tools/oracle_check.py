@@ -81,6 +81,21 @@ def main():
             f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
         spark_cols = [d[0] for d in sdf.description]
         spark_rows = sdf.fetchall()
+        # Dtype lint: the driver gate hashes DECIMAL and FLOAT columns
+        # through engine-specific dtype paths (44.00 vs 44.0) — values can
+        # be identical yet hash-mismatch. Reject them here so this mimic
+        # can never be green where the gate is red (the r6 p16/w12 bug).
+        typed = con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+        ).fetchall()
+        bad = [(c, t) for c, t, *_ in typed
+               if t.upper().startswith("DECIMAL") or t.upper() == "FLOAT"]
+        if bad:
+            print(f"{name}: FAIL dtype-lint: decimal/float output columns "
+                  f"{bad} — emit integer units (cents/micros) or DOUBLE "
+                  f"via the rounding idioms instead")
+            failures += 1
+            continue
         if name not in oracle:
             print(f"{name}: rows-only ({len(spark_rows)} rows, "
                   f"{'OK' if spark_rows else 'EMPTY!'})")
