@@ -82,6 +82,10 @@ object SparkEntry {
     "p14_pivot" -> (CoreQueries.p14Pivot _),
     "p16_unpivot" -> (CoreQueries.p16Unpivot _),
     "a8_exact_percentiles" -> (CoreQueries.a8ExactPercentiles _),
+    "q13_order_count_histogram" -> (CoreQueries.q13OrderCountHistogram _),
+    "q15_top_supplier" -> (CoreQueries.q15TopSupplier _),
+    "f3_event_trigrams" -> (CoreQueries.f3EventTrigrams _),
+    "w14_gap_fill_forward" -> (CoreQueries.w14GapFillForward _),
     // ML surface (§2.6)
     "m1_minmax_scale" -> (CoreQueries.m1MinmaxScale _),
     // §7.4 extensions: dedup / similarity / text analysis / multimodal
@@ -135,6 +139,8 @@ object SparkEntry {
     "x1_fingerprints_native" -> (ExtQueries.x1FingerprintsNative _),
     "x2_simhash_sketches" -> (ExtQueries.x2SimhashSketches _),
     "x2v_simhash_recompute" -> (ExtQueries.x2vSimhashRecompute _),
+    "d10_template_ngrams" -> (ExtQueries.d10TemplateNgrams _),
+    "p17_pos_tokens" -> (ExtQueries.p17PosTokens _),
     "x3_minhash_lsh_pairs" -> (ExtQueries.x3MinhashLshPairs _),
     "x4_ann_topk" -> (ExtQueries.x4AnnTopK _),
     "e3_knn_join" -> (ExtQueries.e3KnnJoin _),
@@ -974,6 +980,75 @@ object SparkEntry {
            UNION ALL
            SELECT l_orderkey, l_linenumber, 'discount',
                   CAST(l_discount AS DECIMAL(14,2)) FROM lineitem)""",
+    "q13_order_count_histogram" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey)
+         GROUP BY c_count""",
+    "q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey AS suppkey,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                           CAST(1 - l_discount AS DECIMAL(4,2))) * 10000
+                    AS BIGINT) AS revenue_c4
+           FROM lineitem
+           WHERE l_shipdate >= DATE '1995-01-01'
+             AND l_shipdate < DATE '1995-04-01'
+           GROUP BY l_suppkey)
+         SELECT suppkey, revenue_c4 FROM rev
+         WHERE revenue_c4 = (SELECT max(revenue_c4) FROM rev)""",
+    "f3_event_trigrams" ->
+      """SELECT e1, e2, e3, count(*) AS n FROM (
+           SELECT event_type AS e1,
+                  lead(event_type, 1) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+                  lead(event_type, 2) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+           FROM events)
+         WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+         GROUP BY e1, e2, e3""",
+    "w14_gap_fill_forward" ->
+      """WITH e AS (SELECT user_id,
+                  CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS hr,
+                  value, ts, event_id FROM events),
+           hourly AS (SELECT user_id, hr, value AS v FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id, hr
+               ORDER BY ts DESC, event_id DESC) AS rn FROM e)
+             WHERE rn = 1),
+           span AS (SELECT user_id, min(hr) AS lo, max(hr) AS hi
+                    FROM e GROUP BY user_id),
+           grid AS (SELECT user_id, unnest(range(lo, hi+1, 3600)) AS hr
+                    FROM span),
+           j AS (SELECT g.user_id, g.hr, h.v FROM grid g
+                 LEFT JOIN hourly h
+                   ON g.user_id = h.user_id AND g.hr = h.hr)
+         SELECT user_id, hr,
+                last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+                  ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS v_ffill
+         FROM j""",
+    "d10_template_ngrams" ->
+      """SELECT shingle, count(DISTINCT doc_id) AS n_docs,
+                count(*) AS n_occ
+         FROM (
+           SELECT doc_id, array_to_string(words[i:i+4], ' ') AS shingle
+           FROM (
+             SELECT doc_id, words,
+                    unnest(range(1, greatest(len(words)-3, 1))) AS i
+             FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), w -> len(w) > 0)
+                       AS words
+                   FROM documents)))
+         GROUP BY shingle HAVING count(DISTINCT doc_id) >= 3""",
+    "p17_pos_tokens" ->
+      """SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, words[i] AS token
+         FROM (
+           SELECT doc_id, words, unnest(range(1, len(words)+1)) AS i
+           FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> len(w) > 0)
+                     AS words
+                 FROM documents WHERE doc_id % 20 = 0))""",
     "a8_exact_percentiles" ->
       """SELECT event_type,
                 floor(quantile_cont(value, 0.5) * 10000 + 0.5) / 10000 AS p50,

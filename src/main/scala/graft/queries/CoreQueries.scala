@@ -895,6 +895,85 @@ object CoreQueries {
         when(col("med_kll").between(col("q42"), col("q58")), lit(1))
           .otherwise(lit(0)).cast("int").as("within_bound"))
 
+  /** TPC-H Q13 shape: distribution of per-customer order counts — the
+    * double-aggregation pattern (left join preserving zero-order
+    * customers, count per key, then a histogram of the counts). The
+    * second aggregate's input is one row per customer, so the expensive
+    * shuffle is the first one only; the c_count histogram is tiny.
+    */
+  def q13OrderCountHistogram(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "customer").select(col("c_custkey"))
+      .join(t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+    counts.groupBy("c_count").agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    * a scalar subquery over an aggregate (the "top of an agg" pattern
+    * that can't be a window: the max is global). Revenue runs in
+    * DECIMAL(12,2)×(4,2) so the comparison and output are exact integer
+    * quarter-cents; the one-row max side is broadcast, so the agg output
+    * is never shuffled again.
+    */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= "1995-01-01" &&
+        col("l_shipdate") < "1995-04-01")
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg((sum(col("l_extendedprice").cast("decimal(12,2)") *
+        (lit(1) - col("l_discount")).cast("decimal(4,2)")) * 10000)
+        .cast("long").as("revenue_c4"))
+    val mx = rev.agg(max(col("revenue_c4")).as("mx"))
+    rev.join(broadcast(mx), col("revenue_c4") === col("mx"))
+      .select("suppkey", "revenue_c4")
+  }
+
+  /** Sequential path mining: corpus-wide counts of per-user consecutive
+    * event-type trigrams — the n-gram-over-sessions primitive behind
+    * next-action models and funnel discovery. One window pass (same
+    * user_id exchange + in-partition sort as w9), then a tiny 3-key agg:
+    * at 100 TB the heavy operator is the per-user sort, which AQE sizes,
+    * and the trigram space stays ≤ |event_types|³ rows.
+    */
+  def f3EventTrigrams(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_type").as("e1"),
+        lead(col("event_type"), 1).over(w).as("e2"),
+        lead(col("event_type"), 2).over(w).as("e3"))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n"))
+  }
+
+  /** Time-series regularization: per user, an hourly grid from first to
+    * last activity with the latest value FORWARD-FILLED across gaps —
+    * the resample step every charting/feature pipeline runs before
+    * windowed models (the reference's chart endpoints simply skip gaps).
+    * Deterministic: the per-hour representative is max_by over the
+    * (ts, event_id) total order, and the fill only COPIES values (no
+    * arithmetic), so doubles pass through engine-identically. Scale: one
+    * keyed agg + an explode whose output is bounded by the user's active
+    * span, then one window over the same user_id partitioning — the
+    * grid join is a no-shuffle continuation under AQE.
+    */
+  def w14GapFillForward(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("user_id"),
+      (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("hr"),
+      col("value"), col("ts"), col("event_id"))
+    val hourly = e.groupBy("user_id", "hr")
+      .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("v"))
+    val span = e.groupBy("user_id").agg(min("hr").as("lo"), max("hr").as("hi"))
+    val grid = span.select(col("user_id"),
+      explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hr"))
+    val w = Window.partitionBy("user_id").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), col("hr"),
+        last(col("v"), ignoreNulls = true).over(w).as("v_ffill"))
+  }
+
   /** M1 as a distributed transform: per-group MinMax scaling via window
     * min/max (app.py:232 scaler semantics, engine-side).
     */

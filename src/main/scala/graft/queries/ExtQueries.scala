@@ -332,6 +332,42 @@ object ExtQueries {
   def x2SimhashSketches(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashes(s, dir)
 
+  /** Boilerplate/template detection: word 5-grams shared by ≥ 3 distinct
+    * documents, with document and occurrence counts — the repeated-
+    * passage miner curation pipelines run before near-dup removal (a
+    * shingle in thousands of docs is a navigation bar / license header,
+    * not content). Whole pipeline is explode → one grouped aggregate:
+    * the shuffle carries (shingle, doc_id) partials with map-side
+    * distinct, and the ≥3 filter happens post-agg where the data is
+    * already tiny. No all-pairs step at any scale.
+    */
+  def d10TemplateNgrams(s: SparkSession, dir: String): DataFrame = {
+    val words = filter(split(col("text"), " "), w => length(w) > 0)
+    docs(s, dir)
+      .select(col("doc_id"), words.as("words"))
+      .filter(size(col("words")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(words) - 5), " +
+          "i -> array_join(slice(words, i + 1, 5), ' '))")).as("shingle"))
+      .groupBy("shingle")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 3)
+  }
+
+  /** Positional tokenization (posexplode / UNNEST WITH ORDINALITY): one
+    * row per (doc, position, token) for a deterministic 1-in-20 doc
+    * slice — the layout sequence-labeling and span-alignment passes
+    * consume. Generator runs inside the scan projection; no shuffle.
+    */
+  def p17PosTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .filter(pmod(col("doc_id"), lit(20L)) === 0)
+      .select(col("doc_id"),
+        posexplode(filter(split(col("text"), " "), w => length(w) > 0)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("token"))
+
   /** x2 invariant (r6 verdict item 3): recompute every SimHash sketch by
     * an INDEPENDENT relational path and pin equality with the fused
     * native expression. Independent means: tokenization by the `split`
