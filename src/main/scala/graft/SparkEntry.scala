@@ -86,6 +86,8 @@ object SparkEntry {
     "q15_top_supplier" -> (CoreQueries.q15TopSupplier _),
     "f3_event_trigrams" -> (CoreQueries.f3EventTrigrams _),
     "w14_gap_fill_forward" -> (CoreQueries.w14GapFillForward _),
+    "q7_nation_volume" -> (CoreQueries.q7NationVolume _),
+    "dq2_zscore_outliers" -> (CoreQueries.dq2ZscoreOutliers _),
     // ML surface (§2.6)
     "m1_minmax_scale" -> (CoreQueries.m1MinmaxScale _),
     // §7.4 extensions: dedup / similarity / text analysis / multimodal
@@ -980,6 +982,42 @@ object SparkEntry {
            UNION ALL
            SELECT l_orderkey, l_linenumber, 'discount',
                   CAST(l_discount AS DECIMAL(14,2)) FROM lineitem)""",
+    "q7_nation_volume" ->
+      """SELECT supp_nation, cust_nation, l_year,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         CAST(1 - l_discount AS DECIMAL(4,2))) * 10000
+                  AS BIGINT) AS revenue_c4,
+                count(*) AS n_items
+         FROM (
+           SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                  l_extendedprice, l_discount
+           FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           WHERE n1.n_name IN ('NATION_3', 'NATION_7')
+             AND n2.n_name IN ('NATION_3', 'NATION_7')
+             AND n1.n_name <> n2.n_name)
+         GROUP BY 1, 2, 3""",
+    "dq2_zscore_outliers" ->
+      """WITH m AS (
+           SELECT event_type,
+                  sum(CAST(round(value*100) AS BIGINT)) AS s1,
+                  sum(CAST(round(value*100) AS BIGINT) *
+                      CAST(round(value*100) AS BIGINT)) AS s2,
+                  count(*) AS n
+           FROM events GROUP BY event_type)
+         SELECT event_id, e.event_type,
+                floor((CAST(round(value*100) AS BIGINT) - CAST(s1 AS DOUBLE)/n)
+                  / sqrt(CAST(s2 AS DOUBLE)/n
+                         - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))
+                  * 10000 + 0.5) / 10000 AS z
+         FROM events e JOIN m ON e.event_type = m.event_type
+         WHERE abs(CAST(round(value*100) AS BIGINT) - CAST(s1 AS DOUBLE)/n)
+               > 3 * sqrt(CAST(s2 AS DOUBLE)/n
+                          - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))""",
     "q13_order_count_histogram" ->
       """SELECT c_count, count(*) AS custdist FROM (
            SELECT c_custkey, count(o_orderkey) AS c_count

@@ -974,6 +974,62 @@ object CoreQueries {
         last(col("v"), ignoreNulls = true).over(w).as("v_ffill"))
   }
 
+  /** TPC-H Q7 shape: bilateral trade volume by year — the 5-way
+    * fact-to-dimension join pipeline. Scale-correct order: the nation
+    * filter restricts supplier and customer FIRST (each shrinks to 2/25
+    * before touching the fact), both ride as broadcasts; lineitem joins
+    * the restricted supplier (map-side, kills 92% of the fact
+    * immediately), then one shuffle on orderkey against orders, then the
+    * restricted customer broadcast. One fact shuffle total; revenue in
+    * DECIMAL, output quarter-cents.
+    */
+  def q7NationVolume(s: SparkSession, dir: String): DataFrame = {
+    val nations = Seq("NATION_3", "NATION_7")
+    val supp = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+        .filter(col("n_name").isin(nations: _*))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")
+        .filter(col("n_name").isin(nations: _*))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    t(s, dir, "lineitem")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg((sum(discPrice) * 10000).cast("long").as("revenue_c4"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Data-quality anomaly gate: per-type 3σ outliers with EXACT moments —
+    * sums of squares run on integer cents (sum and sum-of-squares are
+    * order-independent there, unlike double accumulation, so mean/σ are
+    * bit-identical on any engine and the >3σ verdict can't flip at a
+    * boundary). c² ≤ 1e10 per row keeps the Long sum safe to ~10⁸ rows
+    * per group; beyond that, widen s2 to DECIMAL(38,0). The per-type
+    * moment table is one tiny agg broadcast back over the scan.
+    */
+  def dq2ZscoreOutliers(s: SparkSession, dir: String): DataFrame = {
+    val c = round(col("value") * 100).cast("long")
+    val e = events(s, dir).select(col("event_id"), col("event_type"),
+      c.as("c"))
+    val m = e.groupBy("event_type").agg(
+      sum(col("c")).as("s1"),
+      sum(col("c") * col("c")).as("s2"),
+      count(lit(1)).as("n"))
+    val mean = col("s1").cast("double") / col("n")
+    val sd = sqrt(col("s2").cast("double") / col("n") - mean * mean)
+    e.join(broadcast(m), "event_type")
+      .filter(abs(col("c") - mean) > lit(3) * sd)
+      .select(col("event_id"), col("event_type"),
+        (floor((col("c") - mean) / sd * 10000 + lit(0.5)) / 10000).as("z"))
+  }
+
   /** M1 as a distributed transform: per-group MinMax scaling via window
     * min/max (app.py:232 scaler semantics, engine-side).
     */

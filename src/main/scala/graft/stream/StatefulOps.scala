@@ -141,6 +141,61 @@ object StatefulOps {
         })
   }
 
+  final case class LastSeenState(value: Double, lastTs: Long)
+  final case class LastSeenOut(symbol: String, value: Double, lastTs: Long,
+      expired: Boolean)
+  /** Carries the WATERMARKED event-time column through to the stateful
+    * operator — EventTimeTimeout requires it to survive the projection
+    * (a plain CandleEvent selection silently severs the watermark and
+    * the query is rejected at analysis).
+    */
+  final case class WmCandleEvent(symbol: String, timestampMs: Long,
+      close: Double, eventTimestamp: java.sql.Timestamp)
+
+  /** Per-key last-value cache with EVENT-TIME TTL eviction — the state-
+    * lifecycle mechanism the NoTimeout machines above don't exercise:
+    * a key that goes silent past `ttlMs` beyond the watermark has its
+    * state REMOVED via `GroupStateTimeout.EventTimeTimeout`, emitting a
+    * tombstone row (`expired = true`). Without this, per-key state grows
+    * one entry per key EVER seen — unbounded under key churn, the
+    * classic slow state-store death at 100 TB ingest. Input must be
+    * watermarked (EventTimeTimeout derives eviction from the watermark).
+    */
+  def lastSeenWithTtl(watermarked: DataFrame, ttlMs: Long = 3600000L)
+      : Dataset[LastSeenOut] = {
+    val spark = watermarked.sparkSession
+    import spark.implicits._
+    watermarked.selectExpr("symbol", "timestamp_ms AS timestampMs",
+        "close_price AS close", "event_timestamp AS eventTimestamp")
+      .as[WmCandleEvent]
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (symbol: String, events: Iterator[WmCandleEvent],
+         state: GroupState[LastSeenState]) => {
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(LastSeenOut(symbol, st.value, st.lastTs,
+              expired = true))
+          } else {
+            val sorted = events.toSeq.sortBy(e => (e.timestampMs, e.close))
+            var st = state.getOption.getOrElse(
+              LastSeenState(Double.NaN, Long.MinValue))
+            sorted.foreach { e =>
+              if (e.timestampMs > st.lastTs)
+                st = LastSeenState(e.close, e.timestampMs)
+            }
+            state.update(st)
+            // evict when the WATERMARK passes lastTs + ttl: silence is
+            // measured in event time, so replays don't reset the clock
+            state.setTimeoutTimestamp(st.lastTs + ttlMs)
+            Iterator.single(LastSeenOut(symbol, st.value, st.lastTs,
+              expired = false))
+          }
+        })
+  }
+
   /** Per-symbol EMA over the candle stream. Events inside a batch are
     * folded in event-time order (the state machine is order-sensitive, so
     * we sort the group's batch — bounded by trigger size, not stream

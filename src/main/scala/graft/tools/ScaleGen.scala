@@ -43,6 +43,10 @@ object ScaleGen {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.ts is parquet timestamp[ns] (SPARK-40819): read as long;
+      // the replica write-back emits plain INT64 nanos, which the query
+      // layer's events() reader (`ts div 1000`) consumes identically.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -122,9 +126,42 @@ object ScaleGen {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
+    // ---- relational tables + events (r7: full-operator-set sweeps) -------
+    // TPC-H's own SF scaling model: FACT and per-entity tables grow, the
+    // nation/region dimensions stay fixed. Each replica `rep` is the base
+    // relation with every entity key remapped k → k·scale+rep — 10
+    // disjoint "parallel universes", so referential integrity, per-key
+    // degree distributions and selectivities are preserved EXACTLY and a
+    // linear operator must show a ~scale× time slope. No cross-replica
+    // joins exist by construction (keys are disjoint mod scale).
+    val rep = explode(sequence(lit(0), lit(scale - 1))).as("rep")
+    def remap(k: String): org.apache.spark.sql.Column =
+      (col(k) * scale + col("rep")).as(k)
+    def scaleTable(name: String, keyCols: Seq[String]): Unit = {
+      val src = spark.read.parquet(s"$srcDir/$name.parquet")
+      val others = src.columns.filterNot(keyCols.contains).map(col)
+      src.select(col("*"), rep)
+        .select(keyCols.map(remap) ++ others: _*)
+        .select(src.columns.map(col): _*) // original column order
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+    scaleTable("customer", Seq("c_custkey"))
+    scaleTable("supplier", Seq("s_suppkey"))
+    scaleTable("part", Seq("p_partkey"))
+    scaleTable("orders", Seq("o_orderkey", "o_custkey"))
+    scaleTable("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    scaleTable("events", Seq("event_id", "user_id"))
+    for (dim <- Seq("region", "nation"))
+      spark.read.parquet(s"$srcDir/$dim.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$dim.parquet")
+
     val nd = spark.read.parquet(s"$outDir/documents.parquet").count()
     val ne = spark.read.parquet(s"$outDir/embeddings.parquet").count()
-    println(s"[scalegen] wrote $outDir: documents=$nd embeddings=$ne (scale=$scale from $srcDir)")
+    val nl = spark.read.parquet(s"$outDir/lineitem.parquet").count()
+    val nv = spark.read.parquet(s"$outDir/events.parquet").count()
+    println(s"[scalegen] wrote $outDir: documents=$nd embeddings=$ne " +
+      s"lineitem=$nl events=$nv (scale=$scale from $srcDir)")
     spark.stop()
   }
 }

@@ -73,4 +73,24 @@ class PlanShapeSpec extends SparkSpec {
         s"$q plans a CartesianProduct")
     }
   }
+
+  test("r7 queries: broadcast max in q15, window counts, no cartesians") {
+    // q15: the one-row max side must broadcast, never shuffle the agg
+    assert(planStr("q15_top_supplier").contains("BroadcastHashJoin"),
+      "q15 lost the broadcast of the scalar max")
+    // f3: exactly one WindowExec (both leads share one frame pass)
+    assert(plan("f3_event_trigrams")
+      .collect { case w: WindowExec => w }.length == 1,
+      "f3 should compute both leads in a single window pass")
+    // w14: one window pass for the forward fill
+    assert(plan("w14_gap_fill_forward")
+      .collect { case w: WindowExec => w }.length == 1,
+      "w14 should forward-fill in a single window pass")
+    for (q <- Seq("q13_order_count_histogram", "q15_top_supplier",
+        "f3_event_trigrams", "w14_gap_fill_forward",
+        "d10_template_ngrams", "p17_pos_tokens", "x2v_simhash_recompute")) {
+      assert(plan(q).collect { case c: CartesianProductExec => c }.isEmpty,
+        s"$q plans a CartesianProduct")
+    }
+  }
 }

@@ -134,6 +134,48 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lastSeenWithTtl evicts silent keys via event-time timeout and " +
+      "emits a tombstone; a returning key restarts fresh") {
+    import spark.implicits._
+    val mem = MemoryStream[String](15)(implicitly, spark.sqlContext)
+    val out = StatefulOps.lastSeenWithTtl(
+      OhlcvStreamJob.withWatermarked(OhlcvStreamJob.parse(mem.toDF()),
+        delay = "10 seconds"),
+      ttlMs = 60000L)
+    val q = out.writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ttl-ckpt").toString)
+      .format("memory").queryName("ttl_out")
+      .start()
+    try {
+      def rows() = spark.table("ttl_out").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+          r.getBoolean(3)))
+      // batch 1: A and B both live at minute 1
+      mem.addData(js("AAA/USDT", 1, 100.0), js("BBB/USDT", 1, 50.0))
+      q.processAllAvailable()
+      assert(rows().count(!_._4) == 2 && rows().forall(!_._4))
+      // batch 2: only B advances 10 minutes -> watermark passes
+      // A.lastTs + ttl (60 s); batch 3 nudges the timeout processing
+      mem.addData(js("BBB/USDT", 11, 51.0))
+      q.processAllAvailable()
+      mem.addData(js("BBB/USDT", 12, 52.0))
+      q.processAllAvailable()
+      val tombs = rows().filter(_._4)
+      assert(tombs.map(_._1).toSeq == Seq("AAA/USDT"),
+        s"expected exactly A's tombstone, got ${tombs.mkString(",")}")
+      assert(tombs.head._2 == 100.0 && tombs.head._3 == t0 + 60000L)
+      // A returns: state was removed, so it restarts fresh (expired=false)
+      mem.addData(js("AAA/USDT", 13, 200.0))
+      q.processAllAvailable()
+      val aRows = rows().filter(r => r._1 == "AAA/USDT" && !r._4)
+      assert(aRows.map(_._2).toSet == Set(100.0, 200.0), aRows.mkString(","))
+      // B stayed live the whole time: never a tombstone
+      assert(!rows().exists(r => r._1 == "BBB/USDT" && r._4))
+    } finally q.stop()
+  }
+
   test("streaming funnel prunes pending purchases beyond the lateness horizon") {
     import spark.implicits._
     import StatefulOps.FunnelEvent
