@@ -88,6 +88,8 @@ object SparkEntry {
     "w14_gap_fill_forward" -> (CoreQueries.w14GapFillForward _),
     "q7_nation_volume" -> (CoreQueries.q7NationVolume _),
     "dq2_zscore_outliers" -> (CoreQueries.dq2ZscoreOutliers _),
+    "b1_equidepth_bins" -> (CoreQueries.b1EquidepthBins _),
+    "rd1_rolling_distinct" -> (CoreQueries.rd1RollingDistinct _),
     // ML surface (§2.6)
     "m1_minmax_scale" -> (CoreQueries.m1MinmaxScale _),
     // §7.4 extensions: dedup / similarity / text analysis / multimodal
@@ -1018,6 +1020,28 @@ object SparkEntry {
          WHERE abs(CAST(round(value*100) AS BIGINT) - CAST(s1 AS DOUBLE)/n)
                > 3 * sqrt(CAST(s2 AS DOUBLE)/n
                           - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))""",
+    "b1_equidepth_bins" ->
+      """SELECT event_type, CAST(tile AS BIGINT) AS tile, count(*) AS n,
+                CAST(round(min(value)*100) AS BIGINT) AS lo_cents,
+                CAST(round(max(value)*100) AS BIGINT) AS hi_cents
+         FROM (SELECT event_type, value,
+                 ntile(10) OVER (PARTITION BY event_type
+                   ORDER BY value, event_id) AS tile
+               FROM events)
+         GROUP BY 1, 2""",
+    "rd1_rolling_distinct" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+                     FROM events),
+           fan AS (SELECT user_id, d + CAST(off AS INTEGER) AS td FROM
+                     (SELECT user_id, d, unnest(range(0, 7)) AS off
+                      FROM du)),
+           bounds AS (SELECT min(CAST(ts AS DATE)) AS dmin,
+                             max(CAST(ts AS DATE)) AS dmax FROM events)
+         SELECT strftime(td, '%Y-%m-%d') AS day,
+                count(DISTINCT user_id) AS u7
+         FROM fan, bounds
+         WHERE td BETWEEN dmin AND dmax
+         GROUP BY td""",
     "q13_order_count_histogram" ->
       """SELECT c_count, count(*) AS custdist FROM (
            SELECT c_custkey, count(o_orderkey) AS c_count

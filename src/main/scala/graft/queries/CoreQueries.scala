@@ -1030,6 +1030,46 @@ object CoreQueries {
         (floor((col("c") - mean) / sd * 10000 + lit(0.5)) / 10000).as("z"))
   }
 
+  /** Equi-depth binning (feature quantization): per event type, 10
+    * same-count value buckets via ntile with a (value, event_id) total
+    * order — the deterministic form of quantile bucketing (a plain
+    * ORDER BY value tie-breaks arbitrarily across engines). One window
+    * pass + a 20-group agg; bucket edges emitted as integer cents.
+    */
+  def b1EquidepthBins(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"),
+      col("event_id"))
+    events(s, dir)
+      .select(col("event_type"), col("value"), col("event_id"),
+        ntile(10).over(w).cast("long").as("tile"))
+      .groupBy("event_type", "tile")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")) * 100).cast("long").as("lo_cents"),
+        round(max(col("value")) * 100).cast("long").as("hi_cents"))
+  }
+
+  /** Rolling 7-day distinct users per day — the sliding-window DISTINCT
+    * aggregation (windowed countDistinct has no direct window-function
+    * form). Shape: per-day distinct (one agg), then each (day, user)
+    * fans out to the ≤7 target days it contributes to (explode of a
+    * 7-element range — map-side, ×7 rows of 12 bytes), then one
+    * distinct agg on (target_day, user). Linear in data with a small
+    * constant; no self-join of day ranges, no window over collect_set.
+    */
+  def rd1RollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val du = events(s, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    val bounds = events(s, dir)
+      .agg(min(to_date(col("ts"))).as("dmin"), max(to_date(col("ts"))).as("dmax"))
+    du.select(col("user_id"), col("d"),
+        explode(sequence(lit(0), lit(6))).as("off"))
+      .select(col("user_id"), date_add(col("d"), col("off")).as("td"))
+      .join(broadcast(bounds), col("td").between(col("dmin"), col("dmax")))
+      .groupBy(col("td"))
+      .agg(countDistinct(col("user_id")).as("u7"))
+      .select(date_format(col("td"), "yyyy-MM-dd").as("day"), col("u7"))
+  }
+
   /** M1 as a distributed transform: per-group MinMax scaling via window
     * min/max (app.py:232 scaler semantics, engine-side).
     */
