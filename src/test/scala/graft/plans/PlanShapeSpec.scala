@@ -92,5 +92,17 @@ class PlanShapeSpec extends SparkSpec {
       assert(plan(q).collect { case c: CartesianProductExec => c }.isEmpty,
         s"$q plans a CartesianProduct")
     }
+    // q7: the restricted dimensions ride as broadcasts — the fact side
+    // must never sort-merge against supplier/customer
+    val q7 = planStr("q7_nation_volume")
+    assert(q7.contains("BroadcastHashJoin"), "q7 lost its dim broadcasts")
+    assert(!q7.contains("SortMergeJoin"),
+      "q7 shuffles the fact against a dimension")
+    // dq2: the per-type moment table is a broadcast back over the scan
+    assert(planStr("dq2_zscore_outliers").contains("BroadcastHashJoin"),
+      "dq2 lost the broadcast of the moment table")
+    // b1: one window pass computes the tiles
+    assert(plan("b1_equidepth_bins")
+      .collect { case w: WindowExec => w }.length == 1)
   }
 }
