@@ -62,9 +62,15 @@ def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    import os as _os
     for t in TABLES:
+        # driver testdata ships single files; Spark (e.g. ScaleGen output)
+        # writes directories of part files — accept both layouts
+        path = f"{sf_dir}/{t}.parquet"
+        if _os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     import glob
