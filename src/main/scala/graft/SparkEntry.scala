@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{CoreQueries, ExtQueries}
+import graft.queries.{CoreQueries, ExtQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -90,6 +90,19 @@ object SparkEntry {
     "dq2_zscore_outliers" -> (CoreQueries.dq2ZscoreOutliers _),
     "b1_equidepth_bins" -> (CoreQueries.b1EquidepthBins _),
     "rd1_rolling_distinct" -> (CoreQueries.rd1RollingDistinct _),
+    // TPC-H shape completion (TpchQueries): every TPC-H query now has
+    // an oracle-exact twin adapted to the driver star schema
+    "q2_min_cost_supplier" -> (TpchQueries.q2MinCostSupplier _),
+    "q4_priority_exists" -> (TpchQueries.q4PriorityExists _),
+    "q8_market_share" -> (TpchQueries.q8MarketShare _),
+    "q9_product_profit" -> (TpchQueries.q9ProductProfit _),
+    "q11_important_parts" -> (TpchQueries.q11ImportantParts _),
+    "q16_supplier_cnt" -> (TpchQueries.q16SupplierCnt _),
+    "q17_small_qty_revenue" -> (TpchQueries.q17SmallQtyRevenue _),
+    "q19_disjunctive_preds" -> (TpchQueries.q19DisjunctivePreds _),
+    "q20_excess_suppliers" -> (TpchQueries.q20ExcessSuppliers _),
+    "q21_sole_blame" -> (TpchQueries.q21SoleBlame _),
+    "q22_idle_customers" -> (TpchQueries.q22IdleCustomers _),
     // ML surface (§2.6)
     "m1_minmax_scale" -> (CoreQueries.m1MinmaxScale _),
     // §7.4 extensions: dedup / similarity / text analysis / multimodal
@@ -138,6 +151,13 @@ object SparkEntry {
     "d8v_simhash_band_complete" -> (ExtQueries.d8vSimhashBandComplete _),
     "e3v_knn_scores_match" -> (ExtQueries.e3vKnnScoresMatch _),
     "e3r_knn_recall" -> (ExtQueries.e3rKnnRecall _),
+    // semantic clustering + SemDeDup (Clustering.scala)
+    "e4_kmeans_assign" -> (graft.ext.Clustering.e4KmeansAssign _),
+    "e4v_kmeans_nearest" -> (graft.ext.Clustering.e4vKmeansNearest _),
+    "e5_semantic_dedup" -> ((s, dir) =>
+      graft.ext.Clustering.e5SemanticDedup(s, dir)),
+    "e5v_semdedup_subset" -> ((s, dir) =>
+      graft.ext.Clustering.e5vSemdedupSubset(s, dir)),
     "x4r_ann_recall" -> (ExtQueries.x4rAnnRecall _),
     // rows-only: native hashes / LSH internals (ScalaTest owns semantics)
     "x1_fingerprints_native" -> (ExtQueries.x1FingerprintsNative _),
@@ -171,6 +191,7 @@ object SparkEntry {
     */
   val invariantQueries: Set[String] = Set(
     "d8v_simhash_band_complete", "e3r_knn_recall", "e3v_knn_scores_match",
+    "e4v_kmeans_nearest", "e5v_semdedup_subset",
     "kq1v_kll_rank_bound", "t6v_packing_invariants",
     "wv1_winnow_subset_shingles", "wv2_winnow_pairs_subset_exact",
     "x10v_percentile_bound", "x11v_quant_cosine_bound",
@@ -969,6 +990,13 @@ object SparkEntry {
     "e3r_knn_recall" ->
       """SELECT CAST('' AS VARCHAR) AS metric, CAST(0.0 AS DOUBLE) AS recall
          FROM embeddings WHERE FALSE""",
+    "e4v_kmeans_nearest" ->
+      """SELECT vec_id, CAST(0.0 AS DOUBLE) AS d2_assigned,
+                CAST(0.0 AS DOUBLE) AS d2_nearest
+         FROM embeddings WHERE FALSE""",
+    "e5v_semdedup_subset" ->
+      """SELECT vec_id AS drop_id, CAST('' AS VARCHAR) AS side
+         FROM embeddings WHERE FALSE""",
     "x4r_ann_recall" ->
       """SELECT CAST('' AS VARCHAR) AS metric, CAST(0.0 AS DOUBLE) AS recall
          FROM embeddings WHERE FALSE""",
@@ -1003,6 +1031,139 @@ object SparkEntry {
              AND n2.n_name IN ('NATION_3', 'NATION_7')
              AND n1.n_name <> n2.n_name)
          GROUP BY 1, 2, 3""",
+    "q2_min_cost_supplier" ->
+      """WITH li AS (
+           SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                    AS BIGINT) AS price_cents
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_type = 'SMALL' AND p_size BETWEEN 10 AND 15),
+         m AS (SELECT partkey, min(price_cents) AS min_cents
+               FROM li GROUP BY 1)
+         SELECT DISTINCT li.partkey, suppkey, min_cents
+         FROM li JOIN m ON li.partkey = m.partkey
+                       AND li.price_cents = m.min_cents""",
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_returnflag = 'R')
+         GROUP BY 1""",
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
+                     THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+                          CAST(1 - l_discount AS DECIMAL(4,2))
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) * 10000
+                  AS BIGINT) AS nation_rev_c4,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         CAST(1 - l_discount AS DECIMAL(4,2))) * 10000
+                  AS BIGINT) AS total_rev_c4
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN region ON n1.n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+         GROUP BY 1""",
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         CAST(1 - l_discount AS DECIMAL(4,2))
+                       - CAST(p_retailprice AS DECIMAL(12,2)) *
+                         CAST(l_quantity AS DECIMAL(4,0))) * 10000
+                  AS BIGINT) AS profit_c4
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_name LIKE 'red%'
+         GROUP BY 1, 2""",
+    "q11_important_parts" ->
+      """WITH rev AS (
+           SELECT l_partkey AS partkey,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                           CAST(1 - l_discount AS DECIMAL(4,2))) * 10000
+                    AS BIGINT) AS rev_c4
+           FROM lineitem GROUP BY 1)
+         SELECT partkey, rev_c4 FROM rev
+         WHERE rev_c4 * 2000 > (SELECT sum(rev_c4) FROM rev)""",
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_type <> 'ECONOMY' AND p_size IN (1, 5, 9, 13, 17, 21)
+           AND l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2""",
+    "q17_small_qty_revenue" ->
+      """WITH li AS (
+           SELECT l_partkey AS partkey,
+                  CAST(l_quantity * 100 AS BIGINT) AS qty_c,
+                  l_extendedprice
+           FROM lineitem),
+         st AS (SELECT partkey, sum(qty_c) AS sum_c, count(*) AS n
+                FROM li GROUP BY 1)
+         SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 100
+                  AS BIGINT) AS revenue_cents
+         FROM li JOIN st USING (partkey)
+         WHERE qty_c * 5 * n < sum_c""",
+    "q19_disjunctive_preds" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                         CAST(1 - l_discount AS DECIMAL(4,2))) * 10000
+                  AS BIGINT) AS revenue_c4,
+                count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 20)
+            OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30
+                AND l_quantity BETWEEN 10 AND 30)
+            OR (p_brand = 'Brand#21' AND p_size BETWEEN 20 AND 50
+                AND l_quantity BETWEEN 20 AND 40)""",
+    "q20_excess_suppliers" ->
+      """SELECT s_suppkey, s_name FROM supplier
+         WHERE s_suppkey IN (
+           SELECT l_suppkey FROM lineitem
+           WHERE year(l_shipdate) = 1997
+             AND l_partkey IN
+               (SELECT p_partkey FROM part WHERE p_name LIKE 'cold%')
+           GROUP BY l_suppkey
+           HAVING sum(CAST(l_quantity * 100 AS BIGINT)) > 30000)""",
+    "q21_sole_blame" ->
+      """WITH per_order AS (
+           SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp
+           FROM lineitem GROUP BY 1),
+         r AS (
+           SELECT l_orderkey, count(*) AS n_r, min(l_suppkey) AS suppkey
+           FROM (SELECT DISTINCT l_orderkey, l_suppkey
+                 FROM lineitem WHERE l_returnflag = 'R')
+           GROUP BY 1)
+         SELECT suppkey, count(*) AS numwait
+         FROM r JOIN per_order USING (l_orderkey)
+         WHERE n_r = 1 AND n_supp >= 2
+         GROUP BY 1""",
+    "q22_idle_customers" ->
+      """WITH c AS (
+           SELECT c_custkey, c_nationkey,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+           FROM customer),
+         pos AS (SELECT sum(bal_c) AS sum_c, count(*) AS n_pos
+                 FROM c WHERE bal_c > 0)
+         SELECT n_name AS nation, count(*) AS numcust,
+                CAST(sum(bal_c) AS BIGINT) AS totbal_c
+         FROM c CROSS JOIN pos
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE bal_c * n_pos > sum_c
+           AND NOT EXISTS
+             (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+         GROUP BY 1""",
     "dq2_zscore_outliers" ->
       """WITH m AS (
            SELECT event_type,

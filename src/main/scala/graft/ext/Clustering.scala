@@ -1,0 +1,155 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Expressions.cosineF
+
+/** Semantic clustering + SemDeDup-style semantic deduplication over the
+  * embedding column — SURVEY.md §7.4 similarity/dedup extension (Abbas et
+  * al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+  * semantic deduplication"; the k-means-then-within-cluster-pairs design
+  * is exactly how web-scale corpora are semantically deduped, because the
+  * clustering bounds the pairwise stage to O(Σ n_c²) instead of O(n²)).
+  *
+  * OFFLINE BUILD / ONLINE QUERY split mirrors [[Similarity]]'s IVF: the
+  * seeded k-means fit is a scheduled index job (memoized per
+  * (dir, k, seed) in this JVM), the dedup query reads its artifact.
+  *
+  * Scale: cluster count k grows with the corpus so per-cluster size stays
+  * bounded (SemDeDup runs k=110k on LAION); the within-cluster self-join
+  * is an equi-join on the cell key, so Spark distributes it per cell and
+  * AQE splits a skewed cell's sort-merge. Nothing here ever forms a
+  * corpus-wide cross join.
+  */
+object Clustering {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build (or reuse) the clustering artifact: `assign/` (vec_id, label,
+    * cell) and `centroids/` (cell, centroid: array<double>).
+    */
+  def clusterDir(s: SparkSession, dir: String, k: Int = 10,
+      seed: Long = 42L): String =
+    built.computeIfAbsent(s"$dir|$k|$seed", _ => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val e = emb(s, dir).withColumn("fv",
+        array_to_vector(col("embedding").cast("array<double>")))
+      val model = new KMeans().setK(k).setSeed(seed).setMaxIter(5)
+        .setFeaturesCol("fv").setPredictionCol("cell")
+        .fit(e)
+      val out = java.nio.file.Files.createTempDirectory("graft-sem").toString
+      model.transform(e).select("vec_id", "label", "cell")
+        .write.parquet(s"$out/assign")
+      import s.implicits._
+      model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray) }.toIndexedSeq
+        .toDF("cell", "centroid").coalesce(1)
+        .write.parquet(s"$out/centroids")
+      out
+    })
+
+  /** e4: cluster assignment with CANONICAL labels — k-means cell ids are
+    * arbitrary (init order), so each cell is relabeled to the minimum
+    * vec_id it contains, making the output stable under any cluster
+    * numbering the fitter picks. The relabel map is k rows, broadcast.
+    */
+  def e4KmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    val a = s.read.parquet(s"${clusterDir(s, dir)}/assign")
+    val canon = a.groupBy("cell").agg(min("vec_id").as("cluster"))
+    a.join(broadcast(canon), Seq("cell"))
+      .select(col("vec_id"), col("cluster"))
+  }
+
+  /** e4v violation oracle: every vector's assigned centroid must be the
+    * nearest of the model's final centroids, recomputed through an
+    * INDEPENDENT path — SQL higher-order functions over the raw arrays
+    * (zip_with + aggregate), not MLlib's distance code. The k-row
+    * centroid table broadcasts; the k-way fan-out is map-side. Tolerance
+    * 1e-9 absorbs float→double widening order; ties (measure zero on
+    * this data) pass by the ≤ comparison. Oracle: the empty relation.
+    */
+  def e4vKmeansNearest(s: SparkSession, dir: String): DataFrame = {
+    val root = clusterDir(s, dir)
+    val a = s.read.parquet(s"$root/assign")
+      .join(emb(s, dir).select("vec_id", "embedding"), Seq("vec_id"))
+    val d2 = expr(
+      """aggregate(zip_with(CAST(embedding AS array<double>), centroid,
+        |                   (x, c) -> (x - c) * (x - c)),
+        |          0D, (acc, v) -> acc + v)""".stripMargin)
+    val scored = a.crossJoin(
+        broadcast(s.read.parquet(s"$root/centroids")
+          .withColumnRenamed("cell", "cand_cell")))
+      .withColumn("d2", d2)
+    scored.groupBy("vec_id", "cell")
+      .agg(min(when(col("cand_cell") === col("cell"), col("d2")))
+          .as("d2_assigned"),
+        min("d2").as("d2_nearest"))
+      .filter(col("d2_assigned") > col("d2_nearest") + 1e-9)
+      .select(col("vec_id"), col("d2_assigned"), col("d2_nearest"))
+  }
+
+  /** e5: SemDeDup — within each k-means cluster, a vector is DROPPED if a
+    * lower-id vector in the same cluster is cosine-similar above `tau`;
+    * the kept representative reported is the minimum such partner
+    * (deterministic). The pair stage is the cell equi-join described in
+    * the header; the keep-min reduction is one agg on the drop id.
+    */
+  def e5SemanticDedup(s: SparkSession, dir: String,
+      tau: Double = 0.35): DataFrame = {
+    val a = s.read.parquet(s"${clusterDir(s, dir)}/assign")
+      .join(emb(s, dir).select("vec_id", "embedding"), Seq("vec_id"))
+      .select(col("cell"), col("vec_id"), col("embedding"))
+    val pairs = a.as("l").join(a.as("r"),
+        col("l.cell") === col("r.cell") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .filter(cosineF(col("l.embedding"), col("r.embedding")) >= tau)
+    pairs.groupBy(col("r.vec_id").as("drop_id"))
+      .agg(min(col("l.vec_id")).as("rep_id"),
+        first(col("l.cell")).as("cell"))
+  }
+
+  /** e5v violation oracle: on the vec_id < 150 subset, recompute the
+    * SemDeDup drop set from scratch — all pairs brute-force (no LSH, no
+    * cell join order), cosine via SQL higher-order functions instead of
+    * the native [[cosineF]] expression — and emit one row per id the
+    * operator got wrong. A drop decision depends only on lower ids, so
+    * the subset is closed under the operator. The two cosine paths
+    * differ in float→double widening order, so the check is banded: an
+    * id clearly above tau (by eps) must be dropped, an id dropped must
+    * be at least tau−eps; a pair INSIDE the band is legitimately
+    * undecidable between the paths and can't flag. Oracle: the empty
+    * relation.
+    */
+  def e5vSemdedupSubset(s: SparkSession, dir: String,
+      tau: Double = 0.35): DataFrame = {
+    val lim = 150L
+    val eps = 1e-6
+    val a = s.read.parquet(s"${clusterDir(s, dir)}/assign")
+      .join(emb(s, dir).select("vec_id", "embedding"), Seq("vec_id"))
+      .filter(col("vec_id") < lim)
+      .select(col("cell"), col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+    val cos = expr(
+      """aggregate(zip_with(l.e, r.e, (x, y) -> x * y), 0D,
+        |          (acc, v) -> acc + v)
+        | / (sqrt(aggregate(l.e, 0D, (acc, x) -> acc + x * x))
+        |    * sqrt(aggregate(r.e, 0D, (acc, x) -> acc + x * x)))"""
+        .stripMargin)
+    def expected(bar: Double) = a.as("l").join(a.as("r"),
+        col("l.cell") === col("r.cell") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .filter(cos >= bar)
+      .select(col("r.vec_id").as("drop_id")).distinct()
+    val got = e5SemanticDedup(s, dir, tau)
+      .filter(col("drop_id") < lim).select("drop_id")
+    expected(tau + eps).exceptAll(got).withColumn("side", lit("missing"))
+      .unionAll(got.exceptAll(expected(tau - eps))
+        .withColumn("side", lit("spurious")))
+  }
+}

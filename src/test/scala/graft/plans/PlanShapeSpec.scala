@@ -105,4 +105,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("b1_equidepth_bins")
       .collect { case w: WindowExec => w }.length == 1)
   }
+
+  test("TPC-H completion set: dim broadcasts, semi/anti joins, " +
+      "no cartesians") {
+    // dimension prefilters must broadcast — the fact side never
+    // sort-merges against part/supplier/nation
+    for (q <- Seq("q2_min_cost_supplier", "q8_market_share",
+        "q9_product_profit", "q16_supplier_cnt", "q19_disjunctive_preds")) {
+      assert(planStr(q).contains("BroadcastHashJoin"),
+        s"$q lost its dimension broadcast")
+    }
+    // q9: ONLY broadcasts touch the fact before the agg (both dims tiny)
+    assert(!planStr("q9_product_profit").contains("SortMergeJoin"),
+      "q9 shuffles the fact against a dimension")
+    // EXISTS / IN shapes stay semi joins (no row multiplication)
+    for (q <- Seq("q4_priority_exists", "q20_excess_suppliers",
+        "q21_sole_blame")) {
+      assert(planStr(q).contains("LeftSemi"), s"$q lost the semi join")
+    }
+    // NOT IN / NOT EXISTS shapes stay anti joins
+    for (q <- Seq("q16_supplier_cnt", "q22_idle_customers")) {
+      assert(planStr(q).contains("LeftAnti"), s"$q lost the anti join")
+    }
+    for (q <- Seq("q2_min_cost_supplier", "q4_priority_exists",
+        "q8_market_share", "q9_product_profit", "q11_important_parts",
+        "q16_supplier_cnt", "q17_small_qty_revenue", "q19_disjunctive_preds",
+        "q20_excess_suppliers", "q21_sole_blame", "q22_idle_customers")) {
+      assert(plan(q).collect { case c: CartesianProductExec => c }.isEmpty,
+        s"$q plans a CartesianProduct")
+    }
+  }
+
+  test("e4/e5: centroid table broadcasts; the pair stage is a cell " +
+      "equi-join, never a cartesian") {
+    assert(planStr("e4v_kmeans_nearest").contains("BroadcastNestedLoopJoin")
+        || planStr("e4v_kmeans_nearest").contains("BroadcastHashJoin"),
+      "e4v lost the centroid broadcast")
+    for (q <- Seq("e4_kmeans_assign", "e5_semantic_dedup",
+        "e5v_semdedup_subset")) {
+      assert(plan(q).collect { case c: CartesianProductExec => c }.isEmpty,
+        s"$q plans a CartesianProduct")
+    }
+  }
 }

@@ -69,8 +69,18 @@ def main():
         path = f"{sf_dir}/{t}.parquet"
         if _os.path.isdir(path):
             path = f"{path}/*.parquet"
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+        sel = f"SELECT * FROM read_parquet('{path}')"
+        if t == "events":
+            # driver fixture ships ts as parquet timestamp[ns]; ScaleGen
+            # replicas ship plain INT64 nanos (Spark can't write ns) —
+            # normalize the latter to TIMESTAMP so the oracle SQL's
+            # epoch_ms(ts) arithmetic sees one type everywhere
+            (ts_type,) = [r[1] for r in con.execute(
+                f"DESCRIBE {sel}").fetchall() if r[0] == "ts"]
+            if ts_type == "BIGINT":
+                sel = (f"SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) "
+                       f"FROM read_parquet('{path}')")
+        con.execute(f"CREATE VIEW {t} AS {sel}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     import glob
