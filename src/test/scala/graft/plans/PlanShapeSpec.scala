@@ -119,10 +119,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!planStr("q9_product_profit").contains("SortMergeJoin"),
       "q9 shuffles the fact against a dimension")
     // EXISTS / IN shapes stay semi joins (no row multiplication)
-    for (q <- Seq("q4_priority_exists", "q20_excess_suppliers",
-        "q21_sole_blame")) {
+    for (q <- Seq("q4_priority_exists", "q20_excess_suppliers")) {
       assert(planStr(q).contains("LeftSemi"), s"$q lost the semi join")
     }
+    // q21: the double-EXISTS fuses into ONE fact scan (single aggregate
+    // with conditional distinct), never a self-join of lineitem
+    assert(plan("q21_sole_blame").collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.length == 1, "q21 should scan the fact exactly once")
     // NOT IN / NOT EXISTS shapes stay anti joins
     for (q <- Seq("q16_supplier_cnt", "q22_idle_customers")) {
       assert(planStr(q).contains("LeftAnti"), s"$q lost the anti join")
