@@ -1,0 +1,67 @@
+package graft.stream
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.Clustering
+import graft.functions.Expressions.cosineF
+
+/** Ingest-time SEMANTIC near-duplicate gate: match every arriving
+  * embedding against the STATIC corpus through the k-means clustering
+  * artifact — the streaming shape of `e5_semantic_dedup`, and the
+  * semantic sibling of [[StreamNearDup]] (which gates on textual
+  * SimHash). A training-data pipeline runs this before accepting a new
+  * sample: "is this semantically (nearly) something we already have?"
+  *
+  * Plan shape, per micro-batch:
+  *   1. nearest-centroid assignment as a PURE PROJECTION — the k
+  *      centroids are loaded driver-side once (k rows, the IVF-probe
+  *      pattern) and folded into a `least()` over k (distance, cell)
+  *      structs, whose lexicographic ordering IS argmin with
+  *      deterministic tie-break on cell id. No aggregation, so the
+  *      stream stays stateless in append mode;
+  *   2. stream-static equi-join on the cell key against the corpus
+  *      assignment table, exact cosine inside the cell only.
+  * STATELESS — no watermark, no state store growth; the static side is
+  * the offline clustering artifact (at scale: a bucketed table co-keyed
+  * on cell, exactly the SemDeDup layout).
+  */
+object StreamSemDedup {
+
+  /** `stream` must carry (vec_id, embedding: array<float>). Returns
+    * (in_id, corpus_id, cell, cosine) matches with cosine ≥ `tau`.
+    */
+  def againstCorpus(stream: DataFrame, s: SparkSession, dir: String,
+      tau: Double = 0.35): DataFrame = {
+    val root = Clustering.clusterDir(s, dir)
+    val centroids: Array[(Int, Array[Double])] =
+      s.read.parquet(s"$root/centroids").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val candidates: Seq[Column] = centroids.toIndexedSeq.map {
+      case (cell, c) =>
+        val cLit = array(c.toIndexedSeq.map(lit): _*)
+        val d2 = expr_d2(cLit)
+        struct(d2.as("d2"), lit(cell).as("cell"))
+    }
+    val assigned = stream
+      .select(col("vec_id").as("in_id"), col("embedding").as("in_emb"))
+      .withColumn("cell", least(candidates: _*).getField("cell"))
+    val corpus = s.read.parquet(s"$root/assign")
+      .join(s.read.parquet(s"$dir/embeddings.parquet"), Seq("vec_id"))
+      .select(col("cell"), col("vec_id").as("corpus_id"), col("embedding"))
+    assigned.join(corpus, Seq("cell"))
+      .withColumn("cosine", cosineF(col("in_emb"), col("embedding")))
+      .filter(col("cosine") >= tau)
+      .select(col("in_id"), col("corpus_id"), col("cell"), col("cosine"))
+  }
+
+  /** Squared distance from the row's `in_emb` to a literal centroid,
+    * in doubles (matching the batch assigner's arithmetic domain).
+    */
+  private def expr_d2(centroid: Column): Column =
+    aggregate(
+      zip_with(col("in_emb").cast("array<double>"), centroid,
+        (x, c) => (x - c) * (x - c)),
+      lit(0.0),
+      (acc, v) => acc + v)
+}
