@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The remaining TPC-H query shapes, adapted to the driver corpus
@@ -33,10 +34,12 @@ object TpchQueries {
 
   /** TPC-H Q2 shape: correlated per-group MIN subquery join — for each
     * SMALL part sized 10-15, the supplier(s) whose line price equals the
-    * part's minimum. The part filter broadcasts (2000 rows → ~80), the
-    * per-part min is one keyed agg, and the min join-back rides the SAME
-    * l_partkey partitioning (no second fact shuffle under AQE). distinct
-    * collapses a supplier hitting the min price twice.
+    * part's minimum (ALL ties kept, which is why this isn't a top-k
+    * heap). The part filter broadcasts (2000 rows → ~80); the
+    * correlated min is a whole-partition window min over the SAME
+    * partkey shuffle the filter rides — ONE fact scan, where the
+    * agg + join-back formulation reads the fact twice. distinct
+    * collapses a supplier hitting the min price on two lines.
     */
   def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
     val parts = t(s, dir, "part")
@@ -46,8 +49,8 @@ object TpchQueries {
       .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"),
         cents(col("l_extendedprice")).as("price_cents"))
-    val mins = li.groupBy("partkey").agg(min("price_cents").as("min_cents"))
-    li.join(mins, Seq("partkey"))
+    val w = Window.partitionBy("partkey")
+    li.withColumn("min_cents", min("price_cents").over(w))
       .filter(col("price_cents") === col("min_cents"))
       .select("partkey", "suppkey", "min_cents").distinct()
   }

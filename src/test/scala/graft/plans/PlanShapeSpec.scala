@@ -127,6 +127,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("q21_sole_blame").collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }.length == 1, "q21 should scan the fact exactly once")
+    // q2: the correlated min is a window over ONE fact scan — exactly
+    // two scans total (fact + part dimension), never a second fact read
+    assert(plan("q2_min_cost_supplier").collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.length == 2, "q2 should scan fact once + part once")
     // NOT IN / NOT EXISTS shapes stay anti joins
     for (q <- Seq("q16_supplier_cnt", "q22_idle_customers")) {
       assert(planStr(q).contains("LeftAnti"), s"$q lost the anti join")
