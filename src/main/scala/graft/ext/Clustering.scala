@@ -98,20 +98,25 @@ object Clustering {
     * lower-id vector in the same cluster is cosine-similar above `tau`;
     * the kept representative reported is the minimum such partner
     * (deterministic). The pair stage is the cell equi-join described in
-    * the header; the keep-min reduction is one agg on the drop id.
+    * the header, run through [[SkewSafe.cappedEquiJoin]]: the within-cell
+    * work is inherently O(n_c²), and the cap spreads a hot cluster's
+    * block across ⌈n_c/cap⌉ tasks instead of pinning one reducer — the
+    * same guard the three LSH candidate joins use. The keep-min
+    * reduction is one agg on the drop id.
     */
   def e5SemanticDedup(s: SparkSession, dir: String,
       tau: Double = 0.35): DataFrame = {
     val a = s.read.parquet(s"${clusterDir(s, dir)}/assign")
       .join(emb(s, dir).select("vec_id", "embedding"), Seq("vec_id"))
-      .select(col("cell"), col("vec_id"), col("embedding"))
-    val pairs = a.as("l").join(a.as("r"),
-        col("l.cell") === col("r.cell") &&
-          col("l.vec_id") < col("r.vec_id"))
-      .filter(cosineF(col("l.embedding"), col("r.embedding")) >= tau)
-    pairs.groupBy(col("r.vec_id").as("drop_id"))
-      .agg(min(col("l.vec_id")).as("rep_id"),
-        first(col("l.cell")).as("cell"))
+    val l = a.select(col("cell"), col("vec_id").as("l_id"),
+      col("embedding").as("l_emb"))
+    val r = a.select(col("cell"), col("vec_id").as("r_id"),
+      col("embedding").as("r_emb"))
+    SkewSafe.cappedEquiJoin(l, r, Seq("cell"), hash(col("r_id")))
+      .filter(col("l_id") < col("r_id") &&
+        cosineF(col("l_emb"), col("r_emb")) >= tau)
+      .groupBy(col("r_id").as("drop_id"))
+      .agg(min(col("l_id")).as("rep_id"), first(col("cell")).as("cell"))
   }
 
   /** e5v violation oracle: on the vec_id < 150 subset, recompute the
