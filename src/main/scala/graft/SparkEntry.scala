@@ -151,6 +151,14 @@ object SparkEntry {
     "d8v_simhash_band_complete" -> (ExtQueries.d8vSimhashBandComplete _),
     "e3v_knn_scores_match" -> (ExtQueries.e3vKnnScoresMatch _),
     "e3r_knn_recall" -> (ExtQueries.e3rKnnRecall _),
+    // product quantization (ProductQuant.scala)
+    "x14_pq_codes" -> (graft.ext.ProductQuant.x14PqCodes _),
+    "x14v_pq_reconstruction" -> ((s, dir) =>
+      graft.ext.ProductQuant.x14vPqReconstruction(s, dir)),
+    "x15_pq_adc_topk" -> ((s, dir) =>
+      graft.ext.ProductQuant.x15PqAdcTopK(s, dir)),
+    "x15r_pq_recall" -> ((s, dir) =>
+      graft.ext.ProductQuant.x15rPqRecall(s, dir)),
     // semantic clustering + SemDeDup (Clustering.scala)
     "e4_kmeans_assign" -> (graft.ext.Clustering.e4KmeansAssign _),
     "e4v_kmeans_nearest" -> (graft.ext.Clustering.e4vKmeansNearest _),
@@ -192,6 +200,7 @@ object SparkEntry {
   val invariantQueries: Set[String] = Set(
     "d8v_simhash_band_complete", "e3r_knn_recall", "e3v_knn_scores_match",
     "e4v_kmeans_nearest", "e5v_semdedup_subset",
+    "x14v_pq_reconstruction", "x15r_pq_recall",
     "kq1v_kll_rank_bound", "t6v_packing_invariants",
     "wv1_winnow_subset_shingles", "wv2_winnow_pairs_subset_exact",
     "x10v_percentile_bound", "x11v_quant_cosine_bound",
@@ -993,6 +1002,13 @@ object SparkEntry {
     "e4v_kmeans_nearest" ->
       """SELECT vec_id, CAST(0.0 AS DOUBLE) AS d2_assigned,
                 CAST(0.0 AS DOUBLE) AS d2_nearest
+         FROM embeddings WHERE FALSE""",
+    "x14v_pq_reconstruction" ->
+      """SELECT vec_id, CAST('' AS VARCHAR) AS violation,
+                CAST(0.0 AS DOUBLE) AS delta
+         FROM embeddings WHERE FALSE""",
+    "x15r_pq_recall" ->
+      """SELECT CAST('' AS VARCHAR) AS metric, CAST(0.0 AS DOUBLE) AS recall
          FROM embeddings WHERE FALSE""",
     "e5v_semdedup_subset" ->
       """SELECT vec_id AS drop_id, CAST('' AS VARCHAR) AS side

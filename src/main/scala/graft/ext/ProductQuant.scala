@@ -1,0 +1,248 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Expressions.cosineF
+
+/** Product quantization (Jégou et al. 2011, "Product quantization for
+  * nearest neighbor search" — the IVF-PQ backbone of every modern
+  * billion-vector ANN stack): split the d-dim embedding into `m`
+  * subspaces, k-means each subspace to `ksub` centroids, store each
+  * vector as m small codes (here 8 × 16 codes = 8 bytes per 64-dim
+  * float vector — a 32× compression). Queries run ADC (asymmetric
+  * distance computation): the query stays exact, per-subspace distances
+  * to the 16 centroids are precomputed driver-side (a 128-double
+  * table), and each database vector's approximate distance is m table
+  * lookups — no float vector is ever read at query time.
+  *
+  * OFFLINE BUILD / ONLINE QUERY split like [[Similarity]]'s IVF and
+  * [[Clustering]]: the codebook fit + encoding is a scheduled job
+  * (memoized per (dir, m, ksub) in this JVM); queries read the code
+  * table only. At 100 TB the code table is the thing that fits in
+  * memory/fast storage (8 bytes/vector vs 256), which is the entire
+  * point of PQ.
+  *
+  * Encoding is a PURE PROJECTION (no shuffle): per subspace the 16
+  * centroids fold into a least() over (distance, code) structs —
+  * lexicographic struct ordering is argmin with deterministic
+  * tie-break on code — exactly the stateless-assignment idiom of
+  * [[graft.stream.StreamSemDedup]].
+  */
+object ProductQuant {
+
+  val M = 8      // subspaces over the 64-dim fixture → 8 dims each
+  val KSub = 16  // centroids per subspace → 4-bit codes
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** argmin over (d2, code) for one subspace's centroid list, as a
+    * least() fold; `sub` is the 1-BASED slice start of the subspace.
+    */
+  private def codeCol(subStart: Int, dsub: Int,
+      centroids: Seq[(Int, Array[Double])]): Column = {
+    val slice = expr(
+      s"transform(slice(embedding, $subStart, $dsub), x -> CAST(x AS DOUBLE))")
+    val cands = centroids.map { case (code, c) =>
+      val cLit = array(c.toIndexedSeq.map(lit): _*)
+      val d2 = aggregate(
+        zip_with(slice, cLit, (x, cc) => (x - cc) * (x - cc)),
+        lit(0.0), (acc, v) => acc + v)
+      struct(d2.as("d2"), lit(code).as("code"))
+    }
+    least(cands: _*).getField("code")
+  }
+
+  /** Build (or reuse) the PQ artifact: `codebooks/` (subspace, code,
+    * centroid: array<double>[dsub]) and `codes/` (vec_id, codes:
+    * array<int>[m]).
+    */
+  def pqDir(s: SparkSession, dir: String, m: Int = M,
+      ksub: Int = KSub, seed: Long = 42L): String =
+    built.computeIfAbsent(s"$dir|$m|$ksub|$seed", _ => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      import s.implicits._
+      val e = emb(s, dir)
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      require(dim % m == 0, s"dim $dim not divisible by m=$m")
+      val dsub = dim / m
+      // per-subspace codebooks: m seeded fits over the 8-dim slices —
+      // each fit is tiny (dsub-dim points), the scan is column-pruned
+      val books: Seq[(Int, Int, Array[Double])] = (0 until m).flatMap { j =>
+        val sliced = e.select(array_to_vector(
+          expr(s"transform(slice(embedding, ${j * dsub + 1}, $dsub)," +
+            " x -> CAST(x AS DOUBLE))")).as("fv"))
+        new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(5)
+          .setFeaturesCol("fv").fit(sliced)
+          .clusterCenters.zipWithIndex
+          .map { case (c, code) => (j, code, c.toArray) }.toIndexedSeq
+      }
+      val out = java.nio.file.Files.createTempDirectory("graft-pq").toString
+      books.toDF("subspace", "code", "centroid").coalesce(1)
+        .write.parquet(s"$out/codebooks")
+      val bySub = books.groupBy(_._1)
+      val codeCols = (0 until m).map { j =>
+        codeCol(j * dsub + 1, dsub,
+          bySub(j).map(b => (b._2, b._3)).sortBy(_._1))
+      }
+      e.select(col("vec_id"), array(codeCols: _*).as("codes"))
+        .write.parquet(s"$out/codes")
+      out
+    })
+
+  /** x14: the code table — m small codes per vector. */
+  def x14PqCodes(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${pqDir(s, dir)}/codes")
+      .select(col("vec_id"), col("codes"))
+
+  /** x14v violation oracle: (a) every code must be the argmin centroid
+    * of its subspace under an INDEPENDENT recomputation (SQL HOFs over
+    * the codebook table — not the literal-folded encoder), with a 1e-9
+    * band for fold-order ties; (b) the PQ reconstruction (concatenated
+    * code centroids) must satisfy DISTRIBUTION-level quality bounds:
+    * mean cosine(v, v̂) ≥ `meanFloor` and at most `tailFrac` of vectors
+    * below `tailBar`. Per-vector min floors are deliberately NOT the
+    * contract — the minimum of n samples from a fixed distribution
+    * drifts down as n grows (sf0.01 min ≈ 0.53, and sf1 has 100× the
+    * draws), while the mean (measured 0.67) and a 1% tail allowance at
+    * 0.4 are scale-stable. Oracle: the empty relation.
+    */
+  def x14vPqReconstruction(s: SparkSession, dir: String,
+      meanFloor: Double = 0.6, tailBar: Double = 0.4,
+      tailFrac: Double = 0.01): DataFrame = {
+    val root = pqDir(s, dir)
+    val e = emb(s, dir)
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val dsub = dim / M
+    val codes = s.read.parquet(s"$root/codes")
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("subspace", "code")))
+    val books = s.read.parquet(s"$root/codebooks")
+    // (a) assigned-vs-nearest per subspace through the codebook TABLE
+    val sliced = e.select(col("vec_id"),
+      explode(expr(
+        s"""transform(sequence(0, ${M - 1}), j ->
+           |  struct(j AS subspace,
+           |         transform(slice(embedding, j * $dsub + 1, $dsub),
+           |                   x -> CAST(x AS DOUBLE)) AS sub))"""
+          .stripMargin)).as("s"))
+      .select(col("vec_id"), col("s.subspace").as("subspace"),
+        col("s.sub").as("sub"))
+    val d2 = aggregate(
+      zip_with(col("sub"), col("centroid"), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, v) => acc + v)
+    val scored = sliced.join(broadcast(books), Seq("subspace"))
+      .select(col("vec_id"), col("subspace"), col("code"), d2.as("d2"))
+    val nearest = scored.groupBy("vec_id", "subspace")
+      .agg(min("d2").as("d2_nearest"))
+    val assignedD2 = scored.join(codes, Seq("vec_id", "subspace", "code"))
+      .select(col("vec_id"), col("subspace"), col("d2").as("d2_assigned"))
+    val badCode = assignedD2.join(nearest, Seq("vec_id", "subspace"))
+      .filter(col("d2_assigned") > col("d2_nearest") + 1e-9)
+      .select(col("vec_id"), lit("code_not_nearest").as("violation"),
+        (col("d2_assigned") - col("d2_nearest")).as("delta"))
+    // (b) reconstruction quality, distribution-level
+    val recon = codes.join(broadcast(books), Seq("subspace", "code"))
+      .groupBy("vec_id")
+      .agg(flatten(array_sort(collect_list(
+        struct(col("subspace"), col("centroid"))))
+        .getField("centroid")).as("recon"))
+    val cosRecon = aggregate(
+      zip_with(expr("transform(embedding, x -> CAST(x AS DOUBLE))"),
+        col("recon"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v) /
+      (sqrt(aggregate(
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))"),
+        lit(0.0), (acc, x) => acc + x * x)) *
+        sqrt(aggregate(col("recon"),
+          lit(0.0), (acc, x) => acc + x * x)))
+    val badRecon = e.join(recon, Seq("vec_id"))
+      .select(cosRecon.as("cos"))
+      .agg(avg(col("cos")).as("mean_cos"),
+        (sum(when(col("cos") < tailBar, 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("frac_low"),
+        count(lit(1)).as("n"))
+      // n == 0 (empty corpus) must fail loudly, not vacuously pass
+      .filter(col("n") === 0 || col("mean_cos") < meanFloor ||
+        col("frac_low") > tailFrac)
+      .select(lit(-1L).as("vec_id"),
+        lit("reconstruction_quality").as("violation"),
+        col("mean_cos").as("delta"))
+    badCode.unionAll(badRecon)
+  }
+
+  /** x15: ADC top-k — shortlist by asymmetric distance (m table lookups
+    * per vector against the driver-precomputed 128-double distance
+    * table; the float vectors are NEVER scanned), then exact cosine
+    * re-rank of the `shortlist` candidates only. TakeOrderedAndProject
+    * both stages — no global sort, no shuffle of the corpus.
+    */
+  def x15PqAdcTopK(s: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 20, shortlist: Int = 100): DataFrame = {
+    val root = pqDir(s, dir)
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") === queryId)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val dsub = q.length / M
+    val books = s.read.parquet(s"$root/codebooks").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      .toMap
+    // driver-side ADC table: dt(j)(code) = ||q_j - c_{j,code}||^2
+    val dt: IndexedSeq[Column] = (0 until M).map { j =>
+      val qj = q.slice(j * dsub, (j + 1) * dsub)
+      array((0 until KSub).map { code =>
+        val c = books((j, code))
+        lit(qj.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }: _*)
+    }
+    val adc = (0 until M).map(j =>
+      element_at(dt(j), col("codes").getItem(j) + 1)).reduce(_ + _)
+    val short = s.read.parquet(s"$root/codes")
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), adc.as("adc_d2"))
+      .orderBy(col("adc_d2"), col("vec_id")).limit(shortlist)
+    val qSide = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    short.join(e, Seq("vec_id")).crossJoin(broadcast(qSide))
+      .select(col("vec_id"), col("label"),
+        cosineF(col("embedding"), col("q_emb")).as("cosine"))
+      .orderBy(desc("cosine"), col("vec_id")).limit(k)
+  }
+
+  /** x15r violation oracle: pooled recall@k of the ADC+re-rank search
+    * vs the exact cosine top-k over `nQueries` query vectors must meet
+    * `floor` (empirical fixture recall ≈ 0.8-1.0 with shortlist 100 over
+    * 500 vectors; floor 0.5 with margin — and the sf0.1/sf1 corpus keeps
+    * the same per-query candidate geometry). Fails LOUDLY on an empty
+    * exact side. Oracle: the empty relation.
+    */
+  def x15rPqRecall(s: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 10, shortlist: Int = 100,
+      floor: Double = 0.5): DataFrame = {
+    val e = emb(s, dir)
+    val qs = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("src_id"), col("embedding").as("q_emb"))
+    val exactCand = e.select(col("vec_id").as("nb_id"), col("embedding"))
+      .join(broadcast(qs), col("nb_id") =!= col("src_id"))
+      .select(col("src_id"), col("nb_id"),
+        cosineF(col("embedding"), col("q_emb")).as("cosine"))
+    val exact = graft.plans.TopKPerGroup.topK(exactCand, Seq("src_id"),
+      "cosine", k, desc = true, tiebreakCols = Seq("nb_id"))
+    val pq = (0L until nQueries.toLong).map { qid =>
+      x15PqAdcTopK(s, dir, qid, k, shortlist)
+        .select(lit(qid).as("src_id"), col("vec_id").as("nb_id"))
+    }.reduce(_ unionAll _).withColumn("hit", lit(1L))
+    exact.select("src_id", "nb_id")
+      .join(pq, Seq("src_id", "nb_id"), "left")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+        count(lit(1)).as("total"))
+      .filter(col("total") === 0 ||
+        col("hits").cast("double") / col("total") < floor)
+      .select(lit("pq_adc_recall_at_k").as("metric"),
+        (col("hits").cast("double") / col("total")).as("recall"))
+  }
+}

@@ -145,6 +145,26 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("x15: ADC shortlist is a TakeOrdered over the CODE table only — " +
+      "the float vectors are never scanned for scoring") {
+    val p = plan("x15_pq_adc_topk")
+    assert(p.toString.contains("TakeOrderedAndProject"),
+      "x15 lost the bounded top-k")
+    // the PQ point: scoring reads 8-byte codes, not 256-byte floats.
+    // Exactly one scan may read `embedding` (the final re-rank of the
+    // 100-row shortlist + the 1-row query side) — the corpus-wide
+    // scoring scan must read codes only.
+    val scans = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val codeScans = scans.filter(
+      _.requiredSchema.fieldNames.contains("codes"))
+    assert(codeScans.nonEmpty, "no code-table scan in the plan")
+    assert(codeScans.forall(
+      !_.requiredSchema.fieldNames.contains("embedding")),
+      "the scoring scan reads the float vectors — PQ's point is lost")
+  }
+
   test("e4/e5: centroid table broadcasts; the pair stage is a cell " +
       "equi-join, never a cartesian") {
     assert(planStr("e4v_kmeans_nearest").contains("BroadcastNestedLoopJoin")
