@@ -128,6 +128,7 @@ object SparkEntry {
     "c5_temperature_mix" -> ((s, dir) => ExtQueries.c5TemperatureMix(s, dir)),
     "h1_length_histogram" -> (ExtQueries.h1LengthHistogram _),
     "t11_relative_quality_gate" -> (ExtQueries.t11RelativeQualityGate _),
+    "t12_pii_redact" -> (ExtQueries.t12PiiRedact _),
     "z1_zorder_key" -> (ExtQueries.z1ZorderKey _),
     "d5_embedding_bucket_dedup" -> (ExtQueries.d5EmbeddingBucketDedup _),
     "ct1_contamination" -> (ExtQueries.ct1Contamination _),
@@ -172,6 +173,7 @@ object SparkEntry {
     "x2_simhash_sketches" -> (ExtQueries.x2SimhashSketches _),
     "x2v_simhash_recompute" -> (ExtQueries.x2vSimhashRecompute _),
     "d10_template_ngrams" -> (ExtQueries.d10TemplateNgrams _),
+    "d11_dup_spans" -> (ExtQueries.d11DupSpans _),
     "p17_pos_tokens" -> (ExtQueries.p17PosTokens _),
     "x3_minhash_lsh_pairs" -> (ExtQueries.x3MinhashLshPairs _),
     "x4_ann_topk" -> (ExtQueries.x4AnnTopK _),
@@ -787,6 +789,31 @@ object SparkEntry {
                     ORDER BY len(string_split(text, ' ')), doc_id) AS pr
            FROM documents)
          WHERE pr >= 0.25""",
+    "t12_pii_redact" ->
+      """WITH raw AS (
+           SELECT doc_id,
+                  text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@mail.example.com or +1-555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                       || '.0.1' AS raw
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(raw,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                  AS n_emails,
+                CAST(len(regexp_extract_all(raw,
+                  '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+                CAST(len(regexp_extract_all(raw,
+                  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+                  AS BIGINT) AS n_ips,
+                regexp_replace(regexp_replace(regexp_replace(raw,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g'),
+                  '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+                  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                  '<IP>', 'g') AS clean
+         FROM raw""",
     "h1_length_histogram" ->
       """SELECT least(CAST(floor(n_tokens / 5) AS BIGINT), 19) AS bucket,
                 count(*) AS n_docs,
@@ -1280,6 +1307,28 @@ object SparkEntry {
                        AS words
                    FROM documents)))
          GROUP BY shingle HAVING count(DISTINCT doc_id) >= 3""",
+    "d11_dup_spans" ->
+      """WITH g AS (
+           SELECT doc_id, pos, substring(text, pos, 25) AS gram FROM (
+             SELECT doc_id, text,
+                    unnest(generate_series(1, length(text) - 24)) AS pos
+             FROM documents WHERE length(text) >= 25)),
+         x AS (SELECT gram FROM g GROUP BY gram
+               HAVING min(doc_id) <> max(doc_id)),
+         h AS (SELECT doc_id, pos FROM g JOIN x USING (gram)),
+         b AS (SELECT doc_id, pos,
+                 CASE WHEN pos > coalesce(lag(pos) OVER
+                        (PARTITION BY doc_id ORDER BY pos), pos) + 25
+                      THEN 1 ELSE 0 END AS brk
+               FROM h),
+         i AS (SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+               FROM b)
+         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                CAST(max(pos) + 24 AS BIGINT) AS span_end
+         FROM i GROUP BY doc_id, island""",
     "p17_pos_tokens" ->
       """SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, words[i] AS token
          FROM (

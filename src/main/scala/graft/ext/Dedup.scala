@@ -388,4 +388,49 @@ object Dedup {
     jaccardOfSorted(cand).filter(col("jaccard") >= jaccardMin)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** Exact substring-duplication spans (the ExactSubstr dedup of Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", §4.1 — re-expressed relationally): for every document, the
+    * maximal character spans whose every k-char window also occurs in at
+    * least one OTHER document. Those spans are what that pipeline cuts
+    * out of the training text.
+    *
+    * Shape: positional k-gram explode → groupBy(gram) to find cross-doc
+    * grams → join back → per-doc gaps-and-islands merge (one window
+    * pass, lag + running sum) → span aggregate. Every shuffle is on a
+    * compact key (the gram string here, its 8-byte hash at scale — the
+    * paper's suffix array is a single-machine structure; the positional
+    *-gram join is the standard distributed equivalent). The window
+    * partitions by doc_id, so span assembly never crosses executors.
+    * Overlapping or adjacent duplicated windows merge into one span
+    * (`pos > prev + k` breaks; positions ascending make lag = running
+    * max).
+    */
+  def dupSpans(s: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = docs(s, dir)
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (k - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(text, pos, $k)").as("gram"))
+    val crossDoc = g.groupBy("gram")
+      .agg(min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .filter(col("min_doc") =!= col("max_doc"))
+      .select("gram")
+    val hits = g.join(crossDoc, "gram").select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("brk",
+        when(col("pos") > coalesce(lag(col("pos"), 1).over(w), col("pos"))
+          + k, lit(1)).otherwise(lit(0)))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"))
+  }
 }

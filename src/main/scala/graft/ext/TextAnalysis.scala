@@ -199,4 +199,51 @@ object TextAnalysis {
       fnv1a64(col("text")).as("fnv64"),
       md5(col("text")).as("md5_hex"),
       xxhash64(sort_array(array_distinct(split(col("text"), " ")))).as("bag_hash"))
+
+  /** PII regexes shared by detect + redact. Kept to the RE2-compatible
+    * subset (no lookaround, no backrefs) so the same pattern strings run
+    * byte-identically under Java regex (Spark) and RE2 (the DuckDB
+    * oracle) — the compatibility constraint any multi-engine scrubbing
+    * pipeline lives under.
+    */
+  private[ext] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[ext] val PhoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+  private[ext] val Ipv4Re =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII detection + redaction — the scrub pass every web-scale training
+    * corpus runs before model consumption (emails, phone numbers, IPv4
+    * addresses → typed placeholder tags). The fixture text is PII-free
+    * word soup, so the query first embeds deterministic doc_id-derived
+    * PII into each row; the oracle SQL performs the IDENTICAL
+    * construction, which means the regex match/replace semantics — the
+    * operator under test — must agree exactly on every row.
+    *
+    * Order matters and is pinned: emails first (an email's domain would
+    * otherwise feed the IPv4-ish dot runs), then phones, then IPs. All
+    * three passes are codegen'd string expressions over one scan — no
+    * UDF, one WholeStageCodegen span, trivially data-parallel at 100 TB.
+    */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0.1"))
+    docs(s, dir)
+      .withColumn("raw", raw)
+      .select(
+        col("doc_id"),
+        regexp_count(col("raw"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("raw"), lit(PhoneRe)).cast("long").as("n_phones"),
+        // IP count BEFORE redaction: on the raw text the email's host
+        // dots are protected by the literal letters, so the count is the
+        // true v4 addresses.
+        regexp_count(col("raw"), lit(Ipv4Re)).cast("long").as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("raw"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          Ipv4Re, "<IP>").as("clean"))
+  }
 }

@@ -32,6 +32,10 @@ object ExtQueries {
   def d3NgramJaccardPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.prefixJaccardPairs(s, dir, k = 3, jaccardMin = 0.4)
 
+  /** Exact substring-duplication spans (Lee et al. 2022 ExactSubstr). */
+  def d11DupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpans(s, dir, k = 25)
+
   // ---- similarity search -------------------------------------------------
 
   def e1CosineTopK(s: SparkSession, dir: String): DataFrame =
@@ -64,6 +68,10 @@ object ExtQueries {
   /** Unigram LM quality score (CCNet-style perplexity-filter stand-in). */
   def t10UnigramLmScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.unigramLmScore(s, dir)
+
+  /** PII detect + redact (emails / phones / IPv4 → typed tags). */
+  def t12PiiRedact(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.piiRedact(s, dir)
 
   /** Composed curation chain: quality gate → language gate → dedup →
     * token accounting (fully SQL-expressible, so oracle-checked).

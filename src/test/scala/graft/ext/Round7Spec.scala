@@ -48,4 +48,53 @@ class Round7Spec extends SparkSpec {
     val n = spark.read.parquet(s"$dir/documents.parquet").count()
     assert(n == 5L)
   }
+
+  test("t12: PII redaction scrubs organic and injected emails/phones/IPs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pii").toString
+    Seq(
+      (7L, "mail me at jane.doe+spam@corp.example.org today", "s"),
+      (8L, "server 192.168.254.3 called +44-555-1234 twice", "s"),
+      (9L, "no pii here at all", "s"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.piiRedact(spark, dir)
+      .orderBy("doc_id").collect()
+    // every row gets one injected email + phone + ip; organic PII adds
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq ==
+      Seq((7L, 2L, 1L, 1L), (8L, 1L, 2L, 2L), (9L, 1L, 1L, 1L)))
+    // the clean text retains no un-redacted PII and carries typed tags
+    out.foreach { r =>
+      val clean = r.getString(4)
+      assert(!clean.matches(".*[0-9]@.*") && !clean.contains("@mail"),
+        clean)
+      assert(clean.contains("<EMAIL>") && clean.contains("<PHONE>") &&
+        clean.contains("<IP>"), clean)
+    }
+    assert(out(0).getString(4).contains("mail me at <EMAIL> today"))
+    assert(out(1).getString(4).contains("server <IP> called <PHONE> twice"))
+  }
+
+  test("d11: duplicated-substring spans are exact, maximal, and cross-doc" +
+      " only") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-d11").toString
+    val block = "THE-QUICK-BROWN-FOX-JUMPS-OVER-LAZY-DOGS" // 40 chars
+    assert(block.length == 40)
+    // doc 1: block at 1-based pos 31; doc 2: at pos 21; doc 3 repeats a
+    // 30-char run WITHIN itself only (must not be reported: cross-doc
+    // duplication is the dedup criterion, Lee et al. ExactSubstr)
+    val selfRep = "abcdefghij-klmnopqrst-uvwxyz01"
+    Seq(
+      (1L, ("u" * 30) + block + ("v" * 30), "s"),
+      (2L, ("w" * 20) + block + ("y" * 10), "s"),
+      (3L, selfRep + ("q" * 5) + selfRep, "s"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val spans = Dedup.dupSpans(spark, dir, k = 25)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(spans == Seq((1L, 31L, 70L), (2L, 21L, 60L)), spans.toString)
+  }
 }
