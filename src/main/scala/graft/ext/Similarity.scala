@@ -112,7 +112,15 @@ object Similarity {
       when(dotF(col("embedding"), p.cast("array<float>")) >= 0,
         lit(1L << i)).otherwise(lit(0L))
     }
-    emb(s, dir).withColumn("bucket", sigBits.reduce(_ + _))
+    // Same fixture-drift guard as lshBucketsMulti: a wrong-length
+    // embedding must fail loudly, not hash to a degenerate bucket.
+    val dimGuard = when(size(col("embedding")) === dim, col("embedding"))
+      .otherwise(raise_error(concat(
+        lit(s"lshBuckets: expected $dim-dim embedding, got "),
+        size(col("embedding")).cast("string"),
+        lit(" for vec_id="), col("vec_id").cast("string"))))
+    emb(s, dir).withColumn("embedding", dimGuard)
+      .withColumn("bucket", sigBits.reduce(_ + _))
   }
 
   /** IVF (inverted-file) ANN, split into OFFLINE BUILD and ONLINE PROBE

@@ -28,6 +28,13 @@ class Round7Spec extends SparkSpec {
     // the guard must NOT fire on the real fixture
     assert(Similarity.lshBucketsMulti(spark, sf("sf0.001")).limit(1)
       .count() == 1L)
+    // the single-table variant carries the same guard
+    val e2 = intercept[Throwable] {
+      Similarity.lshBuckets(spark, dir).collect()
+    }
+    assert(rootMsg(e2).contains("expected 64-dim embedding"), rootMsg(e2))
+    assert(Similarity.lshBuckets(spark, sf("sf0.001")).limit(1)
+      .count() == 1L)
   }
 
   test("x2v: relational SimHash recomputation matches the fused expression," +
