@@ -409,12 +409,16 @@ object Dedup {
     */
   def dupSpans(s: SparkSession, dir: String, k: Int = 25): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // id-repartition BEFORE the ~300× explode: the fixture is one parquet
+    // file → one input partition, which would serialize the gram
+    // generation and the partial aggregate (same fix as Multimodal's
+    // decode passes). Also pre-co-locates docs for the span window.
     val g = docs(s, dir)
       .filter(length(col("text")) >= k)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - (k - 1))).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        expr(s"substring(text, pos, $k)").as("gram"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.Expressions.gramArray(col("text"), k)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
     val crossDoc = g.groupBy("gram")
       .agg(min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
       .filter(col("min_doc") =!= col("max_doc"))

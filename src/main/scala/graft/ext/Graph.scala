@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relational data — the link-analysis pass a
+  * web-scale curation pipeline runs for document-importance weighting
+  * (PageRank over the hyperlink graph is the classic corpus-quality
+  * prior; Page et al. 1999).
+  *
+  * The fixture has no link table, so the graph is derived the TPC-H way:
+  * parts are linked when they appear in the same order (a co-occurrence
+  * graph — the same shape as co-citation links). Everything else is the
+  * real algorithm.
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank in INTEGER MICRO-UNITS: every per-node
+    * mass is a BIGINT count of micro-PR, shares use integer division,
+    * and the damping multiply is `(x * 85) div 100`. Integer sums are
+    * associative-commutative, so the result is bit-identical across any
+    * partitioning, retry, or engine — which is what lets a DuckDB oracle
+    * replay the SAME three unrolled iterations and hash-match. (Float
+    * PageRank would diverge between engines on summation order alone.)
+    *
+    * Scale shape: the edge build is an equi-join on the order key
+    * (per-order fan-out is bounded by order size, so no quadratic
+    * blow-up); each iteration is edges ⋈ pr (shuffle on the 8-byte node
+    * key) + one keyed aggregate. `iters` is fixed and small — the
+    * standard batch formulation (power iteration unrolled); convergence
+    * loops at 100 TB checkpoint the rank table between steps exactly
+    * like [[Dedup.duplicateClusters]] does.
+    */
+  def pageRank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.alias("a")
+      .join(li.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodes = deg.select(col("src").as("node"), col("outdeg"))
+    var pr = nodes.select(col("node"), lit(1000000L).as("pr"))
+    for (_ <- 1 to iters) {
+      val in = edges
+        .join(deg, "src")
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("pr div outdeg").as("share"))
+        .groupBy("dst")
+        .agg(sum(col("share")).as("in_pr"))
+      pr = nodes
+        .join(in, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("(coalesce(in_pr, 0L) * 85) div 100"))
+            .as("pr"))
+    }
+    pr.select(col("node").as("part_key"), col("pr").as("pr_micro"))
+  }
+}

@@ -214,6 +214,54 @@ object Expressions {
     GraftBridge.column(SortedIntersectSize(GraftBridge.expression(a), GraftBridge.expression(b)))
   def winnowFingerprints(c: Column, k: Int, w: Int): Column =
     GraftBridge.column(WinnowFingerprints(GraftBridge.expression(c), k, w))
+  def gramArray(c: Column, k: Int): Column =
+    GraftBridge.column(GramArray(GraftBridge.expression(c), k))
+}
+
+/** All positional k-character grams of a string in ONE pass. The naive
+  * relational form — `explode(sequence(...))` + `substring(text, pos, k)`
+  * — is quadratic per document: UTF8String.substring re-scans from the
+  * string head on every call to find the codepoint offset, so a 300-char
+  * doc costs ~45 000 char steps instead of ~300. This expression computes
+  * the codepoint byte-offset table once and slices each gram directly
+  * (O(len·k) bytes per row, no re-scans). Semantics match
+  * `substring(text, i, k)` for every i exactly (codepoint-counted, like
+  * Spark's and DuckDB's substring), so oracle SQL can keep using the
+  * naive form.
+  */
+object Grams {
+  def all(s: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    // codepoint start offsets (UTF-8: starts are bytes not matching 10xxxxxx)
+    val starts = new Array[Int](s.numChars() + 1)
+    var n = 0
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) { starts(n) = i; n += 1 }
+      i += 1
+    }
+    starts(n) = bytes.length
+    if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.empty[Any])
+    val out = new Array[Any](n - k + 1)
+    var j = 0
+    while (j <= n - k) {
+      out(j) = UTF8String.fromBytes(
+        java.util.Arrays.copyOfRange(bytes, starts(j), starts(j + k)))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+case class GramArray(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Grams.all(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Grams.all($c, $k)")
+  override protected def withNewChildInternal(c: Expression): GramArray =
+    copy(child = c)
 }
 /** Shared two-stream splitmix64 mixer (Steele et al., "Fast Splittable
   * Pseudorandom Number Generators"): one deterministic 64-bit stream per
