@@ -174,6 +174,7 @@ object SparkEntry {
     "x2v_simhash_recompute" -> (ExtQueries.x2vSimhashRecompute _),
     "d10_template_ngrams" -> (ExtQueries.d10TemplateNgrams _),
     "d11_dup_spans" -> (ExtQueries.d11DupSpans _),
+    "g1_pagerank" -> (ExtQueries.g1PageRank _),
     "p17_pos_tokens" -> (ExtQueries.p17PosTokens _),
     "x3_minhash_lsh_pairs" -> (ExtQueries.x3MinhashLshPairs _),
     "x4_ann_topk" -> (ExtQueries.x4AnnTopK _),
@@ -1307,6 +1308,41 @@ object SparkEntry {
                        AS words
                    FROM documents)))
          GROUP BY shingle HAVING count(DISTINCT doc_id) >= 3""",
+    "g1_pagerank" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+         edges AS (
+           SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey <> b.l_partkey),
+         deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         pr0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr
+                 FROM deg),
+         it1 AS (
+           SELECT d.src AS node,
+                  150000 + (coalesce(s.in_pr, 0) * 85) // 100 AS pr
+           FROM deg d LEFT JOIN (
+             SELECT e.dst, sum(p.pr // dg.outdeg) AS in_pr
+             FROM edges e JOIN deg dg ON e.src = dg.src
+                          JOIN pr0 p ON e.src = p.node
+             GROUP BY e.dst) s ON d.src = s.dst),
+         it2 AS (
+           SELECT d.src AS node,
+                  150000 + (coalesce(s.in_pr, 0) * 85) // 100 AS pr
+           FROM deg d LEFT JOIN (
+             SELECT e.dst, sum(p.pr // dg.outdeg) AS in_pr
+             FROM edges e JOIN deg dg ON e.src = dg.src
+                          JOIN it1 p ON e.src = p.node
+             GROUP BY e.dst) s ON d.src = s.dst),
+         it3 AS (
+           SELECT d.src AS node,
+                  150000 + (coalesce(s.in_pr, 0) * 85) // 100 AS pr
+           FROM deg d LEFT JOIN (
+             SELECT e.dst, sum(p.pr // dg.outdeg) AS in_pr
+             FROM edges e JOIN deg dg ON e.src = dg.src
+                          JOIN it2 p ON e.src = p.node
+             GROUP BY e.dst) s ON d.src = s.dst)
+         SELECT node AS part_key, CAST(pr AS BIGINT) AS pr_micro
+         FROM it3""",
     "d11_dup_spans" ->
       """WITH g AS (
            SELECT doc_id, pos, substring(text, pos, 25) AS gram FROM (

@@ -194,7 +194,7 @@ object Dedup {
     * frame (safe only when nothing will read that frame again — the RDD's
     * lineage was truncated, so its blocks cannot be recomputed).
     */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
+  private[ext] def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectFirst {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))

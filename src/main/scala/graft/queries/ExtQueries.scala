@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Graph, Multimodal, Similarity, TextAnalysis}
 import graft.functions.Expressions.simhash64
 
 /** SURVEY.md §7.4 extension operators as driver-checkable queries.
@@ -35,6 +35,12 @@ object ExtQueries {
   /** Exact substring-duplication spans (Lee et al. 2022 ExactSubstr). */
   def d11DupSpans(s: SparkSession, dir: String): DataFrame =
     Dedup.dupSpans(s, dir, k = 25)
+
+  /** Integer-micros PageRank over the co-order part graph (3 unrolled
+    * power iterations — bit-identical across engines by construction).
+    */
+  def g1PageRank(s: SparkSession, dir: String): DataFrame =
+    Graph.pageRank(s, dir, iters = 3)
 
   // ---- similarity search -------------------------------------------------
 

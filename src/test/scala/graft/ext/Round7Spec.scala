@@ -104,4 +104,22 @@ class Round7Spec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(spans == Seq((1L, 31L, 70L), (2L, 21L, 60L)), spans.toString)
   }
+
+  test("g1: integer-micros PageRank matches hand-computed one iteration") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-g1").toString
+    // order 10 holds parts {1,2,3}; order 20 holds parts {1,4}:
+    // edges 1<->2, 1<->3, 2<->3, 1<->4; outdeg 1:3, 2:2, 3:2, 4:1
+    Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val pr = Graph.pageRank(spark, dir, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pr0 = 1_000_000 each. shares: 1 -> 333333 to each of {2,3,4};
+    // 2 -> 500000 to {1,3}; 3 -> 500000 to {1,2}; 4 -> 1000000 to {1}.
+    // in(1)=2_000_000, in(2)=in(3)=833_333, in(4)=333_333;
+    // pr1 = 150000 + in*85 div 100
+    assert(pr == Map(1L -> 1850000L, 2L -> 858333L, 3L -> 858333L,
+      4L -> 433333L), pr.toString)
+  }
 }
