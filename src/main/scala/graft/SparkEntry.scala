@@ -129,6 +129,8 @@ object SparkEntry {
     "h1_length_histogram" -> (ExtQueries.h1LengthHistogram _),
     "t11_relative_quality_gate" -> (ExtQueries.t11RelativeQualityGate _),
     "t12_pii_redact" -> (ExtQueries.t12PiiRedact _),
+    "x16_cms_counts" -> (ExtQueries.x16CmsTokens _),
+    "x16v_cms_lower_bound" -> (ExtQueries.x16vCmsLowerBound _),
     "z1_zorder_key" -> (ExtQueries.z1ZorderKey _),
     "d5_embedding_bucket_dedup" -> (ExtQueries.d5EmbeddingBucketDedup _),
     "ct1_contamination" -> (ExtQueries.ct1Contamination _),
@@ -212,7 +214,7 @@ object SparkEntry {
     "x3v_lsh_subset_exact",
     "x4v_ann_scores_match_brute", "x4r_ann_recall", "x5v_frame_roundtrip",
     "x6v_decode_roundtrip", "x7v_hll_error_bound", "x8v_ivf_subset_exact",
-    "x9v_kmv_exact_small")
+    "x9v_kmv_exact_small", "x16v_cms_lower_bound")
   require(invariantQueries.subsetOf(queries.keySet),
     s"unknown invariant keys: ${invariantQueries.diff(queries.keySet)}")
 
@@ -1004,6 +1006,11 @@ object SparkEntry {
     "x7v_hll_error_bound" ->
       """SELECT event_type, CAST(1 AS INT) AS within_bound
          FROM events GROUP BY event_type""",
+    "x16v_cms_lower_bound" ->
+      """SELECT DISTINCT unnest(list_filter(string_split(text, ' '),
+                w -> len(w) > 0)) AS token,
+              CAST(1 AS INT) AS ge_true
+         FROM documents""",
     "x11v_quant_cosine_bound" ->
       """SELECT vec_id, CAST(1 AS INT) AS within_bound FROM embeddings""",
     "mm1_binary_meta" ->

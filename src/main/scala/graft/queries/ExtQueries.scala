@@ -79,6 +79,45 @@ object ExtQueries {
   def t12PiiRedact(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.piiRedact(s, dir)
 
+  private def tokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+
+  /** Count-Min token counts vs exact — top 100 by true count. Rows-only
+    * (the estimate has no SQL form); x16v pins the one-sided guarantee.
+    */
+  def x16CmsTokens(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(s, dir)
+    val sk = t.agg(graft.functions.CountMin.sketch(col("token"), 4, 2048)
+      .as("sk"))
+    t.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(sk))
+      .select(col("token"), col("cnt"),
+        graft.functions.CountMin.cmsEstimate(col("sk.cells"), col("token"),
+          4, 2048).as("est"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(100)
+  }
+
+  /** CMS one-sided guarantee, gate-checked over EVERY distinct token:
+    * cells only over-count, so estimate ≥ true always — `ge_true` must
+    * be 1 on every row to hash-match the oracle's literal 1s. (The
+    * probabilistic upper tail is pinned empirically in ScalaTest; it is
+    * per-item probabilistic, so it has no deterministic per-row form.)
+    */
+  def x16vCmsLowerBound(s: SparkSession, dir: String): DataFrame = {
+    val t = tokens(s, dir)
+    val sk = t.agg(graft.functions.CountMin.sketch(col("token"), 4, 2048)
+      .as("sk"))
+    t.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(sk))
+      .select(col("token"),
+        when(graft.functions.CountMin.cmsEstimate(col("sk.cells"),
+          col("token"), 4, 2048) >= col("cnt"), lit(1)).otherwise(lit(0))
+          .cast("int").as("ge_true"))
+  }
+
   /** Composed curation chain: quality gate → language gate → dedup →
     * token accounting (fully SQL-expressible, so oracle-checked).
     */
