@@ -52,4 +52,28 @@ class CountMinSpec extends SparkSpec {
       .filter(col("ge_true") =!= 1).count()
     assert(bad == 0L)
   }
+
+  test("CMS aggregates an unbounded stream with fixed state: cumulative " +
+      "sketch across micro-batches equals the batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val mem = MemoryStream[String](1)(implicitly, spark.sqlContext)
+    val q = mem.toDF().toDF("v")
+      .agg(CountMin.sketch(col("v"), 4, 256).as("sk"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cms_stream").start()
+    mem.addData(Seq.fill(30)("hot") ++ Seq.fill(5)("warm"): _*)
+    q.processAllAvailable()
+    mem.addData(Seq.fill(20)("hot") ++ Seq("cold"): _*)
+    q.processAllAvailable()
+    val sk = spark.sql("SELECT sk.cells FROM cms_stream").collect()(0)
+      .getSeq[Long](0)
+    q.stop()
+    val cells = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      sk.toArray)
+    def est(v: String) = CountMin.estimate(cells,
+      org.apache.spark.unsafe.types.UTF8String.fromString(v), 4, 256)
+    assert(est("hot") == 50L && est("warm") == 5L && est("cold") == 1L,
+      s"${est("hot")} ${est("warm")} ${est("cold")}")
+  }
 }
