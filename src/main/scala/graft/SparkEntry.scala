@@ -129,6 +129,7 @@ object SparkEntry {
     "h1_length_histogram" -> (ExtQueries.h1LengthHistogram _),
     "t11_relative_quality_gate" -> (ExtQueries.t11RelativeQualityGate _),
     "t12_pii_redact" -> (ExtQueries.t12PiiRedact _),
+    "t13_gopher_rules" -> (ExtQueries.t13GopherRules _),
     "x16_cms_counts" -> (ExtQueries.x16CmsTokens _),
     "x16v_cms_lower_bound" -> (ExtQueries.x16vCmsLowerBound _),
     "z1_zorder_key" -> (ExtQueries.z1ZorderKey _),
@@ -1011,6 +1012,30 @@ object SparkEntry {
                 w -> len(w) > 0)) AS token,
               CAST(1 AS INT) AS ge_true
          FROM documents""",
+    "t13_gopher_rules" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> len(x) > 0)
+                    AS words
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+                  CAST(len(words) AS BIGINT) AS n_words,
+                  CAST(list_sum(list_transform(words, x -> len(x)))
+                    AS BIGINT) AS total_chars,
+                  len(list_filter(words, x -> x IN
+                    ('the', 'a', 'of', 'and', 'in', 'to'))) AS n_stop
+           FROM w)
+         SELECT doc_id, n_words,
+                CAST(n_words >= 30 AND n_words <= 100000 AS INT) AS ok_len,
+                CAST(total_chars >= n_words * 3 AND
+                     total_chars <= n_words * 10 AS INT) AS ok_mwl,
+                CAST(n_stop >= 2 AS INT) AS ok_stop,
+                CAST(n_words >= 30 AND n_words <= 100000 AND
+                     total_chars >= n_words * 3 AND
+                     total_chars <= n_words * 10 AND
+                     n_stop >= 2 AS INT) AS kept
+         FROM m""",
     "x11v_quant_cosine_bound" ->
       """SELECT vec_id, CAST(1 AS INT) AS within_bound FROM embeddings""",
     "mm1_binary_meta" ->

@@ -200,6 +200,38 @@ object TextAnalysis {
       md5(col("text")).as("md5_hex"),
       xxhash64(sort_array(array_distinct(split(col("text"), " ")))).as("bag_hash"))
 
+  /** Gopher-style rule gate (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", table A1 — the
+    * published heuristic rule set C4/MassiveText-class pipelines apply
+    * before training): word-count window, mean-word-length window,
+    * minimum stopword evidence. Every rule is evaluated in INTEGER
+    * arithmetic (`3·n ≤ total_chars ≤ 10·n` instead of a float mean), so
+    * the flags are engine-exact. One codegen'd projection over the scan —
+    * no shuffle at all; at 100 TB this is a map-only pass.
+    */
+  def gopherRules(s: SparkSession, dir: String,
+      minWords: Int = 30, maxWords: Int = 100000): DataFrame =
+    docs(s, dir)
+      .withColumn("words",
+        filter(split(col("text"), " "), w => length(w) > 0))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("total_chars", expr(
+        "CAST(aggregate(transform(words, w -> length(w)), 0, " +
+          "(acc, x) -> acc + x) AS BIGINT)"))
+      .select(
+        col("doc_id"), col("n_words"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .cast("int").as("ok_len"),
+        (col("total_chars") >= col("n_words") * 3 &&
+          col("total_chars") <= col("n_words") * 10)
+          .cast("int").as("ok_mwl"),
+        (size(filter(col("words"),
+          w => w.isin("the", "a", "of", "and", "in", "to"))) >= 2)
+          .cast("int").as("ok_stop"))
+      .withColumn("kept",
+        (col("ok_len") === 1 && col("ok_mwl") === 1 && col("ok_stop") === 1)
+          .cast("int"))
+
   /** PII regexes shared by detect + redact. Kept to the RE2-compatible
     * subset (no lookaround, no backrefs) so the same pattern strings run
     * byte-identically under Java regex (Spark) and RE2 (the DuckDB

@@ -79,6 +79,10 @@ object ExtQueries {
   def t12PiiRedact(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.piiRedact(s, dir)
 
+  /** Gopher rule gate (published heuristic set, integer-exact flags). */
+  def t13GopherRules(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherRules(s, dir)
+
   private def tokens(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(explode(split(col("text"), " ")).as("token"))
