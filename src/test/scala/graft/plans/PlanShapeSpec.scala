@@ -176,4 +176,35 @@ class PlanShapeSpec extends SparkSpec {
         s"$q plans a CartesianProduct")
     }
   }
+
+  test("d11/g1/t12/t13: equi-joins only; span assembly is ONE window " +
+      "pass; the rule gates are map-only (zero exchanges)") {
+    for (q <- Seq("d11_dup_spans", "g1_pagerank")) {
+      assert(plan(q).collect { case c: CartesianProductExec => c }.isEmpty,
+        s"$q plans a CartesianProduct")
+    }
+    // Sorts/exchanges are inserted by EnsureRequirements, so pin the
+    // POST-preparation plan (AQE off for determinism) for these:
+    val aqePrev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def executed(name: String) =
+        SparkEntry.queries(name)(spark, d).queryExecution.executedPlan
+      // both island windows (lag + running sum) share one doc_id sort
+      val p11 = executed("d11_dup_spans")
+      val wins = p11.collect { case w: WindowExec => w }
+      assert(wins.length == 2, s"d11 has ${wins.length} WindowExec nodes")
+      val sorts = p11.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }
+      assert(sorts.length == 1,
+        s"d11 should sort once for both window passes, found ${sorts.length}")
+      // map-only text gates: one codegen span over the scan, no shuffle
+      for (q <- Seq("t12_pii_redact", "t13_gopher_rules")) {
+        assert(executed(q).collect {
+          case e: ShuffleExchangeExec => e }.isEmpty,
+          s"$q shuffles — it should be a pure projection")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
+  }
 }
