@@ -130,6 +130,7 @@ object SparkEntry {
     "t11_relative_quality_gate" -> (ExtQueries.t11RelativeQualityGate _),
     "t12_pii_redact" -> (ExtQueries.t12PiiRedact _),
     "t13_gopher_rules" -> (ExtQueries.t13GopherRules _),
+    "v2_bpe_merge_pairs" -> (ExtQueries.v2BpeMergePairs _),
     "x16_cms_counts" -> (ExtQueries.x16CmsTokens _),
     "x16v_cms_lower_bound" -> (ExtQueries.x16vCmsLowerBound _),
     "z1_zorder_key" -> (ExtQueries.z1ZorderKey _),
@@ -1036,6 +1037,18 @@ object SparkEntry {
                      total_chars <= n_words * 10 AND
                      n_stop >= 2 AS INT) AS kept
          FROM m""",
+    "v2_bpe_merge_pairs" ->
+      """WITH w AS (
+           SELECT list_filter(string_split(text, ' '), x -> len(x) > 0)
+                    AS words
+           FROM documents),
+         p AS (
+           SELECT words[i] AS w1, words[i + 1] AS w2
+           FROM (SELECT words, unnest(range(1, len(words))) AS i
+                 FROM w WHERE len(words) >= 2))
+         SELECT w1, w2, count(*) AS n_pair
+         FROM p GROUP BY w1, w2
+         ORDER BY n_pair DESC, w1, w2 LIMIT 50""",
     "x11v_quant_cosine_bound" ->
       """SELECT vec_id, CAST(1 AS INT) AS within_bound FROM embeddings""",
     "mm1_binary_meta" ->

@@ -150,6 +150,26 @@ object TextAnalysis {
       .select("doc_id", "ws_tokens")
   }
 
+  /** BPE-style merge-candidate mining: the most frequent ADJACENT token
+    * pairs over the corpus token stream — the scoring step of every
+    * byte-pair-encoding merge round (Sennrich et al. 2016), lifted to
+    * the word level the way tokenizer trainers batch it. Pair explode →
+    * compact-key count → bounded top-k; at 100 TB the partial aggregate
+    * does nearly all the work map-side (pair vocabulary ≪ stream).
+    */
+  def bpeMergePairs(s: SparkSession, dir: String, k: Int = 50): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), w => length(w) > 0).as("words"))
+      .filter(size(col("words")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(words) - 2), " +
+          "i -> struct(words[i] AS w1, words[i + 1] AS w2))")).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .orderBy(col("n_pair").desc, col("w1"), col("w2"))
+      .limit(k)
+
   /** Vocabulary building: global token counts and document frequency, top
     * `size` by (count desc, token) — the tokenizer-training precursor. The
     * explode shuffles one row per token occurrence; at 100 TB pre-aggregate

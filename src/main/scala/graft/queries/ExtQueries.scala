@@ -83,6 +83,10 @@ object ExtQueries {
   def t13GopherRules(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.gopherRules(s, dir)
 
+  /** BPE merge-candidate mining (top adjacent token pairs). */
+  def v2BpeMergePairs(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeMergePairs(s, dir, k = 50)
+
   private def tokens(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(explode(split(col("text"), " ")).as("token"))
