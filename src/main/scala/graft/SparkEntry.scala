@@ -229,7 +229,11 @@ object SparkEntry {
     val m = oracleSqlPairs.toMap
     require(m.size == oracleSqlPairs.size,
       s"duplicate oracleSql keys: ${oracleSqlPairs.map(_._1).diff(m.keys.toSeq).distinct.mkString(", ")}")
-    m
+    // x14's oracle re-derives codes through the codebook parquet this
+    // JVM wrote; it exists only after the PQ build ran (Verify runs all
+    // queries before dumping oracle_sql.json, so it is always present
+    // on the gate path).
+    m ++ graft.ext.ProductQuant.x14OracleEntry
   }
 
   /** d3's exact pair graph as a reusable CTE body (d3 selects it

@@ -139,55 +139,81 @@ object Dedup {
       jaccardMin)
   }
 
-  /** Connected components over a near-dup pair graph by min-label
-    * propagation: every node's label converges to the smallest doc_id
-    * reachable from it — the cluster id. This is the step after pair
-    * mining in a real dedup pipeline (pairs alone don't say which docs to
-    * keep; clusters + a canonical representative do).
+  /** Connected components over a near-dup pair graph by alternating
+    * large-star/small-star CONTRACTION (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014): every node ends up
+    * pointing at the smallest doc_id reachable from it — the cluster id.
+    * This is the step after pair mining in a real dedup pipeline (pairs
+    * alone don't say which docs to keep; clusters + a canonical
+    * representative do).
     *
-    * Iterative Spark jobs, one shuffle per round, O(graph diameter)
-    * rounds — near-dup graphs are unions of small cliques, so diameter is
-    * tiny. At larger diameters the large-star/small-star variant (Kiveris
-    * et al., "Connected Components in MapReduce and Beyond", SoCC 2014)
-    * halves rounds; not needed for clique-shaped dup graphs.
+    * Why contraction and not min-label propagation (the r1-r8
+    * implementation): propagation re-joins the FULL pair graph against
+    * the label table every round for O(diameter) rounds — on a dense
+    * duplicate graph (the 100 TB risk case) that is an edge-count-sized
+    * shuffle per round over a graph that never shrinks. Star rounds
+    * CONTRACT the edge set: after one large+small round a clique
+    * collapses to a star, so later rounds shuffle node-count-sized data,
+    * and the round bound is O(log n) regardless of diameter or density.
+    *
+    * Each star op is one hash exchange + in-partition sort (the window
+    * min over the node's neighbor list) plus a dedup exchange;
+    * localCheckpoint each round truncates the otherwise-doubling
+    * iterative plan, and superseded rounds' blocks are unpersisted
+    * (session-lifetime pinning starves later queries).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val und = edges.select(col("doc_a").as("n"), col("doc_b").as("m"))
-      .union(edges.select(col("doc_b").as("n"), col("doc_a").as("m")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("u")
+    // large-star: every neighbor v > u connects to m = min(Γ(u) ∪ {u});
+    // small-star: every neighbor v ≤ u, and u itself, connects to m.
+    // Both emit one row per undirected-neighbor row — never more edges
+    // than 2|E|, and strictly fewer once stars form.
+    def star(cur: DataFrame, large: Boolean): DataFrame = {
+      val und = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+      val withM = und.withColumn("m",
+        least(col("u"), min("v").over(w)))
+      val out =
+        if (large)
+          withM.filter(col("v") > col("u"))
+            .select(col("v").as("u"), col("m").as("v"))
+        else
+          withM.filter(col("v") <= col("u"))
+            .select(col("v").as("u"), col("m").as("v"))
+            .union(withM.select(col("u"), col("m")))
+      out.filter(col("u") =!= col("v")).dropDuplicates("u", "v")
+    }
+    // convergence = canonical edge set unchanged across a full round,
+    // checked as (count, xxhash64 bit_xor) over the checkpointed blocks —
+    // a scan-reduce, no extra shuffle, and xor never overflows under
+    // ANSI mode; a false-equal needs a ~2^-64 collision on a DEDUPED set
+    // of 64-bit hashes
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var e = edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .filter(col("u") =!= col("v")).dropDuplicates("u", "v")
       .localCheckpoint(true)
-    // localCheckpoint each round: an iterative dataflow otherwise doubles
-    // its logical plan per iteration (the round-N frame references round
-    // N-1's whole plan) until planning itself OOMs
-    // Init fused with round 1: label(n) = min(n, min of n's neighbors) in
-    // ONE shuffle (the naive init-to-self + propagate costs a distinct plus
-    // a join for the same state). For clique-shaped dup graphs this is
-    // already the fixpoint and the loop below runs once, just to verify.
-    var labels = und.groupBy("n")
-      .agg(least(col("n"), min(col("m"))).as("label")).localCheckpoint(true)
-    var changed = 1L
+    var fp = fingerprint(e)
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val nbrMin = und
-        .join(labels.select(col("n").as("m"), col("label").as("nl")), "m")
-        .groupBy("n").agg(min("nl").as("nl"))
-      // one materialization per round carrying a change flag: the
-      // convergence check is then a scan over the checkpointed blocks, not
-      // another shuffle join against the previous round
-      val next = labels.join(nbrMin, Seq("n"), "left")
-        .select(col("n"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
-          (coalesce(col("nl"), col("label")) < col("label")).as("_chg"))
+    var converged = fp._1 == 0L
+    while (!converged && iter < maxIter) {
+      val next = star(star(e, large = true), large = false)
         .localCheckpoint(true)
-      changed = next.filter(col("_chg")).count()
-      // the superseded round's blocks are dead once the changed-count has
-      // consumed them — without this, every round's labels stay pinned in
-      // executor memory for the SESSION lifetime, starving later queries
-      unpersistCheckpoint(labels)
-      labels = next.drop("_chg")
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      unpersistCheckpoint(e)
+      e = next
+      fp = nfp
       iter += 1
     }
-    unpersistCheckpoint(und)
-    labels.select(col("n").as("doc_id"), col("label").as("cluster_id"))
+    // fixpoint is a star forest: every edge is (member, component-min);
+    // roots appear only on the v side and label themselves
+    e.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(e.select(col("v").as("doc_id"), col("v").as("cluster_id")))
+      .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
   }
 
   /** Release the block-store storage behind an eager localCheckpoint'd

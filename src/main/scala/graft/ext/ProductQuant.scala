@@ -37,8 +37,16 @@ object ProductQuant {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  private case class Built(path: String, dsub: Int)
+
   private val built =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, Built]()
+
+  /** Most recent artifact (Verify runs one sf dir per JVM); lets
+    * [[graft.SparkEntry.oracleSql]] emit a DuckDB oracle that re-derives
+    * the argmin codes from the codebook parquet this JVM wrote.
+    */
+  @volatile private var lastBuilt: Built = null
 
   /** argmin over (d2, code) for one subspace's centroid list, as a
     * least() fold; `sub` is the 1-BASED slice start of the subspace.
@@ -62,8 +70,8 @@ object ProductQuant {
     * array<int>[m]).
     */
   def pqDir(s: SparkSession, dir: String, m: Int = M,
-      ksub: Int = KSub, seed: Long = 42L): String =
-    built.computeIfAbsent(s"$dir|$m|$ksub|$seed", _ => {
+      ksub: Int = KSub, seed: Long = 42L): String = {
+    val b = built.computeIfAbsent(s"$dir|$m|$ksub|$seed", _ => {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       import s.implicits._
@@ -92,13 +100,55 @@ object ProductQuant {
       }
       e.select(col("vec_id"), array(codeCols: _*).as("codes"))
         .write.parquet(s"$out/codes")
-      out
+      Built(out, dsub)
     })
+    lastBuilt = b
+    b.path
+  }
 
-  /** x14: the code table — m small codes per vector. */
+  /** x14: the code table, one row per (vec_id, subspace, code) — three
+    * BIGINTs, so the gate hasher never sees an array column (the r8
+    * pandas `sort_values` crash class). The packed array<int> form
+    * stays internal to `codes/` for ADC.
+    */
   def x14PqCodes(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"${pqDir(s, dir)}/codes")
-      .select(col("vec_id"), col("codes"))
+      .select(col("vec_id"),
+        posexplode(col("codes")).as(Seq("subspace", "code")))
+      .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
+        col("code").cast("long").as("code"))
+
+  /** DuckDB oracle for x14, available once this JVM has built the PQ
+    * artifact (Verify runs all queries before dumping oracle_sql.json):
+    * re-derives each code as the argmin centroid of its subspace,
+    * tie-broken on the smaller code — INDEPENDENTLY of the Spark
+    * encoder, through the codebook parquet on disk.
+    */
+  def x14OracleEntry: Seq[(String, String)] =
+    Option(lastBuilt).toSeq.map { b =>
+      "x14_pq_codes" ->
+        s"""WITH books AS (
+              SELECT subspace, code, centroid
+              FROM read_parquet('${b.path}/codebooks/*.parquet')),
+            sub AS (
+              SELECT e.vec_id, t.j AS subspace,
+                     list_transform(
+                       list_slice(e.embedding, t.j * ${b.dsub} + 1,
+                                  t.j * ${b.dsub} + ${b.dsub}),
+                       x -> CAST(x AS DOUBLE)) AS sub
+              FROM embeddings e CROSS JOIN range($M) t(j)),
+            scored AS (
+              SELECT s.vec_id, s.subspace, b.code,
+                     list_sum(list_transform(range(1, ${b.dsub + 1}),
+                       i -> (s.sub[i] - b.centroid[i])
+                          * (s.sub[i] - b.centroid[i]))) AS d2
+              FROM sub s JOIN books b ON s.subspace = b.subspace)
+            SELECT vec_id, CAST(subspace AS BIGINT) AS subspace,
+                   CAST(code AS BIGINT) AS code
+            FROM scored
+            QUALIFY row_number() OVER (
+              PARTITION BY vec_id, subspace ORDER BY d2, code) = 1"""
+    }
 
   /** x14v violation oracle: (a) every code must be the argmin centroid
     * of its subspace under an INDEPENDENT recomputation (SQL HOFs over

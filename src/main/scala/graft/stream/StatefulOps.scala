@@ -101,25 +101,25 @@ object StatefulOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (userId: Long, batch: Iterator[FunnelEvent],
          state: GroupState[FunnelState]) => {
-          val sorted = batch.toSeq.sortBy(e => (e.es, e.eventType))
           var st = state.getOption.getOrElse(
             FunnelState(Long.MinValue, false, Nil, Long.MinValue))
-          // earliest pending purchase inside the window of the current view
-          def matchPending(): Option[FunnelConversion] =
-            if (st.converted || st.viewEs == Long.MinValue) None
-            else st.pending
-              .filter(p => p > st.viewEs && p <= st.viewEs + windowSec)
-              .sorted.headOption.map { p =>
-                st = st.copy(converted = true, pending = Nil)
-                FunnelConversion(userId, st.viewEs, p)
-              }
+          // Re-inject buffered purchases as synthetic events and process
+          // the UNION in event-time order — an eager state-buffer match on
+          // the view branch would let a buffered purchase@1000 beat an
+          // in-batch purchase@100 after view@50 (the r8 ADVICE bug: the
+          // emitted purchase must be the FIRST qualifying one). maxEs is
+          // unaffected: a buffered p was folded into maxEs when it first
+          // arrived, so the re-run max() is a no-op.
+          val buffered = st.pending.map(p => FunnelEvent(userId, "purchase", p))
+          st = st.copy(pending = Nil)
+          val sorted = (batch.toSeq ++ buffered).sortBy(e => (e.es, e.eventType))
           val out = sorted.flatMap { e =>
             st = st.copy(maxEs = math.max(st.maxEs, e.es))
             e.eventType match {
               case "view" if !st.converted &&
                   (st.viewEs == Long.MinValue || e.es < st.viewEs) =>
                 st = st.copy(viewEs = e.es)
-                matchPending()
+                None
               case "purchase" if !st.converted && st.viewEs != Long.MinValue &&
                   e.es > st.viewEs && e.es <= st.viewEs + windowSec =>
                 st = st.copy(converted = true, pending = Nil)

@@ -12,13 +12,17 @@ class ProductQuantSpec extends SparkSpec {
 
   private val d = sf("sf0.001")
 
-  test("x14: every vector gets m codes, each in [0, ksub)") {
+  test("x14: every vector gets exactly one code per subspace, " +
+      "each in [0, ksub)") {
     val c = ProductQuant.x14PqCodes(spark, d).cache()
     val n = spark.read.parquet(s"$d/embeddings.parquet").count()
-    assert(c.count() == n)
-    assert(c.filter(size(col("codes")) =!= ProductQuant.M).count() == 0L)
-    val bad = c.select(explode(col("codes")).as("code"))
-      .filter(col("code") < 0 || col("code") >= ProductQuant.KSub)
+    assert(c.count() == n * ProductQuant.M)
+    // one row per (vec_id, subspace), subspaces 0..m-1 complete
+    assert(c.groupBy("vec_id").agg(count(lit(1)).as("k"),
+        countDistinct(col("subspace")).as("ds"))
+      .filter(col("k") =!= ProductQuant.M || col("ds") =!= ProductQuant.M)
+      .count() == 0L)
+    val bad = c.filter(col("code") < 0 || col("code") >= ProductQuant.KSub)
     assert(bad.count() == 0L)
   }
 

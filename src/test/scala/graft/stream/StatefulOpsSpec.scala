@@ -131,6 +131,19 @@ class StatefulOpsSpec extends SparkSpec {
       mem.addData(FunnelEvent(4L, "purchase", 9500L))
       q.processAllAvailable()
       assert(rows().length == 3, "converted user re-emitted")
+      // u5: a BUFFERED purchase must not beat an earlier in-batch one
+      // (the r8 ADVICE bug): pending=[1000], then {view@50, purchase@100}
+      // in one batch — the first qualifying purchase after the view is
+      // 100, so the conversion is (50, 100), not (50, 1000)
+      mem.addData(FunnelEvent(5L, "purchase", 1000L))
+      q.processAllAvailable()
+      mem.addData(FunnelEvent(5L, "view", 50L),
+        FunnelEvent(5L, "purchase", 100L))
+      q.processAllAvailable()
+      assert(rows().toSet.contains((5L, 50L, 100L)),
+        s"buffered purchase beat the earlier in-batch one: " +
+          rows().filter(_._1 == 5L).mkString(","))
+      assert(rows().count(_._1 == 5L) == 1)
     } finally q.stop()
   }
 
