@@ -417,9 +417,12 @@ object Multimodal {
   }
 
   /** `missing_media` violation rows: one per expected id absent from
-    * `emitted`. The anti-join re-runs the emitting pipeline for its id
-    * projection (typed mapPartitions blocks column pruning) — acceptable
-    * ×2 in the invariant set, which scale sweeps exclude.
+    * `emitted`. Callers pass a SMALL persisted frame (ids or per-id
+    * rollups, payloads projected away) so the decode pipeline runs once
+    * per invariant, not once per consumer — the r8 finding: the naive
+    * anti-join on the raw typed pipeline re-ran generate→decode a second
+    * time for an id projection (typed mapPartitions blocks pruning),
+    * ~6 s of the 31 s invariant bill.
     */
   private def missingMediaViolations(s: SparkSession, dir: String,
       kinds: Set[String], emitted: DataFrame, field: String): DataFrame =
@@ -429,6 +432,15 @@ object Multimodal {
       .select(col("media_id"), lit(field).as("field"),
         lit(0L).as("got"), lit(1L).as("want"))
 
+  /** Persist a small (payload-free) invariant intermediate so its two
+    * consumers (violation filter + presence anti-join) share ONE decode
+    * pass. MEMORY_AND_DISK: rows are id+scalars, a few KB per thousand
+    * media rows; invariants run once per sweep so the pinned footprint
+    * is bounded and tiny.
+    */
+  private def shareSmall(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** x6v: decode(generate(id)) must reproduce the generator's parameters —
     * image dims, video dims + frame count, audio sample-frame count — and
     * every n_bytes must equal the payload length. Emits one row per
@@ -437,7 +449,10 @@ object Multimodal {
     */
   def featuresRoundtripViolations(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val feats = extractFeatures(s, dir)
+    // MediaFeatures carries no payload — persist the decoded rows so the
+    // field checks and the missing-media anti-join share one decode pass
+    val featsDf = shareSmall(extractFeatures(s, dir).toDF())
+    val feats = featsDf.as[MediaFeatures]
     val fieldViolations = feats.flatMap { f =>
       val checks: Seq[(String, Long, Long)] = f.kind match {
         case "image" =>
@@ -459,7 +474,7 @@ object Multimodal {
       }
     }.toDF("media_id", "field", "got", "want")
     fieldViolations.union(missingMediaViolations(s, dir,
-      Set("image", "audio", "video"), feats.toDF(), "missing_media"))
+      Set("image", "audio", "video"), featsDf, "missing_media"))
   }
 
   /** x5v: per video, the sampler must emit exactly ceil(nFrames/stride)
@@ -481,7 +496,10 @@ object Multimodal {
     // the shuffle at one (video, partition) partial, not one row per
     // sampled frame
     val sampled = sampleFrames(s, dir, stride)
-    val perVideo = sampled.as[(Long, Int, Int, Int, Long)]
+    // the per-video rollup (one row per video) is the shared intermediate:
+    // it feeds the violation flatMap AND the missing-video anti-join
+    // presence set, so the demux+decode pipeline runs exactly once
+    val perVideoAgg = shareSmall(sampled.as[(Long, Int, Int, Int, Long)]
       .map { case (id, fi, w, h, _) =>
         val (ew, eh, nf) = MediaGen.videoParams(id)
         val bad =
@@ -490,7 +508,8 @@ object Multimodal {
       }
       .toDF("media_id", "bad")
       .groupBy("media_id")
-      .agg(count(lit(1)).as("n"), sum(col("bad")).as("n_bad"))
+      .agg(count(lit(1)).as("n"), sum(col("bad")).as("n_bad")))
+    val perVideo = perVideoAgg
       .as[(Long, Long, Long)]
       .flatMap { case (id, n, bad) =>
         val (_, _, nf) = MediaGen.videoParams(id)
@@ -502,7 +521,7 @@ object Multimodal {
       }
       .toDF("media_id", "field", "got", "want")
     perVideo.union(missingMediaViolations(s, dir, Set("video"),
-      sampled, "missing_video"))
+      perVideoAgg, "missing_video"))
   }
 
   /** x13v: resize contract — dst dims fit the box, aspect preserved to
@@ -514,8 +533,12 @@ object Multimodal {
       : DataFrame = {
     import s.implicits._
     val resized = resize(s, dir, maxDim)
-    val contract = resized.flatMap { r =>
+    // the flatMap also emits one `__present` marker row per media row:
+    // persisting its SMALL output (no payloads) lets the violation filter
+    // and the missing-media anti-join share one resize+re-decode pass
+    val marked = shareSmall(resized.flatMap { r =>
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+      out += ((r.media_id, "__present", 0L, 0L))
       if (r.dst_width > maxDim || r.dst_height > maxDim)
         out += ((r.media_id, "box", r.dst_width.toLong, maxDim.toLong))
       if (r.dst_width > r.src_width || r.dst_height > r.src_height)
@@ -539,8 +562,9 @@ object Multimodal {
         out += ((r.media_id, "redecode", (dw.toLong << 32) | dh.toLong,
           (r.dst_width.toLong << 32) | r.dst_height.toLong))
       out.toSeq
-    }.toDF("media_id", "field", "got", "want")
+    }.toDF("media_id", "field", "got", "want"))
+    val contract = marked.filter(col("field") =!= "__present")
     contract.union(missingMediaViolations(s, dir, Set("image", "video"),
-      resized.toDF(), "missing_media"))
+      marked.filter(col("field") === "__present"), "missing_media"))
   }
 }

@@ -92,17 +92,31 @@ object ExtQueries {
       .select(explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
 
+  /** One CMS build per data dir, memoized: x16 and x16v previously each
+    * exploded the token stream twice (counts + sketch agg) and rebuilt
+    * the same 4×2048 sketch independently — 4 token-explode passes and 2
+    * sketch builds for one sweep (the r8 ADVICE finding). The collected
+    * cells (64 KB) are embedded as a literal, so each query is now a
+    * single explode+groupBy pass with an in-expression estimate — no
+    * crossJoin, no second aggregation.
+    */
+  private val cmsCellsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+
+  private def cmsCells(s: SparkSession, dir: String): Array[Long] =
+    cmsCellsCache.computeIfAbsent(dir, _ =>
+      tokens(s, dir)
+        .agg(graft.functions.CountMin.sketch(col("token"), 4, 2048).as("sk"))
+        .select(col("sk.cells")).head().getSeq[Long](0).toArray)
+
   /** Count-Min token counts vs exact — top 100 by true count. Rows-only
     * (the estimate has no SQL form); x16v pins the one-sided guarantee.
     */
   def x16CmsTokens(s: SparkSession, dir: String): DataFrame = {
-    val t = tokens(s, dir)
-    val sk = t.agg(graft.functions.CountMin.sketch(col("token"), 4, 2048)
-      .as("sk"))
-    t.groupBy("token").agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(sk))
+    val cells = typedLit(cmsCells(s, dir))
+    tokens(s, dir).groupBy("token").agg(count(lit(1)).as("cnt"))
       .select(col("token"), col("cnt"),
-        graft.functions.CountMin.cmsEstimate(col("sk.cells"), col("token"),
+        graft.functions.CountMin.cmsEstimate(cells, col("token"),
           4, 2048).as("est"))
       .orderBy(col("cnt").desc, col("token"))
       .limit(100)
@@ -115,13 +129,10 @@ object ExtQueries {
     * per-item probabilistic, so it has no deterministic per-row form.)
     */
   def x16vCmsLowerBound(s: SparkSession, dir: String): DataFrame = {
-    val t = tokens(s, dir)
-    val sk = t.agg(graft.functions.CountMin.sketch(col("token"), 4, 2048)
-      .as("sk"))
-    t.groupBy("token").agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(sk))
+    val cells = typedLit(cmsCells(s, dir))
+    tokens(s, dir).groupBy("token").agg(count(lit(1)).as("cnt"))
       .select(col("token"),
-        when(graft.functions.CountMin.cmsEstimate(col("sk.cells"),
+        when(graft.functions.CountMin.cmsEstimate(cells,
           col("token"), 4, 2048) >= col("cnt"), lit(1)).otherwise(lit(0))
           .cast("int").as("ge_true"))
   }
