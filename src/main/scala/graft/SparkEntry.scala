@@ -256,7 +256,128 @@ object SparkEntry {
            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                    / len(list_distinct(a.s || b.s)) >= 0.4)"""
 
+  // --- FNV-1a in DuckDB (r9): the d6/d7/d8 gate rows were `no_oracle`
+  // because their hashes looked SQL-inexpressible. They aren't: FNV-1a is
+  // pure 64-bit integer arithmetic, emulated in DuckDB as HUGEINT
+  // multiply + mod 2^64 with UBIGINT xor. Two generators below mirror the
+  // two hash loops in functions/Expressions.scala exactly (validated
+  // bit-identical): Shingle/Winnow hash UTF-16 units two steps per char;
+  // Fnv.compute hashes UTF-8 bytes one step per char. The corpus is
+  // ASCII, where a DuckDB codepoint equals both the UTF-16 unit and the
+  // UTF-8 byte, so `ord` feeds either loop.
+  private val FnvP = "1099511628211"
+  private val FnvM = "18446744073709551616"
+
+  /** Fixed-width k-gram FNV (Shingle/Winnow loop), statically unrolled:
+    * per char, h = ((h ⊕ c)·P mod 2^64)·P mod 2^64 (the second multiply
+    * is the high-byte step, a ⊕0 no-op on ASCII). Signed two's-complement
+    * conversion at the end matches the Scala Long.
+    */
+  private def fnvGramSql(gramExpr: String, k: Int): String = {
+    var h = "CAST(14695981039346656037 AS HUGEINT)"
+    for (j <- 1 to k) {
+      val c = s"ord(substr($gramExpr, $j, 1))"
+      h = s"(((CAST(xor(CAST(($h) AS UBIGINT), CAST($c AS UBIGINT)) AS " +
+        s"HUGEINT) * $FnvP) % $FnvM) * $FnvP) % $FnvM"
+    }
+    s"CAST(CASE WHEN ($h) >= 9223372036854775808 THEN ($h) - $FnvM " +
+      s"ELSE ($h) END AS BIGINT)"
+  }
+
+  /** Variable-length token FNV (Fnv.compute loop) as a list_reduce fold
+    * over the token's codepoints; result left UNSIGNED (UBIGINT) for
+    * bit tests.
+    */
+  private def fnvTokenSqlU(tokExpr: String): String = {
+    val step = s"((CAST(xor(CAST(acc AS UBIGINT), CAST(c AS UBIGINT)) AS " +
+      s"HUGEINT) * $FnvP) % $FnvM)"
+    s"""CAST(list_reduce(
+          list_prepend(CAST(14695981039346656037 AS HUGEINT),
+            list_transform(range(1, length($tokExpr)+1),
+              j -> CAST(ord(substr($tokExpr, CAST(j AS INT), 1)) AS HUGEINT))),
+          (acc, c) -> $step) AS UBIGINT)"""
+  }
+
+  /** Positional gram hashes + sliding-window minima for winnowing
+    * (k-gram, w=8): yields one row per gram position with the window min
+    * `wm` available from position w-1 on; docs shorter than one window
+    * take the global min (the `cnt <= 8` branches downstream).
+    */
+  private def winnowWinsCte(k: Int): String =
+    s"""pos0 AS (
+         SELECT doc_id, lang, source, text,
+                unnest(range(greatest(length(text)-${k - 1}, 1))) AS i
+         FROM documents),
+       hashed AS (
+         SELECT doc_id, lang, source, CAST(i AS INT) AS i,
+                greatest(length(text)-${k - 1}, 1) AS cnt,
+                ${fnvGramSql(s"substr(text, CAST(i+1 AS INT), $k)", k)} AS h
+         FROM pos0),
+       wins AS (
+         SELECT doc_id, lang, source, i, cnt, h,
+                min(h) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS wm
+         FROM hashed)"""
+
   private val oracleSqlPairs: Seq[(String, String)] = Seq(
+    "d6_winnow_fingerprints" ->
+      s"""WITH ${winnowWinsCte(5)}
+         SELECT doc_id,
+                CAST(CASE WHEN max(cnt) <= 8 THEN 1
+                     ELSE count(DISTINCT wm) FILTER (WHERE i >= 7) END
+                  AS BIGINT) AS n_fingerprints,
+                CAST(count(DISTINCT h) AS BIGINT) AS n_shingles
+         FROM wins GROUP BY doc_id""",
+    "d7_winnow_pairs" ->
+      s"""WITH ${winnowWinsCte(3)},
+         fps AS (
+           SELECT DISTINCT doc_id, lang, source, wm AS fp
+           FROM wins WHERE cnt > 8 AND i >= 7
+           UNION
+           SELECT doc_id, lang, source, min(h) AS fp
+           FROM wins WHERE cnt <= 8 GROUP BY doc_id, lang, source),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM fps a JOIN fps b
+             ON a.lang = b.lang AND a.source = b.source AND a.fp = b.fp
+            AND a.doc_id < b.doc_id),
+         shs AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(0, greatest(length(text)-3, 0)+1),
+             i -> substr(text, CAST(i+1 AS INT), 3))) AS s
+           FROM documents)
+         SELECT c.doc_a, c.doc_b,
+                CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(a.s || b.s)) AS jaccard
+         FROM cand c JOIN shs a ON a.doc_id = c.doc_a
+                     JOIN shs b ON b.doc_id = c.doc_b
+         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(a.s || b.s)) >= 0.4""",
+    "d8_simhash_pairs" ->
+      s"""WITH toks AS (
+           SELECT doc_id, tok, count(*) AS cnt
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents)
+           WHERE tok != '' GROUP BY doc_id, tok),
+         hashed AS (
+           SELECT doc_id, cnt, ${fnvTokenSqlU("tok")} AS h
+           FROM toks),
+         bits AS (
+           SELECT doc_id, CAST(b.b AS INT) AS b,
+                  sum(CASE WHEN (h >> CAST(b.b AS INT)) & 1 = 1
+                      THEN cnt ELSE -cnt END) AS acc
+           FROM hashed CROSS JOIN range(64) b(b)
+           GROUP BY doc_id, b.b),
+         sh AS (
+           SELECT doc_id,
+                  CAST(sum(CASE WHEN acc > 0
+                    THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT)
+                    ELSE 0 END) AS UBIGINT) AS h
+           FROM bits GROUP BY doc_id)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.h, b.h)) <= 3""",
     "s1_scan_filter_project" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
          FROM lineitem WHERE l_quantity < 5 AND l_returnflag = 'R'""",
