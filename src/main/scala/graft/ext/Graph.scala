@@ -65,4 +65,65 @@ object Graph {
     }
     pr.select(col("node").as("part_key"), col("pr").as("pr_micro"))
   }
+
+  /** Convergence-mode PageRank: iterate until the TOTAL L1 delta of the
+    * micro-PR vector drops below `epsMicro` (or `maxIter` as a backstop).
+    * This is the 100 TB formulation the fixed-iteration Scaladoc above
+    * promises: a data-dependent loop body, so each round's rank table is
+    * localCheckpoint'd (plan-growth truncation) and the superseded
+    * round's blocks are unpersisted — the [[Dedup.connectedComponents]]
+    * supersession pattern. The edge/degree tables are checkpointed ONCE
+    * and reused by every round (they never change; without the
+    * checkpoint each round would re-run the self-join edge build).
+    *
+    * Integer micro-units make the delta check exact and engine-stable:
+    * with truncating integer division the iteration reaches a literal
+    * fixpoint (delta 0) rather than oscillating in float ulps, so a
+    * tight eps terminates deterministically. The carried `_old` column
+    * lets the delta be a scan over the new checkpoint — no extra join.
+    *
+    * `g1` stays fixed-iteration (the gate needs a bit-exact DuckDB
+    * replay of the same unrolled steps); ScalaTest pins that this loop
+    * at tight eps agrees with a long fixed run.
+    */
+  def pageRankUntil(s: SparkSession, dir: String, epsMicro: Long = 1000L,
+      maxIter: Int = 50): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.alias("a")
+      .join(li.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    var pr = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
+      .localCheckpoint(true)
+    var delta = Long.MaxValue
+    var iter = 0
+    while (delta >= epsMicro && iter < maxIter) {
+      val in = edges
+        .join(deg, "src")
+        .join(pr.select(col("node").as("src"), col("pr")), "src")
+        .select(col("dst"), expr("pr div outdeg").as("share"))
+        .groupBy("dst")
+        .agg(sum(col("share")).as("in_pr"))
+      val next = pr.select(col("node"), col("pr").as("_old"))
+        .join(in, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("(coalesce(in_pr, 0L) * 85) div 100"))
+            .as("pr"),
+          col("_old"))
+        .localCheckpoint(true)
+      delta = next.agg(sum(abs(col("pr") - col("_old")))).head().getLong(0)
+      Dedup.unpersistCheckpoint(pr)
+      pr = next.drop("_old")
+      iter += 1
+    }
+    Dedup.unpersistCheckpoint(edges)
+    Dedup.unpersistCheckpoint(deg)
+    pr.select(col("node").as("part_key"), col("pr").as("pr_micro"))
+  }
 }

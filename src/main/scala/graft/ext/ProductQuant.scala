@@ -118,6 +118,33 @@ object ProductQuant {
       .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
         col("code").cast("long").as("code"))
 
+  /** Re-encode the embeddings against the BUILT codebook under an
+    * explicit input partitioning — the test surface for the determinism
+    * property: encoding is a pure per-row projection (argmin fold with
+    * deterministic tie-break), so the code table must be identical under
+    * ANY repartitioning. Exercised by ProductQuantSpec over 1..32.
+    */
+  def encodeWithPartitions(s: SparkSession, dir: String,
+      partitions: Int): DataFrame = {
+    val root = pqDir(s, dir)
+    val e = emb(s, dir)
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val dsub = dim / M
+    val books = s.read.parquet(s"$root/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val bySub = books.groupBy(_._1)
+    val codeCols = (0 until M).map { j =>
+      codeCol(j * dsub + 1, dsub,
+        bySub(j).map(b => (b._2, b._3)).sortBy(_._1).toSeq)
+    }
+    e.repartition(partitions)
+      .select(col("vec_id"), array(codeCols: _*).as("codes"))
+      .select(col("vec_id"),
+        posexplode(col("codes")).as(Seq("subspace", "code")))
+      .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
+        col("code").cast("long").as("code"))
+  }
+
   /** DuckDB oracle for x14, available once this JVM has built the PQ
     * artifact (Verify runs all queries before dumping oracle_sql.json):
     * re-derives each code as the argmin centroid of its subspace,

@@ -30,9 +30,23 @@ object StreamSemDedup {
 
   /** `stream` must carry (vec_id, embedding: array<float>). Returns
     * (in_id, corpus_id, cell, cosine) matches with cosine ≥ `tau`.
+    *
+    * `nprobe` bounds the RECALL of the gate exactly like the IVF probe
+    * count in [[graft.ext.Similarity]]: a near-duplicate whose corpus
+    * copy was assigned to a DIFFERENT cell than the arriving vector is
+    * invisible at nprobe=1 (the cells partition the space; neighbors
+    * straddle boundaries). Probing the `nprobe` nearest centroids
+    * multiplies the per-row join fan-out by nprobe and recovers
+    * boundary-straddling matches; nprobe=k is exhaustive (every match
+    * ≥ tau found, brute-force equivalent). Corpus vectors live in
+    * exactly one cell, so probing multiple cells never duplicates an
+    * (in_id, corpus_id) pair. The assignment stays a pure projection —
+    * rank the k (d2, cell) structs, slice nprobe, explode — so the
+    * stream remains stateless in append mode.
     */
   def againstCorpus(stream: DataFrame, s: SparkSession, dir: String,
-      tau: Double = 0.35): DataFrame = {
+      tau: Double = 0.35, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val root = Clustering.clusterDir(s, dir)
     val centroids: Array[(Int, Array[Double])] =
       s.read.parquet(s"$root/centroids").collect()
@@ -43,9 +57,14 @@ object StreamSemDedup {
         val d2 = expr_d2(cLit)
         struct(d2.as("d2"), lit(cell).as("cell"))
     }
+    // array_sort on (d2, cell) structs is ascending lexicographic —
+    // argmin-first with deterministic tie-break, the least() fold
+    // generalized to a ranking; slice keeps the nprobe nearest cells
     val assigned = stream
       .select(col("vec_id").as("in_id"), col("embedding").as("in_emb"))
-      .withColumn("cell", least(candidates: _*).getField("cell"))
+      .withColumn("cell",
+        explode(slice(array_sort(array(candidates: _*)), 1,
+          math.min(nprobe, centroids.length)).getField("cell")))
     val corpus = s.read.parquet(s"$root/assign")
       .join(s.read.parquet(s"$dir/embeddings.parquet"), Seq("vec_id"))
       .select(col("cell"), col("vec_id").as("corpus_id"), col("embedding"))

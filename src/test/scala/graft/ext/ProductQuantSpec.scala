@@ -26,6 +26,18 @@ class ProductQuantSpec extends SparkSpec {
     assert(bad.count() == 0L)
   }
 
+  test("x14 determinism: re-encoding under any repartitioning equals " +
+      "the stored code table") {
+    val stored = ProductQuant.x14PqCodes(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    for (n <- Seq(1, 5, 32)) {
+      val got = ProductQuant.encodeWithPartitions(spark, d, n).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == stored, s"partitions=$n: encode diverged " +
+        s"(extra=${got.diff(stored).take(3)} missing=${stored.diff(got).take(3)})")
+    }
+  }
+
   test("x14v: zero violations; the mean-quality contract bites when " +
       "tightened and holds with margin at the shipped floors") {
     assert(ProductQuant.x14vPqReconstruction(spark, d).count() == 0L)

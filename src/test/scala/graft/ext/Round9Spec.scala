@@ -1,0 +1,32 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Round-9 additions: convergence-mode PageRank. */
+class Round9Spec extends SparkSpec {
+
+  test("pageRankUntil at tight eps agrees with a long fixed-iteration " +
+      "run and frees superseded checkpoint blocks") {
+    val dir = sf("sf0.001")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val conv = Graph.pageRankUntil(spark, dir, epsMicro = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // only the final rank checkpoint may stay pinned (it backs the
+    // returned frame); every superseded round + edges/deg must be freed
+    val leaked = spark.sparkContext.getPersistentRDDs.size - before
+    assert(leaked <= 1, s"$leaked checkpoint RDDs still pinned")
+    // a 40-step unrolled power iteration is far past the integer
+    // fixpoint; the converged loop must land on (essentially) the same
+    // vector — identical nodes, per-node micro-PR within the eps mass
+    val fixed = Graph.pageRank(spark, dir, iters = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(conv.keySet == fixed.keySet)
+    val worst = conv.map { case (k, v) => math.abs(v - fixed(k)) }.max
+    assert(worst <= 1000L, s"max per-node divergence $worst micro-PR")
+    // non-vacuity: one iteration is NOT converged at this eps
+    val one = Graph.pageRank(spark, dir, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(conv.map { case (k, v) => math.abs(v - one(k)) }.max > 1000L,
+      "eps=1000 converged in one step — the agreement check is vacuous")
+  }
+}

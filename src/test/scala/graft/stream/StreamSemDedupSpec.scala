@@ -80,4 +80,45 @@ class StreamSemDedupSpec extends SparkSpec {
       .select("cosine").as[Double].head()
     assert(c1 > 0.9999)
   }
+
+  test("nprobe widens recall monotonically; nprobe=k equals whole-corpus " +
+    "brute force") {
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    val tau = 0.35
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    // 20 query vectors = corpus vectors (offset ids) → guaranteed matches
+    val queries = corpus.take(20).map { case (id, v) => (90000L + id, v) }
+    val df = queries.toSeq.toDF("vec_id", "embedding")
+    val k = spark.read
+      .parquet(s"${Clustering.clusterDir(spark, dir)}/centroids").count().toInt
+    def run(np: Int): Set[(Long, Long)] =
+      StreamSemDedup.againstCorpus(df, spark, dir, tau, nprobe = np)
+        .select("in_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val s1 = run(1); val s2 = run(2); val sk = run(k)
+    assert(s1.subsetOf(s2) && s2.subsetOf(sk),
+      s"recall must be monotone in nprobe: |s1|=${s1.size} |s2|=${s2.size} " +
+        s"|sk|=${sk.size}")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val brute = (for {
+      (qid, qv) <- queries
+      (cid, cv) <- corpus
+      if cos(qv, cv) >= tau
+    } yield (qid, cid)).toSet
+    assert(sk == brute,
+      s"nprobe=k must be exhaustive: extra=${sk.diff(brute).take(5)} " +
+        s"missing=${brute.diff(sk).take(5)}")
+    // non-vacuity: the fixture must actually have boundary-straddling
+    // matches, else the monotonicity claim tests nothing
+    assert(s1 != sk, "nprobe=1 already exhaustive — fixture too easy")
+  }
 }
