@@ -12,16 +12,18 @@ import graft.ml.{Forecaster, GbtLagModel}
   * 109,138,153,195) over [[Api]] + [[Responses]], on the JDK's built-in
   * HTTP server — zero added dependencies, byte-identical endpoint JSON.
   *
-  *   GET /                                  → realtime dropdown symbols
-  *   GET /historical                        → historical dropdown pairs
+  *   GET /                                  → realtime dashboard (HTML)
+  *   GET /historical                        → historical dashboard (HTML)
   *   GET /api/realtime_stats/{sym}          → {"latest":{...},"stats":{...}}
   *   GET /api/chart_data_1m/{sym}           → [[ts_ms, close], ...]
   *   GET /api/historical_data/{sym_tf}?range= → Chart.js {labels, datasets}
   *   GET /api/predict_xgboost/{sym_tf}      → [{timestamp, predicted_price}]
+  *   GET /api/symbols                       → realtime dropdown symbols
+  *   GET /api/historical_pairs              → historical dropdown pairs
   *
-  * The two page routes serve the dropdown DATA as JSON rather than
-  * rendering the reference's HTML templates (dashboards are out of scope —
-  * SURVEY.md §1.3); everything a dashboard polls is served verbatim.
+  * The two page routes render [[Pages]] with the dropdown data injected
+  * server-side per request (the reference's render_template shape); the
+  * same lists stay available as JSON under /api for non-browser clients.
   *
   * Deviations mirrored from the reference, not improved: URL symbols are
   * '-'-encoded and decoded with replace('-','/') (app.py:94); predict
@@ -84,20 +86,27 @@ final class HttpApi(api: Api, modelsDir: Option[String] = None,
     // ONLY the table-absent error maps to [] — scan failures must surface
     // (and get the FileNotFound retry in the exchange plumbing), not hide
     // an outage behind an empty dropdown.
-    server.createContext("/historical", exchange { path =>
+    server.createContext("/api/symbols", exchange { path =>
+      Right(Responses.JArr(realtimeSymbols()
+        .map(Responses.JStr)).render)
+    })
+    server.createContext("/api/historical_pairs", exchange { path =>
+      Right(Responses.JArr(historicalPairs()
+        .map(Responses.JStr)).render)
+    })
+    // The two PAGE routes render the dashboards with the dropdown data
+    // injected server-side per request — the reference's
+    // render_template(available_symbols=...) shape (app.py:86-90,138-151)
+    server.createContext("/historical", page { path =>
       if (path != "/historical" && path != "/historical/") notFound(path)
-      else Right(Responses.JArr(
-        collectOrEmptyIfAbsent(api.historicalPairs().collect())
-          .toIndexedSeq.map(r => Responses.JStr(r.getString(0)))).render)
+      else Right(Pages.historical(historicalPairs()))
     })
     // "/" is the JDK HttpServer catch-all context: bound to the exact root
     // path so typos and unknown routes get a 404 instead of silently
-    // receiving the symbols payload (which would mask client routing bugs).
-    server.createContext("/", exchange { path =>
+    // receiving the dashboard (which would mask client routing bugs).
+    server.createContext("/", page { path =>
       if (path != "/") notFound(path)
-      else Right(Responses.JArr(
-        collectOrEmptyIfAbsent(api.realtimeSymbols().collect())
-          .toIndexedSeq.map(r => Responses.JStr(r.getString(0)))).render)
+      else Right(Pages.realtime(realtimeSymbols()))
     })
     // fixed pool: each request runs a Spark collect, so concurrency is
     // bounded by driver scheduling anyway — size to the expected dashboard
@@ -109,6 +118,14 @@ final class HttpApi(api: Api, modelsDir: Option[String] = None,
   }
 
   def stop(): Unit = if (server != null) server.stop(0)
+
+  private def realtimeSymbols(): IndexedSeq[String] =
+    collectOrEmptyIfAbsent(api.realtimeSymbols().collect())
+      .toIndexedSeq.map(_.getString(0))
+
+  private def historicalPairs(): IndexedSeq[String] =
+    collectOrEmptyIfAbsent(api.historicalPairs().collect())
+      .toIndexedSeq.map(_.getString(0))
 
   /** Empty only for ServingStore's table-absent error; anything else (a
     * corrupt file, a scan failure) propagates to the 500/retry plumbing.
@@ -204,8 +221,16 @@ final class HttpApi(api: Api, modelsDir: Option[String] = None,
       implicit d: DummyImplicit): com.sun.net.httpserver.HttpHandler =
     exchange((path, _) => f(path))
 
+  /** Like [[exchange]] but serves text/html on success; errors (404s,
+    * retries, 500s) keep the JSON error body and content type.
+    */
+  private def page(f: String => Either[(Int, String), String])
+      : com.sun.net.httpserver.HttpHandler =
+    exchange((path, _) => f(path), okContentType = "text/html; charset=utf-8")
+
   private def exchange(
-      f: (String, Map[String, String]) => Either[(Int, String), String])
+      f: (String, Map[String, String]) => Either[(Int, String), String],
+      okContentType: String = "application/json")
       : com.sun.net.httpserver.HttpHandler =
     (ex: HttpExchange) => {
       val (status, body) =
@@ -232,7 +257,8 @@ final class HttpApi(api: Api, modelsDir: Option[String] = None,
           case e: Exception => 500 -> errJson(e.getMessage)
         }
       val bytes = body.getBytes(StandardCharsets.UTF_8)
-      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.getResponseHeaders.set("Content-Type",
+        if (status == 200) okContentType else "application/json")
       ex.sendResponseHeaders(status, bytes.length.toLong)
       val os = ex.getResponseBody
       try os.write(bytes) finally os.close()

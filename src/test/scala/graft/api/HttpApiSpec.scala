@@ -57,9 +57,28 @@ class HttpApiSpec extends SparkSpec {
     assert(body.contains("\"borderColor\":\"rgb(75, 192, 192)\""))
   }
 
-  test("dropdown routes serve the symbols the pages embed") {
-    val (code, body) = get("/historical")
+  test("dropdown JSON routes serve the symbols the pages embed") {
+    val (code, body) = get("/api/historical_pairs")
     assert(code == 200 && body == "[\"BTC_USDT_1h\"]")
+    assert(get("/api/symbols")._1 == 200)
+  }
+
+  test("page routes serve the HTML dashboards with injected dropdowns") {
+    val client = HttpClient.newHttpClient()
+    for ((path, mustEmbed) <- Seq("/" -> "SYMBOLS = [",
+        "/historical" -> "\"BTC_USDT_1h\"")) {
+      val res = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(res.statusCode() == 200)
+      assert(res.headers().firstValue("Content-Type").orElse("")
+        .startsWith("text/html"), s"$path content type")
+      assert(res.body().startsWith("<!DOCTYPE html>"), s"$path body")
+      assert(res.body().contains(mustEmbed),
+        s"$path must embed the server-side dropdown data $mustEmbed")
+      assert(res.body().contains("chart.js"), s"$path must load Chart.js")
+    }
   }
 
   test("predict route: persisted bundle end-to-end, reference error codes") {
