@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.stream.{StreamDedup, StreamNearDup, StreamSemDedup}
+
+/** Ingest-gate throughput bench (VERDICT r7 item / r9): N documents
+  * through the full dedup gate chain vs the same stream ungated, so the
+  * gates' cost is a measured delta, not a guess.
+  *
+  * Pipeline shape (the production ingest layout):
+  *   1. EXACT gate — `dropDuplicatesWithinWatermark` on the content
+  *      fingerprint, a streaming STATEFUL op inside the query;
+  *   2. NEAR-DUP gate — SimHash band join against the static corpus,
+  *      executed per epoch inside foreachBatch as a left_anti;
+  *   3. SEMANTIC gate — nearest-cell cosine match against the clustering
+  *      artifact, also a per-epoch stream-static left_anti.
+  * (2)+(3) live in foreachBatch because their DROP decision needs an
+  * anti-join against the match set derived from the same stream — legal
+  * on the epoch's batch frame, a stream-stream join otherwise.
+  *
+  * Input mix is deterministic: ~1/4 verbatim corpus texts (near-dup
+  * fodder), ~1/8 exact repeats of an earlier synthetic row (exact-gate
+  * fodder), the rest unique synthetic text; embeddings cycle the corpus
+  * vectors, so the semantic gate sees everything that survives (1)+(2).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.StreamGateBench
+  * [nDocs] [batchSize]" — prints ONE JSON line with gate-on and
+  * gate-off docs/sec plus per-gate drop counts.
+  */
+object StreamGateBench {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val n = args.headOption.map(_.toInt).getOrElse(20000)
+    val batchSize = args.drop(1).headOption.map(_.toInt).getOrElse(2000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      // the gate joins run as per-epoch BATCH jobs inside foreachBatch:
+      // AQE coalesces their 32-way shuffles down to the epoch's actual
+      // data size (a 2000-row epoch does not want 32-task exchanges);
+      // the streaming stateful plan itself ignores AQE
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").as[String].collect()
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("embedding").as[Array[Float]].collect()
+    val t0 = 1717200000000L
+    // deterministic mix: i%4==0 verbatim corpus text (near-dup fodder);
+    // i%8==5 exact repeat of row i-2's text (exact-gate fodder; row i-2
+    // has (i-2)%8==3 and (i-2)%4==2, so it really carried the synthetic
+    // formula being repeated); else unique synthetic.
+    // Embeddings: i%5==0 verbatim corpus vector (semantic-gate fodder);
+    // else a two-vector blend (cosine to either parent well below the
+    // 0.9 gate threshold).
+    def blend(a: Array[Float], b: Array[Float]): Array[Float] =
+      a.zip(b).map { case (x, y) => (x + y) / 2 }
+    val rows: IndexedSeq[(Long, String, Array[Float], java.sql.Timestamp)] =
+      (0 until n).map { i =>
+        val text =
+          if (i % 8 == 5) s"synthetic document nr ${i - 2} with body " +
+            s"token${(i - 2) % 977}"
+          else if (i % 4 == 0) texts(i % texts.length)
+          else s"synthetic document nr $i with body token${i % 977}"
+        val emb =
+          if (i % 5 == 0) embs(i % embs.length)
+          else blend(embs(i % embs.length), embs((i + 7) % embs.length))
+        (100000L + i, text, emb, new java.sql.Timestamp(t0 + i * 1000L))
+      }
+
+    // static gate sides: built ONCE, persisted, reused every epoch (the
+    // production layout — re-deriving them per epoch re-scans the corpus)
+    val corpusBands = StreamNearDup.corpusBands(spark, dir).persist()
+    corpusBands.count()
+    val semArt = {
+      val a = StreamSemDedup.artifact(spark, dir)
+      a.copy(corpus = a.corpus.persist())
+    }
+    semArt.corpus.count()
+
+    def run(gates: Boolean): (Double, Long, Long, Long, Long) = {
+      val mem = MemoryStream[(Long, String, Array[Float], java.sql.Timestamp)](
+        1)(implicitly, spark.sqlContext)
+      val df = mem.toDF().toDF("doc_id", "text", "embedding", "event_ts")
+      val admitted = new java.util.concurrent.atomic.AtomicLong
+      val inExact = new java.util.concurrent.atomic.AtomicLong
+      val afterNear = new java.util.concurrent.atomic.AtomicLong
+      val gated = if (gates) StreamDedup.exactWithinWatermark(df) else df
+      val q = gated.writeStream
+        .outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("sgb-ckpt").toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!gates) admitted.addAndGet(batch.count()): Unit
+          else {
+            // ONE action per epoch: annotate each exact-admitted row with
+            // its near-dup / semantic hit flags and aggregate the three
+            // counts in a single job. (A row is admitted iff neither gate
+            // hits — identical admission set to the chained anti-joins,
+            // without 4 per-epoch actions whose plan compilation was the
+            // dominant cost at small epochs.)
+            val ndIds = StreamNearDup.matchesAgainst(batch, corpusBands)
+              .select(col("in_id").as("doc_id")).distinct()
+              .withColumn("nd", lit(1))
+            val semIds = StreamSemDedup.matchesAgainst(
+                batch.select(col("doc_id").as("vec_id"), col("embedding")),
+                semArt, tau = 0.9)
+              .select(col("in_id").as("doc_id")).distinct()
+              .withColumn("sm", lit(1))
+            val r = batch.join(ndIds, Seq("doc_id"), "left")
+              .join(semIds, Seq("doc_id"), "left")
+              .agg(count(lit(1)),
+                sum(when(col("nd").isNull, 1L).otherwise(0L)),
+                sum(when(col("nd").isNull && col("sm").isNull, 1L)
+                  .otherwise(0L)))
+              .head()
+            inExact.addAndGet(r.getLong(0))
+            afterNear.addAndGet(if (r.isNullAt(1)) 0L else r.getLong(1))
+            admitted.addAndGet(if (r.isNullAt(2)) 0L else r.getLong(2)): Unit
+          }
+        }.start()
+      val start = System.nanoTime()
+      try {
+        rows.grouped(batchSize).foreach { b =>
+          mem.addData(b: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val sec = (System.nanoTime() - start) / 1e9
+      (sec, admitted.get(), inExact.get(), afterNear.get(), n.toLong)
+    }
+
+    val (offSec, offAdmitted, _, _, _) = run(gates = false)
+    val (onSec, onAdmitted, exactOut, nearOut, _) = run(gates = true)
+    println(s"""{"metric":"stream_gate_docs_per_sec",""" +
+      s""""value":${(n / onSec).round},"docs":$n,"batch_size":$batchSize,""" +
+      s""""gates_on_sec":${f"$onSec%.1f"},"gates_off_sec":${f"$offSec%.1f"},""" +
+      s""""off_docs_per_sec":${(n / offSec).round},""" +
+      s""""exact_admitted":$exactOut,"neardup_admitted":$nearOut,""" +
+      s""""fully_admitted":$onAdmitted,"ungated_admitted":$offAdmitted,""" +
+      s""""sf_dir":"$dir"}""")
+    spark.stop()
+  }
+}

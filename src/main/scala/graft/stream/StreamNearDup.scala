@@ -28,14 +28,25 @@ import graft.functions.Expressions.simhash64
   */
 object StreamNearDup {
 
+  /** The corpus's banded sketch side, buildable ONCE and reused across
+    * micro-batches (persist it for a per-epoch caller like foreachBatch —
+    * re-deriving it every epoch re-scans and re-hashes the whole corpus).
+    */
+  def corpusBands(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashBands(Dedup.simhashes(s, dir))
+      .select(col("doc_id").as("corpus_id"), col("simhash").as("corpus_sim"),
+        col("band"), col("key"))
+
   /** `stream` must carry (doc_id, text). Returns
     * (in_id, corpus_id, hamming) matches with hamming ≤ `maxDist`.
     */
   def againstCorpus(stream: DataFrame, s: SparkSession, dir: String,
+      maxDist: Int = 3): DataFrame =
+    matchesAgainst(stream, corpusBands(s, dir), maxDist)
+
+  /** Same gate against a prebuilt (possibly cached) [[corpusBands]]. */
+  def matchesAgainst(stream: DataFrame, corpus: DataFrame,
       maxDist: Int = 3): DataFrame = {
-    val corpus = Dedup.simhashBands(Dedup.simhashes(s, dir))
-      .select(col("doc_id").as("corpus_id"), col("simhash").as("corpus_sim"),
-        col("band"), col("key"))
     val incoming = Dedup.simhashBands(
         stream.select(col("doc_id").as("in_id"),
           simhash64(col("text")).as("simhash")))

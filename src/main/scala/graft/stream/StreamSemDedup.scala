@@ -45,30 +45,57 @@ object StreamSemDedup {
     * stream remains stateless in append mode.
     */
   def againstCorpus(stream: DataFrame, s: SparkSession, dir: String,
-      tau: Double = 0.35, nprobe: Int = 1): DataFrame = {
-    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+      tau: Double = 0.35, nprobe: Int = 1): DataFrame =
+    matchesAgainst(stream, artifact(s, dir), tau, nprobe)
+
+  /** The static side, loadable ONCE and reused across micro-batches:
+    * driver-side centroids plus the cell-keyed corpus frame (persist the
+    * frame for a per-epoch caller like foreachBatch).
+    */
+  final case class Artifact(centroids: Array[(Int, Array[Double])],
+      corpus: DataFrame)
+
+  def artifact(s: SparkSession, dir: String): Artifact = {
     val root = Clustering.clusterDir(s, dir)
-    val centroids: Array[(Int, Array[Double])] =
-      s.read.parquet(s"$root/centroids").collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-    val candidates: Seq[Column] = centroids.toIndexedSeq.map {
-      case (cell, c) =>
-        val cLit = array(c.toIndexedSeq.map(lit): _*)
-        val d2 = expr_d2(cLit)
-        struct(d2.as("d2"), lit(cell).as("cell"))
-    }
-    // array_sort on (d2, cell) structs is ascending lexicographic —
-    // argmin-first with deterministic tie-break, the least() fold
-    // generalized to a ranking; slice keeps the nprobe nearest cells
-    val assigned = stream
-      .select(col("vec_id").as("in_id"), col("embedding").as("in_emb"))
-      .withColumn("cell",
-        explode(slice(array_sort(array(candidates: _*)), 1,
-          math.min(nprobe, centroids.length)).getField("cell")))
+    val centroids = s.read.parquet(s"$root/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
     val corpus = s.read.parquet(s"$root/assign")
       .join(s.read.parquet(s"$dir/embeddings.parquet"), Seq("vec_id"))
       .select(col("cell"), col("vec_id").as("corpus_id"), col("embedding"))
-    assigned.join(corpus, Seq("cell"))
+    Artifact(centroids, corpus)
+  }
+
+  /** Same gate against a prebuilt (possibly cached) [[Artifact]].
+    *
+    * The centroid table rides in ONE `typedLit` array-of-structs
+    * Literal that the `transform` lambda iterates at RUNTIME — k
+    * unrolled per-centroid literal folds (the pre-r9 shape) made the
+    * plan tree O(k·dim) nodes, and a foreachBatch caller re-planned
+    * that tree every epoch (~14 s/epoch at k=32, dim=64; the whole
+    * gate chain ran 43× slower than ungated on plan compilation
+    * alone). Still a pure per-row projection: stateless, append-legal.
+    */
+  def matchesAgainst(stream: DataFrame, art: Artifact,
+      tau: Double = 0.35, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val ctrs: Column =
+      typedLit(art.centroids.toSeq.map { case (cell, c) => (cell, c.toSeq) })
+    // array_sort on (d2, cell) structs is ascending lexicographic —
+    // argmin-first with deterministic tie-break, the least() fold
+    // generalized to a ranking; slice keeps the nprobe nearest cells
+    val ranked = array_sort(transform(ctrs, ct =>
+      struct(
+        aggregate(
+          zip_with(col("in_emb").cast("array<double>"), ct.getField("_2"),
+            (x, c) => (x - c) * (x - c)),
+          lit(0.0), (acc, v) => acc + v).as("d2"),
+        ct.getField("_1").as("cell"))))
+    val assigned = stream
+      .select(col("vec_id").as("in_id"), col("embedding").as("in_emb"))
+      .withColumn("cell",
+        explode(slice(ranked, 1,
+          math.min(nprobe, art.centroids.length)).getField("cell")))
+    assigned.join(art.corpus, Seq("cell"))
       .withColumn("cosine", cosineF(col("in_emb"), col("embedding")))
       .filter(col("cosine") >= tau)
       .select(col("in_id"), col("corpus_id"), col("cell"), col("cosine"))
