@@ -229,11 +229,13 @@ object SparkEntry {
     val m = oracleSqlPairs.toMap
     require(m.size == oracleSqlPairs.size,
       s"duplicate oracleSql keys: ${oracleSqlPairs.map(_._1).diff(m.keys.toSeq).distinct.mkString(", ")}")
-    // x14's oracle re-derives codes through the codebook parquet this
-    // JVM wrote; it exists only after the PQ build ran (Verify runs all
-    // queries before dumping oracle_sql.json, so it is always present
-    // on the gate path).
-    m ++ graft.ext.ProductQuant.x14OracleEntry
+    // Artifact-derived oracles (x14/x15 through the PQ codebook parquet,
+    // e4/e5 through the clustering centroids parquet) exist only after
+    // this JVM ran the corresponding build — Verify runs all queries
+    // before dumping oracle_sql.json, so they are always present on the
+    // gate path.
+    m ++ graft.ext.ProductQuant.x14OracleEntry ++
+      graft.ext.Clustering.oracleEntries()
   }
 
   /** d3's exact pair graph as a reusable CTE body (d3 selects it
@@ -319,6 +321,32 @@ object SparkEntry {
                              ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS wm
          FROM hashed)"""
 
+  /** Per-doc 64-bit SimHash as an UNSIGNED `h` (whitespace tokens, each
+    * occurrence voting ±1 per bit through its token-FNV) — shared by the
+    * d8 pair oracle and the x2 sketch oracle.
+    */
+  private lazy val SimhashShCte: String =
+    s"""toks AS (
+         SELECT doc_id, tok, count(*) AS cnt
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents)
+         WHERE tok != '' GROUP BY doc_id, tok),
+       hashed AS (
+         SELECT doc_id, cnt, ${fnvTokenSqlU("tok")} AS h
+         FROM toks),
+       bits AS (
+         SELECT doc_id, CAST(b.b AS INT) AS b,
+                sum(CASE WHEN (h >> CAST(b.b AS INT)) & 1 = 1
+                    THEN cnt ELSE -cnt END) AS acc
+         FROM hashed CROSS JOIN range(64) b(b)
+         GROUP BY doc_id, b.b),
+       sh AS (
+         SELECT doc_id,
+                CAST(sum(CASE WHEN acc > 0
+                  THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT)
+                  ELSE 0 END) AS UBIGINT) AS h
+         FROM bits GROUP BY doc_id)"""
+
   private val oracleSqlPairs: Seq[(String, String)] = Seq(
     "d6_winnow_fingerprints" ->
       s"""WITH ${winnowWinsCte(5)}
@@ -354,30 +382,18 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                  / len(list_distinct(a.s || b.s)) >= 0.4""",
     "d8_simhash_pairs" ->
-      s"""WITH toks AS (
-           SELECT doc_id, tok, count(*) AS cnt
-           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                 FROM documents)
-           WHERE tok != '' GROUP BY doc_id, tok),
-         hashed AS (
-           SELECT doc_id, cnt, ${fnvTokenSqlU("tok")} AS h
-           FROM toks),
-         bits AS (
-           SELECT doc_id, CAST(b.b AS INT) AS b,
-                  sum(CASE WHEN (h >> CAST(b.b AS INT)) & 1 = 1
-                      THEN cnt ELSE -cnt END) AS acc
-           FROM hashed CROSS JOIN range(64) b(b)
-           GROUP BY doc_id, b.b),
-         sh AS (
-           SELECT doc_id,
-                  CAST(sum(CASE WHEN acc > 0
-                    THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT)
-                    ELSE 0 END) AS UBIGINT) AS h
-           FROM bits GROUP BY doc_id)
+      s"""WITH $SimhashShCte
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                 CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.h, b.h)) <= 3""",
+    "x2_simhash_sketches" ->
+      s"""WITH $SimhashShCte
+         SELECT doc_id,
+                CAST(CASE WHEN h >= 9223372036854775808
+                     THEN CAST(h AS HUGEINT) - $FnvM
+                     ELSE CAST(h AS HUGEINT) END AS BIGINT) AS simhash
+         FROM sh""",
     "s1_scan_filter_project" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
          FROM lineitem WHERE l_quantity < 5 AND l_returnflag = 'R'""",

@@ -27,19 +27,29 @@ object Clustering {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  private case class Built(path: String, dim: Int)
+
   private val built =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, Built]()
+
+  /** Most recent artifact (Verify runs one sf dir per JVM); lets
+    * [[graft.SparkEntry.oracleSql]] emit DuckDB oracles for e4/e5 that
+    * re-derive assignment + SemDeDup drops through the centroid parquet
+    * this JVM wrote — the x14 dynamic-oracle pattern.
+    */
+  @volatile private var lastBuilt: Built = null
 
   /** Build (or reuse) the clustering artifact: `assign/` (vec_id, label,
     * cell) and `centroids/` (cell, centroid: array<double>).
     */
   def clusterDir(s: SparkSession, dir: String, k: Int = 10,
-      seed: Long = 42L): String =
-    built.computeIfAbsent(s"$dir|$k|$seed", _ => {
+      seed: Long = 42L): String = {
+    val b = built.computeIfAbsent(s"$dir|$k|$seed", _ => {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val e = emb(s, dir).withColumn("fv",
         array_to_vector(col("embedding").cast("array<double>")))
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
       val model = new KMeans().setK(k).setSeed(seed).setMaxIter(5)
         .setFeaturesCol("fv").setPredictionCol("cell")
         .fit(e)
@@ -51,8 +61,64 @@ object Clustering {
         .map { case (c, i) => (i, c.toArray) }.toIndexedSeq
         .toDF("cell", "centroid").coalesce(1)
         .write.parquet(s"$out/centroids")
-      out
+      Built(out, dim)
     })
+    lastBuilt = b
+    b.path
+  }
+
+  /** DuckDB oracles for e4/e5, available once this JVM has built the
+    * artifact: assignment is re-derived as the argmin centroid (QUALIFY
+    * over the centroid table on disk — not MLlib's norm-trick distance),
+    * canonical relabel and the within-cell SemDeDup drop set follow
+    * relationally. Double arithmetic is element-ordered on both sides
+    * (Vec.dot and DuckDB list_sum are sequential left folds), so the
+    * cosines compare exactly.
+    */
+  def oracleEntries(tau: Double = 0.35): Seq[(String, String)] =
+    Option(lastBuilt).toSeq.flatMap { b =>
+      val dim = b.dim
+      def sq(e1: String, e2: String): String =
+        s"""list_sum(list_transform(range(1, ${dim + 1}),
+           |  i -> (CAST($e1[i] AS DOUBLE) - $e2[i])
+           |     * (CAST($e1[i] AS DOUBLE) - $e2[i])))""".stripMargin
+      def dot(e1: String, e2: String): String =
+        s"""list_sum(list_transform(range(1, ${dim + 1}),
+           |  i -> CAST($e1[i] AS DOUBLE) * CAST($e2[i] AS DOUBLE)))"""
+          .stripMargin
+      val assignCte =
+        s"""books AS (
+             SELECT cell, centroid
+             FROM read_parquet('${b.path}/centroids/*.parquet')),
+           scored AS (
+             SELECT e.vec_id, b.cell, ${sq("e.embedding", "b.centroid")} AS d2
+             FROM embeddings e CROSS JOIN books b),
+           assign AS (
+             SELECT vec_id, cell FROM scored
+             QUALIFY row_number() OVER (
+               PARTITION BY vec_id ORDER BY d2, cell) = 1)"""
+      val cos = s"""(${dot("e1.embedding", "e2.embedding")}
+        / (sqrt(${dot("e1.embedding", "e1.embedding")})
+         * sqrt(${dot("e2.embedding", "e2.embedding")})))"""
+      Seq(
+        "e4_kmeans_assign" ->
+          s"""WITH $assignCte,
+             canon AS (SELECT cell, min(vec_id) AS cluster
+                       FROM assign GROUP BY cell)
+             SELECT a.vec_id, c.cluster
+             FROM assign a JOIN canon c USING (cell)""",
+        "e5_semantic_dedup" ->
+          s"""WITH $assignCte,
+             pairs AS (
+               SELECT a1.vec_id AS l_id, a2.vec_id AS r_id,
+                      a1.cell AS cell, $cos AS cos
+               FROM assign a1
+               JOIN assign a2 ON a1.cell = a2.cell AND a1.vec_id < a2.vec_id
+               JOIN embeddings e1 ON e1.vec_id = a1.vec_id
+               JOIN embeddings e2 ON e2.vec_id = a2.vec_id)
+             SELECT r_id AS drop_id, min(l_id) AS rep_id, cell
+             FROM pairs WHERE cos >= $tau GROUP BY r_id, cell""")
+    }
 
   /** e4: cluster assignment with CANONICAL labels — k-means cell ids are
     * arbitrary (init order), so each cell is relabeled to the minimum

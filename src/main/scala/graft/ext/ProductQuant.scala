@@ -152,7 +152,7 @@ object ProductQuant {
     * encoder, through the codebook parquet on disk.
     */
   def x14OracleEntry: Seq[(String, String)] =
-    Option(lastBuilt).toSeq.map { b =>
+    Option(lastBuilt).toSeq.flatMap { b => Seq(
       "x14_pq_codes" ->
         s"""WITH books AS (
               SELECT subspace, code, centroid
@@ -174,7 +174,53 @@ object ProductQuant {
                    CAST(code AS BIGINT) AS code
             FROM scored
             QUALIFY row_number() OVER (
-              PARTITION BY vec_id, subspace ORDER BY d2, code) = 1"""
+              PARTITION BY vec_id, subspace ORDER BY d2, code) = 1""",
+      // x15: ADC shortlist + exact-cosine re-rank, re-derived from the
+      // SAME codes/codebooks parquet the engine queries. Summation order
+      // is pinned everywhere (list(... ORDER BY subspace) then list_sum
+      // = the engine's left fold over subspaces; per-subspace d2 and the
+      // cosine are element-ordered folds), so the doubles compare
+      // exactly.
+      "x15_pq_adc_topk" ->
+        s"""WITH books AS (
+              SELECT subspace, code, centroid
+              FROM read_parquet('${b.path}/codebooks/*.parquet')),
+            q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+            dt AS (
+              SELECT b.subspace, b.code,
+                     list_sum(list_transform(range(1, ${b.dsub + 1}),
+                       i -> (CAST(q.embedding[b.subspace * ${b.dsub} + i]
+                               AS DOUBLE) - b.centroid[i])
+                          * (CAST(q.embedding[b.subspace * ${b.dsub} + i]
+                               AS DOUBLE) - b.centroid[i]))) AS d
+              FROM books b, q),
+            codes AS (
+              SELECT c.vec_id, CAST(t.j AS INT) AS subspace,
+                     c.codes[CAST(t.j + 1 AS INT)] AS code
+              FROM read_parquet('${b.path}/codes/*.parquet') c
+              CROSS JOIN range($M) t(j)),
+            adc AS (
+              SELECT c.vec_id,
+                     list_sum(list(dt.d ORDER BY c.subspace)) AS adc_d2
+              FROM codes c
+              JOIN dt ON dt.subspace = c.subspace AND dt.code = c.code
+              WHERE c.vec_id != 0
+              GROUP BY c.vec_id),
+            short AS (
+              SELECT vec_id FROM adc ORDER BY adc_d2, vec_id LIMIT 100)
+            SELECT s.vec_id, e.label,
+                   (list_sum(list_transform(range(1, len(q.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE)
+                         * CAST(q.embedding[i] AS DOUBLE)))
+                    / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                         i -> CAST(e.embedding[i] AS DOUBLE)
+                            * CAST(e.embedding[i] AS DOUBLE))))
+                     * sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
+                         i -> CAST(q.embedding[i] AS DOUBLE)
+                            * CAST(q.embedding[i] AS DOUBLE))))))
+                     AS cosine
+            FROM short s JOIN embeddings e USING (vec_id), q
+            ORDER BY cosine DESC, s.vec_id LIMIT 20""")
     }
 
   /** x14v violation oracle: (a) every code must be the argmin centroid
