@@ -24,16 +24,11 @@ object CoreQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table ships as parquet timestamp[ns], which Spark 4 cannot
-    * read natively (SPARK-40819): read nanos as long, rebuild the
-    * TimestampType column with integral division (exact — double division
-    * would wobble at the epoch-second boundary).
+  /** Dtype-adaptive events reader — see [[graft.sources.EventsTable]]
+    * (the corpus has shipped ts as both nanos-INT64 and timestamp[us]).
     */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.sources.EventsTable.load(s, dir)
 
   /** Money-exact sum: cast each value to DECIMAL(18,2) first (exact,
     * commutative), return as double (cent-exact up to 2^53).
@@ -454,12 +449,10 @@ object CoreQueries {
     * row-by-row parser objects; at scale prefer promoting hot fields to
     * columns at ingest (this query IS that promotion pass).
     */
-  def p15JsonExtract(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
+  def p15JsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
-  }
 
   /** ANALYZE-style table stats in ONE pass: row count, min/max, exact
     * NDVs, null counts — the inputs a cost-based optimizer (or a human
@@ -510,10 +503,9 @@ object CoreQueries {
     * is one row. No window functions, no sort.
     */
   def f1FunnelConversion(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = s.read.parquet(s"$dir/events.parquet")
+    val ev = events(s, dir)
       .select(col("user_id"), col("event_type"),
-        expr("ts div 1000000000").as("es"))
+        graft.sources.EventsTable.epochSeconds(col("ts")).as("es"))
     val firstView = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("es").as("view_es"))
     val firstConv = ev.filter(col("event_type") === "purchase")

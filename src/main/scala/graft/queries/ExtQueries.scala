@@ -359,7 +359,7 @@ object ExtQueries {
     * (the oracle computes the plain one).
     */
   def sk1SaltedSum(s: SparkSession, dir: String): DataFrame = {
-    val e = s.read.parquet(s"$dir/events.parquet")
+    val e = graft.sources.EventsTable.load(s, dir)
       .select(col("user_id"), col("event_id"),
         col("value").cast("decimal(18,2)").as("v"))
     graft.ext.SkewSafe.saltedSum(e, col("user_id"), col("v"),
@@ -773,9 +773,9 @@ object ExtQueries {
     * two aggregates + one join on the user_id partitioning.
     */
   def f2CohortRetention(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val wk = s.read.parquet(s"$dir/events.parquet")
-      .select(col("user_id"), expr("(ts div 1000000000) div 604800").as("week"))
+    val wk = graft.sources.EventsTable.load(s, dir)
+      .select(col("user_id"),
+        expr("unix_timestamp(ts) div 604800").as("week"))
     val cohort = wk.groupBy("user_id").agg(min("week").as("cohort_week"))
     wk.join(cohort, "user_id")
       .groupBy(col("cohort_week"),

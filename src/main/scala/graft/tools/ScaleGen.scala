@@ -43,9 +43,10 @@ object ScaleGen {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is parquet timestamp[ns] (SPARK-40819): read as long;
-      // the replica write-back emits plain INT64 nanos, which the query
-      // layer's events() reader (`ts div 1000`) consumes identically.
+      // events.ts has shipped as both parquet timestamp[ns] and
+      // timestamp[us]; with this conf the ns form reads as INT64 and the
+      // write-back re-emits whichever shape came in — the query layer's
+      // dtype-adaptive EventsTable.load consumes either.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

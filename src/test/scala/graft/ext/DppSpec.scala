@@ -15,8 +15,8 @@ class DppSpec extends SparkSpec {
 
   test("date-partitioned join prunes partitions from the dim-side filter") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
-    val ev = spark.read.parquet(sf("sf0.01") + "/events.parquet")
-      .withColumn("day", expr("(ts div 1000000000) div 86400"))
+    val ev = graft.sources.EventsTable.load(spark, sf("sf0.01"))
+      .withColumn("day", expr("unix_timestamp(ts) div 86400"))
     ev.write.partitionBy("day").mode("overwrite").parquet(s"$dir/events")
 
     val facts = spark.read.parquet(s"$dir/events")
