@@ -300,6 +300,63 @@ object SparkEntry {
           (acc, c) -> $step) AS UBIGINT)"""
   }
 
+  /** UBIGINT SQL expression → the signed two's-complement BIGINT the
+    * Scala Long carries.
+    */
+  private def uToSigned(u: String): String =
+    s"CAST(CASE WHEN ($u) >= 9223372036854775808 THEN CAST(($u) AS " +
+      s"HUGEINT) - $FnvM ELSE CAST(($u) AS HUGEINT) END AS BIGINT)"
+
+  /** MinHash signature emulation (r10): `MinHash.signature` is k minima
+    * over splitmix64-mixed shingle hashes — again pure 64-bit integer
+    * arithmetic. Each mix stage is its own CTE (the xor(z, z>>n) steps
+    * reference z twice; inlining the chain would copy the base expression
+    * 2^3 times). Minima are taken over the SIGNED value, exactly like the
+    * Scala `v < mins(j)` comparison. Yields `sigs(doc_id, j∈1..k, mh)`;
+    * grams are the same fnvGramSql loop the winnow oracles use.
+    */
+  /** (z * c) mod 2^64 where both operands reach 2^64 — a direct HUGEINT
+    * multiply overflows INT128 (the FNV prime is only 2^40, so the gram
+    * loop never hits this). Split the constant: c = hi·2^32 + lo, then
+    * z·c ≡ z·lo + ((z·hi mod 2^32) << 32); every intermediate stays
+    * under 2^97.
+    */
+  private def mulModSql(z: String, hi: Long, lo: Long): String =
+    s"(((($z) * $lo) % $FnvM + (((($z) % 4294967296) * $hi) % 4294967296)" +
+      s" * 4294967296) % $FnvM)"
+
+  private def minhashSigsCte(k: Int, numHashes: Int): String = {
+    val gold = "11400714819323198485" // 0x9e3779b97f4a7c15 (fits: j ≤ 32)
+    s"""pos AS (
+         SELECT doc_id, text,
+                unnest(range(greatest(length(text)-${k - 1}, 1))) AS i
+         FROM documents),
+       shs AS (
+         SELECT DISTINCT doc_id,
+           ${fnvGramSql(s"substr(text, CAST(i+1 AS INT), $k)", k)} AS h
+         FROM pos),
+       m0 AS (
+         SELECT doc_id, CAST(r.j AS INT) AS j,
+           CAST((CASE WHEN h < 0 THEN CAST(h AS HUGEINT) + $FnvM
+                 ELSE CAST(h AS HUGEINT) END
+                 + CAST(r.j AS HUGEINT) * $gold) % $FnvM AS UBIGINT) AS z
+         FROM shs CROSS JOIN range(1, ${numHashes + 1}) r(j)),
+       m1 AS (SELECT doc_id, j, xor(z, z >> 30) AS z FROM m0),
+       m2 AS (SELECT doc_id, j,
+                CAST(${mulModSql("CAST(z AS HUGEINT)", 3210233709L,
+                  484763065L)} AS UBIGINT) AS z
+              FROM m1),
+       m3 AS (SELECT doc_id, j, xor(z, z >> 27) AS z FROM m2),
+       m4 AS (SELECT doc_id, j,
+                CAST(${mulModSql("CAST(z AS HUGEINT)", 2496678331L,
+                  321982955L)} AS UBIGINT) AS z
+              FROM m3),
+       m5 AS (SELECT doc_id, j, xor(z, z >> 31) AS z FROM m4),
+       sigs AS (
+         SELECT doc_id, j, min(${uToSigned("z")}) AS mh
+         FROM m5 GROUP BY doc_id, j)"""
+  }
+
   /** Positional gram hashes + sliding-window minima for winnowing
     * (k-gram, w=8): yields one row per gram position with the window min
     * `wm` available from position w-1 on; docs shorter than one window
@@ -394,6 +451,50 @@ object SparkEntry {
                      THEN CAST(h AS HUGEINT) - $FnvM
                      ELSE CAST(h AS HUGEINT) END AS BIGINT) AS simhash
          FROM sh""",
+    // x1 (r10): all three fingerprints are now DuckDB-replayable — text
+    // FNV and simhash via the existing loops; the bag hash is FNV over
+    // the sorted-distinct-words canonical form (U+001F-joined), replacing
+    // the unreplayable xxhash64-of-array.
+    "x1_fingerprints_native" ->
+      s"""WITH $SimhashShCte,
+         f AS (SELECT doc_id, ${fnvTokenSqlU("text")} AS fu
+               FROM documents),
+         bagc AS (SELECT doc_id, array_to_string(
+                    list_sort(list_distinct(string_split(text, ' '))),
+                    chr(31)) AS canon
+                  FROM documents),
+         bagh AS (SELECT doc_id, ${fnvTokenSqlU("canon")} AS bu FROM bagc)
+         SELECT f.doc_id,
+                ${uToSigned("f.fu")} AS fnv64,
+                ${uToSigned("sh.h")} AS simhash,
+                ${uToSigned("bagh.bu")} AS bag_hash
+         FROM f JOIN sh ON sh.doc_id = f.doc_id
+                JOIN bagh ON bagh.doc_id = f.doc_id""",
+    // x3 (r10): full LSH replay — same shingle hashes, same splitmix
+    // signature minima, band key = the exact per-band value list (the
+    // Scala side joins on the same sub-signature, so candidate semantics
+    // are identical and collision-free), then exact hash-set Jaccard.
+    "x3_minhash_lsh_pairs" ->
+      s"""WITH ${minhashSigsCte(5, 32)},
+         bnd AS (
+           SELECT doc_id, CAST((j-1)//4 AS INT) AS band,
+                  list(mh ORDER BY j) AS key
+           FROM sigs GROUP BY doc_id, CAST((j-1)//4 AS INT)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bnd a JOIN bnd b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         sets AS (SELECT doc_id, list(h ORDER BY h) AS s
+                  FROM shs GROUP BY doc_id)
+         SELECT doc_a, doc_b,
+                CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                  AS jaccard
+         FROM cand JOIN sets a ON a.doc_id = cand.doc_a
+                   JOIN sets b ON b.doc_id = cand.doc_b
+         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                 >= 0.5""",
     "s1_scan_filter_project" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
          FROM lineitem WHERE l_quantity < 5 AND l_returnflag = 'R'""",

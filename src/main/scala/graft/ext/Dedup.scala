@@ -120,12 +120,17 @@ object Dedup {
     // Band join carries ONLY (doc_id, band, key) — shipping the shingle
     // arrays through the exploded self-join multiplies shuffle bytes by
     // bands×2; they are attached once per side to the deduped candidates.
+    // The key is the EXACT perBand sub-signature (perBand×8 bytes), not a
+    // 32-bit hash of it: candidate semantics become collision-free (a
+    // murmur collision could admit a cross-bucket pair that then passes
+    // verify), and the band step is engine-replayable (the DuckDB oracle
+    // joins on the same value lists). Still sketch-sized on the wire.
     // Buckets above bucketCap are sub-split (skew guard, completeness
     // preserved — see SkewSafe.cappedEquiJoin).
     val banded = sig.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          hash(slice(col("sig"), b * perBand + 1, perBand)).as("key"))): _*))
+          slice(col("sig"), b * perBand + 1, perBand).as("key"))): _*))
         .as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val cand = SkewSafe.cappedEquiJoin(

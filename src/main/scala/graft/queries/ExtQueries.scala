@@ -9,8 +9,11 @@ import graft.functions.Expressions.simhash64
 /** SURVEY.md §7.4 extension operators as driver-checkable queries.
   * Oracle-aligned wrappers cast Spark INT results (size/length) to long —
   * DuckDB's len()/count are BIGINT and the driver compares schemas.
-  * Queries prefixed x_ have no SQL oracle (native hashes / LSH internals);
-  * the driver does a rows>0 check and ScalaTest owns their semantics.
+  * Most x_-prefixed queries started out with no SQL oracle (native hashes
+  * / LSH internals); the HUGEINT integer-hash emulation has since given
+  * d6/d7/d8, x1, x2 and x3 exact DuckDB rows — the remaining no-oracle
+  * queries (seeded-random LSH planes, media codecs, sketch estimates) get
+  * a rows>0 check plus a DuckDB-checkable invariant twin.
   */
 object ExtQueries {
 
@@ -367,17 +370,23 @@ object ExtQueries {
       .select(col("k").as("user_id"), col("total").cast("double").as("total"))
   }
 
-  // ---- rows-only (native hashing / LSH — not SQL-expressible) ------------
-
   /** Native fingerprint sketches: FNV-1a + SimHash + order-insensitive
-    * bag hash (custom codegen'd expressions).
+    * bag hash (custom codegen'd expressions). The bag hash is FNV-1a over
+    * the CANONICAL FORM (sorted distinct words joined on U+001F — a
+    * separator outside the corpus alphabet): order-insensitive by
+    * construction, and, unlike xxhash64-of-array (Spark-internal
+    * serialization), exactly replayable by the DuckDB oracle's HUGEINT
+    * FNV emulation.
     */
-  def x1FingerprintsNative(s: SparkSession, dir: String): DataFrame =
+  def x1FingerprintsNative(s: SparkSession, dir: String): DataFrame = {
+    val bagCanon =
+      array_join(sort_array(array_distinct(split(col("text"), " "))), "\u001f")
     docs(s, dir).select(
       col("doc_id"),
       graft.functions.Expressions.fnv1a64(col("text")).as("fnv64"),
       simhash64(col("text")).as("simhash"),
-      xxhash64(sort_array(array_distinct(split(col("text"), " ")))).as("bag_hash"))
+      graft.functions.Expressions.fnv1a64(bagCanon).as("bag_hash"))
+  }
 
   /** x1 invariant: the native 64-bit content hashes must be injective on
     * this corpus — one distinct hash per distinct text, for both FNV-1a
@@ -395,7 +404,8 @@ object ExtQueries {
       // bag hashes compare against distinct word SETS, not texts — two
       // texts with the same words in another order share a bag by design
       count_distinct(bagSet).as("n_bagsets"),
-      count_distinct(xxhash64(bagSet)).as("n_bag"))
+      count_distinct(graft.functions.Expressions
+        .fnv1a64(array_join(bagSet, "\u001f"))).as("n_bag"))
   }
 
   /** SimHash sketch table (doc → 64-bit sketch); near-dup pair mining is
@@ -484,7 +494,10 @@ object ExtQueries {
   def d8SimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDupPairs(s, dir, maxDist = 3)
 
-  /** MinHash LSH candidate pairs with exact-Jaccard verify. */
+  /** MinHash LSH candidate pairs with exact-Jaccard verify — oracle-exact
+    * since r10 (the DuckDB side replays shingle FNV, splitmix signature
+    * minima, and the exact sub-signature band join).
+    */
   def x3MinhashLshPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(s, dir, k = 5, numHashes = 32, bands = 8,
       jaccardMin = 0.5)
