@@ -235,7 +235,45 @@ object SparkEntry {
     // before dumping oracle_sql.json, so they are always present on the
     // gate path.
     m ++ graft.ext.ProductQuant.x14OracleEntry ++
-      graft.ext.Clustering.oracleEntries()
+      graft.ext.Clustering.oracleEntries() ++ x16OracleEntry ++
+      x8OracleEntry
+  }
+
+  /** x8 oracle (r10, artifact-derived): replays the whole IVF probe from
+    * the index parquet the JVM built — rank the centroid table against
+    * the query (same element-ordered double d2, ties to the lower cell,
+    * matching the driver-side stable sort), keep the 3 probe cells, scan
+    * only those hive partitions, re-score with the element-ordered
+    * cosine. Rank order uses the raw double; the emitted cosine is
+    * rounded to 1e-6 on both sides (the e1 pattern).
+    */
+  private def x8OracleEntry: Seq[(String, String)] = {
+    val dot = (a: String, b: String) =>
+      s"list_aggregate(list_transform(list_zip($a, $b), " +
+        s"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+    graft.ext.Similarity.builtIvfIndexDir.toSeq.map { idx => (
+      "x8_ivf_topk",
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         probe AS (
+           SELECT c.cell FROM read_parquet('$idx/centroids/*.parquet') c, q
+           ORDER BY list_sum(list_transform(list_zip(c.centroid, q.qe),
+                      p -> (p[1] - CAST(p[2] AS DOUBLE))
+                         * (p[1] - CAST(p[2] AS DOUBLE)))), c.cell
+           LIMIT 3),
+         scored AS (
+           SELECT e.vec_id, e.label, CAST(e.cell AS INT) AS cell,
+                  ${dot("e.embedding", "q.qe")}
+                    / (sqrt(${dot("e.embedding", "e.embedding")})
+                     * sqrt(${dot("q.qe", "q.qe")})) AS cosine
+           FROM read_parquet('$idx/cells/**/*.parquet',
+                             hive_partitioning = true) e
+           CROSS JOIN q
+           WHERE CAST(e.cell AS INT) IN (SELECT cell FROM probe)
+             AND e.vec_id <> 0)
+         SELECT vec_id, label, cell,
+                floor(cosine * 1000000 + 0.5) / 1000000 AS cosine_r6
+         FROM scored ORDER BY cosine DESC, vec_id LIMIT 20""")
+    }
   }
 
   /** d3's exact pair graph as a reusable CTE body (d3 selects it
@@ -356,6 +394,51 @@ object SparkEntry {
          SELECT doc_id, j, min(${uToSigned("z")}) AS mh
          FROM m5 GROUP BY doc_id, j)"""
   }
+
+  /** x16 oracle (r10, artifact-derived): the Count-Min ESTIMATE column is
+    * exactly replayable — contentHash is the byte-wise FNV loop
+    * (`fnvTokenSqlU`), the per-row stream is splitmix64's mix2
+    * (a·GOLD + (row+1)·C1 through the standard finalizer, all mod 2^64
+    * via split-constant mulmod), and the bucket is low-11-bits (width
+    * 2048 is a power of two, so Scala's floorMod equals the unsigned
+    * `% 2048`). The cells ride in as a literal from the sketch the JVM
+    * built — the oracle then independently recomputes every (token,
+    * row) cell index and takes the row minimum, i.e. it checks the
+    * ESTIMATOR, not the Spark expression that computed it.
+    */
+  private def x16OracleEntry: Seq[(String, String)] =
+    graft.queries.ExtQueries.cmsCellsBuilt.toSeq.map { cells =>
+      val cl = cells.mkString("[", ",", "]")
+      "x16_cms_counts" ->
+        s"""WITH cl(cl) AS (SELECT $cl),
+           toks AS (SELECT unnest(string_split(text, ' ')) AS token
+                    FROM documents),
+           t AS (SELECT token, count(*) AS cnt FROM toks
+                 WHERE token != '' GROUP BY token),
+           h AS (SELECT token, cnt, ${fnvTokenSqlU("token")} AS ch FROM t),
+           c0 AS (SELECT token, cnt, CAST(r.r AS INT) AS r,
+                    CAST((${mulModSql("CAST(ch AS HUGEINT)", 2654435769L,
+                      2135587861L)}
+                          + ((CAST(r.r AS HUGEINT) + 1)
+                             * 13787848793156543929) % $FnvM)
+                         % $FnvM AS UBIGINT) AS z
+                  FROM h CROSS JOIN range(0, 4) r(r)),
+           c1 AS (SELECT token, cnt, r, xor(z, z >> 30) AS z FROM c0),
+           c2 AS (SELECT token, cnt, r,
+                    CAST(${mulModSql("CAST(z AS HUGEINT)", 3210233709L,
+                      484763065L)} AS UBIGINT) AS z FROM c1),
+           c3 AS (SELECT token, cnt, r, xor(z, z >> 27) AS z FROM c2),
+           c4 AS (SELECT token, cnt, r,
+                    CAST(${mulModSql("CAST(z AS HUGEINT)", 2496678331L,
+                      321982955L)} AS UBIGINT) AS z FROM c3),
+           c5 AS (SELECT token, cnt, r, xor(z, z >> 31) AS z FROM c4),
+           est AS (SELECT token, cnt,
+                     min(cl.cl[CAST(r AS BIGINT) * 2048
+                               + CAST(z % 2048 AS BIGINT) + 1]) AS est
+                   FROM c5 CROSS JOIN cl GROUP BY token, cnt)
+           SELECT token, cnt, est FROM est
+           ORDER BY cnt DESC, token LIMIT 100"""
+    }
 
   /** Positional gram hashes + sliding-window minima for winnowing
     * (k-gram, w=8): yields one row per gram position with the window min

@@ -139,6 +139,15 @@ object Similarity {
   private val ivfBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The IVF index artifact built in this JVM, if any — consumed by the
+    * SparkEntry x8 oracle (the artifact-derived-oracle pattern; Verify
+    * runs all queries before dumping oracle_sql.json).
+    */
+  def builtIvfIndexDir: Option[String] = {
+    import scala.jdk.CollectionConverters._
+    ivfBuilt.asScala.values.headOption
+  }
+
   /** Build (or reuse) the IVF index artifact; returns its directory. */
   def ivfIndexDir(s: SparkSession, dir: String, nlist: Int = 16,
       seed: Long = 42L): String =

@@ -112,6 +112,17 @@ object ExtQueries {
         .agg(graft.functions.CountMin.sketch(col("token"), 4, 2048).as("sk"))
         .select(col("sk.cells")).head().getSeq[Long](0).toArray)
 
+  /** The built CMS cells, if x16 ran in this JVM — the artifact the
+    * SparkEntry x16 oracle embeds (the same artifact-derived-oracle
+    * pattern as ProductQuant.x14OracleEntry; Verify runs all queries
+    * before dumping oracle_sql.json, so this is present on the gate
+    * path).
+    */
+  def cmsCellsBuilt: Option[Array[Long]] = {
+    import scala.jdk.CollectionConverters._
+    cmsCellsCache.asScala.values.headOption
+  }
+
   /** Count-Min token counts vs exact — top 100 by true count. Rows-only
     * (the estimate has no SQL form); x16v pins the one-sided guarantee.
     */
@@ -513,9 +524,17 @@ object ExtQueries {
   def x4rAnnRecall(s: SparkSession, dir: String): DataFrame =
     Similarity.annRecallViolations(s, dir, nQueries = 10, k = 20, nPlanes = 8)
 
-  /** IVF coarse-quantized ANN (k-means cells + nprobe probing). */
+  /** IVF coarse-quantized ANN (k-means cells + nprobe probing).
+    * Oracle-exact since r10 (artifact-derived: the DuckDB side re-ranks
+    * the centroid parquet, probes the same 3 cells, and re-scores with
+    * the same element-ordered cosine); the emitted cosine is rounded to
+    * 1e-6 like e1's — rank order still uses the raw double.
+    */
   def x8IvfTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(s, dir, queryId = 0L, k = 20, nlist = 8, nprobe = 3)
+      .withColumn("cosine_r6",
+        floor(col("cosine") * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+      .drop("cosine")
 
   // ---- oracle-checked invariants over the approximate operators ----------
   // Each pairs a rows-only x-query with a DuckDB-checkable invariant: the
