@@ -43,6 +43,8 @@ object SparkEntry {
     "j1_broadcast_join_agg" -> (CoreQueries.j1BroadcastJoinAgg _),
     "bj1_bloom_pruned_join" -> (CoreQueries.bj1BloomPrunedJoin _),
     "j2_shuffle_join_agg" -> (CoreQueries.j2ShuffleJoinAgg _),
+    "b2_bucketed_join_agg" ->
+      ((s, dir) => graft.ext.Bucketing.bucketedJoinAgg(s, dir)),
     "j3_semi_join" -> (CoreQueries.j3SemiJoin _),
     "j4_anti_join" -> (CoreQueries.j4AntiJoin _),
     "u1_union_all" -> (CoreQueries.u1UnionAll _),
@@ -782,6 +784,15 @@ object SparkEntry {
          WHERE o_totalprice > 400000
          GROUP BY o_orderpriority""",
     "j2_shuffle_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+    // b2 computes the same result as j2 over the bucketed layout — the
+    // oracle is deliberately identical; what differs is the plan
+    // (exchange-free join, pinned by BucketingSpec).
+    "b2_bucketed_join_agg" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                   AS total_price

@@ -1,0 +1,75 @@
+package graft.ext
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed-table co-located join — the "remaining lever" SCALING.md's
+  * join section promises: both fact tables are written bucketed (and
+  * per-file sorted) on the join key, so an equi-join on that key reads
+  * each side's matching bucket files directly and the SortMergeJoin
+  * needs NO exchange on either input. At 100 TB this removes the two
+  * largest shuffles of the fact⋈fact pattern entirely — the join cost
+  * becomes a co-partitioned streaming merge, repaid on every subsequent
+  * join against the same key.
+  *
+  * The build is the offline layout job (same standing as the IVF index
+  * or PQ codebook builds): write once with `bucketBy`, join forever.
+  * Spark's in-memory catalog holds the bucket metadata per session, so
+  * the build memoizes per (dir, buckets) within the JVM and OVERWRITES
+  * any stale on-disk table from a previous session.
+  */
+object Bucketing {
+
+  private val built = new ConcurrentHashMap[String, (String, String)]()
+
+  /** Bucketed twin tables of orders/customer for `dir`, keyed on the
+    * o_custkey = c_custkey join; returns their catalog names.
+    */
+  def ensureBucketed(s: SparkSession, dir: String,
+      buckets: Int = 8): (String, String) =
+    built.computeIfAbsent(s"$dir|$buckets", _ => {
+      // deterministic per-corpus name — sf0.01 and sf0.1 must not share
+      val tag = java.lang.Integer.toHexString(s"$dir|$buckets".hashCode)
+      val ot = s"graft_orders_b_$tag"
+      val ct = s"graft_customer_b_$tag"
+      // a FRESH session's in-memory catalog doesn't know about a previous
+      // JVM's on-disk table, and saveAsTable refuses to reuse the
+      // location — drop both sides of the stale state before writing
+      for (t <- Seq(ot, ct)) {
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(wh, t))
+      }
+      s.read.parquet(s"$dir/orders.parquet").write.mode("overwrite")
+        .bucketBy(buckets, "o_custkey").sortBy("o_custkey")
+        .format("parquet").saveAsTable(ot)
+      s.read.parquet(s"$dir/customer.parquet").write.mode("overwrite")
+        .bucketBy(buckets, "c_custkey").sortBy("c_custkey")
+        .format("parquet").saveAsTable(ct)
+      (ot, ct)
+    })
+
+  /** j2's join/agg over the bucketed layout — row-identical to
+    * `j2_shuffle_join_agg` (same oracle SQL), but the join itself is
+    * exchange-free: the only shuffle left in the plan is the final
+    * 4-group aggregate. The merge hint pins SortMergeJoin so the
+    * bucketed distribution is what satisfies the join's requirement
+    * (an auto-broadcast would demonstrate nothing).
+    */
+  def bucketedJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val (ot, ct) = ensureBucketed(s, dir)
+    s.table(ot).hint("merge")
+      .join(s.table(ct), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"))
+  }
+}
