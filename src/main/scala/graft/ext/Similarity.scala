@@ -265,6 +265,25 @@ object Similarity {
     * bounded-heap [[graft.plans.TopKPerGroup]] operator — no WindowExec
     * sort, k rows of state per vector.
     */
+  /** knnJoin's output as a session-free parquet artifact, built once per
+    * (corpus, k, nPlanes) — the dedup-pipeline sharing pattern: e3 runs
+    * the join fresh (it IS the operator), while its verifiers e3v/e3r
+    * consume the artifact. That is also the semantically right object
+    * for a verifier: it checks the result the gate records, not a
+    * second independent execution of the same plan.
+    */
+  private val knnBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def knnJoinArtifact(s: SparkSession, dir: String, k: Int = 3,
+      nPlanes: Int = 8): DataFrame =
+    s.read.parquet(knnBuilt.computeIfAbsent(s"$dir|$k|$nPlanes", _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-knn-artifact").toString
+      knnJoin(s, dir, k, nPlanes).write.mode("overwrite").parquet(out)
+      out
+    }))
+
   def knnJoin(s: SparkSession, dir: String, k: Int = 3,
       nPlanes: Int = 8, hamming1Probes: Boolean = true,
       nTables: Int = 4): DataFrame = {
@@ -306,7 +325,7 @@ object Similarity {
   def knnRecallViolations(s: SparkSession, dir: String, k: Int = 3,
       nPlanes: Int = 8, floor: Double = 0.30, blocks: Int = 8): DataFrame = {
     import s.implicits._
-    val ann = knnJoin(s, dir, k, nPlanes)
+    val ann = knnJoinArtifact(s, dir, k, nPlanes)
       .select(col("src_id"), col("nb_id")).withColumn("hit", lit(1L))
     val e = emb(s, dir).select(col("vec_id"), col("embedding"))
       .withColumn("blk", pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int"))

@@ -789,7 +789,7 @@ object ExtQueries {
     def hofDot(a: String, b: String) =
       expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) *" +
         s" CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-    Similarity.knnJoin(s, dir, k = 3, nPlanes = 8)
+    Similarity.knnJoinArtifact(s, dir, k = 3, nPlanes = 8)
       .join(e.select(col("vec_id").as("src_id"),
         col("embedding").as("a_emb")), "src_id")
       .join(e.select(col("vec_id").as("nb_id"),
