@@ -249,6 +249,43 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val clustersBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val minerArtifacts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-free parquet artifact of a miner's output, built on first
+    * use. Verifiers consume these instead of re-executing the miner:
+    * the artifact IS the result the gate records, so checking it is
+    * strictly more faithful than checking a second execution — and each
+    * verifier stops paying a full re-mine per sweep.
+    */
+  private def minerArtifact(s: SparkSession, key: String)
+      (build: => DataFrame): DataFrame =
+    s.read.parquet(minerArtifacts.computeIfAbsent(key, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-miner-artifact").toString
+      build.write.mode("overwrite").parquet(out)
+      out
+    }))
+
+  def winnowPairsArtifact(s: SparkSession, dir: String, k: Int, w: Int,
+      jaccardMin: Double): DataFrame =
+    minerArtifact(s, s"wp|$dir|$k|$w|$jaccardMin")(
+      winnowPairs(s, dir, k, w, jaccardMin))
+
+  def simhashPairsArtifact(s: SparkSession, dir: String,
+      maxDist: Int): DataFrame =
+    minerArtifact(s, s"sp|$dir|$maxDist")(
+      simhashNearDupPairs(s, dir, maxDist))
+
+  def minhashPairsArtifact(s: SparkSession, dir: String, k: Int,
+      numHashes: Int, bands: Int, jaccardMin: Double): DataFrame =
+    minerArtifact(s, s"mp|$dir|$k|$numHashes|$bands|$jaccardMin")(
+      minhashLshPairs(s, dir, k, numHashes, bands, jaccardMin))
+
+  /** The d3/d4 pair graph as a readable artifact (see minedPairsPath). */
+  def prefixPairsArtifact(s: SparkSession, dir: String, k: Int,
+      jaccardMin: Double): DataFrame =
+    s.read.parquet(minedPairsPath(s, dir, k, jaccardMin))
 
   private def minedPairsPath(s: SparkSession, dir: String, k: Int,
       jaccardMin: Double): String =

@@ -299,7 +299,9 @@ object ExtQueries {
     * empty (winnowing recalls a provable subset; the exact join is
     * complete). Deliberately dual-pipeline: the winnow and prefix miners
     * share only the corpus scan, so agreement cross-checks two
-    * independent candidate generators end-to-end. (A per-pair membership
+    * independent candidate generators end-to-end (the check reads each
+    * miner's recorded ARTIFACT — the generators stay independent; only
+    * their re-execution is gone). (A per-pair membership
     * check against SQL-builtin shingle Jaccard — the x3v form — measures
     * SLOWER here: winnow pairs at 0.4 involve most of this near-dup-rich
     * corpus, so the "only involved docs" pruning prunes nothing and the
@@ -307,9 +309,9 @@ object ExtQueries {
     * mining pass it would replace.)
     */
   def wv2WinnowPairsSubsetExact(s: SparkSession, dir: String): DataFrame =
-    Dedup.winnowPairs(s, dir, k = 3, w = 8, jaccardMin = 0.4)
+    Dedup.winnowPairsArtifact(s, dir, k = 3, w = 8, jaccardMin = 0.4)
       .select("doc_a", "doc_b")
-      .join(Dedup.prefixJaccardPairs(s, dir, k = 3, jaccardMin = 0.4)
+      .join(Dedup.prefixPairsArtifact(s, dir, k = 3, jaccardMin = 0.4)
         .select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti")
 
   /** Canonicalizing text normalization — the step before exact/fingerprint
@@ -551,26 +553,12 @@ object ExtQueries {
     * completeness direction of the prefix join is covered by its own
     * ScalaTest equivalence and the d3 oracle).
     */
-  /** The previous x3v invocation's checkpointed pair RDD: superseded
-    * blocks are released on the next call, bounding the block-store
-    * footprint to ONE small pair table instead of growing per invocation
-    * (same supersession discipline as d4's iterative CC rounds).
-    */
-  private val x3vPairsPrev =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-
-  private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectFirst {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach(_.unpersist(blocking = false))
-
   def x3vLshSubsetExact(s: SparkSession, dir: String): DataFrame = {
-    // materialized once (three plan references: join spine + both
-    // endpoints of the involved-docs semi-join); shingle sets are then
-    // computed once per INVOLVED doc, not for the whole corpus
-    val pairs = Dedup.minhashLshPairs(s, dir, k = 5, numHashes = 32,
-      bands = 8, jaccardMin = 0.5).select("doc_a", "doc_b").localCheckpoint()
-    Option(x3vPairsPrev.getAndSet(pairs)).foreach(unpersistCheckpoint)
+    // the miner artifact replaces the old localCheckpoint: one durable
+    // materialization serves the three plan references (join spine +
+    // both endpoints of the involved-docs semi-join)
+    val pairs = Dedup.minhashPairsArtifact(s, dir, k = 5, numHashes = 32,
+      bands = 8, jaccardMin = 0.5).select("doc_a", "doc_b")
     val involved = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val shingled = docs(s, dir).select(col("doc_id"), col("text"))
@@ -841,7 +829,7 @@ object ExtQueries {
       .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 3)
       .select("doc_a", "doc_b")
     exact.join(
-      Dedup.simhashNearDupPairs(s, dir, maxDist = 3)
+      Dedup.simhashPairsArtifact(s, dir, maxDist = 3)
         .select("doc_a", "doc_b"),
       Seq("doc_a", "doc_b"), "left_anti")
   }
