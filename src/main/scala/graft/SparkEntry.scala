@@ -183,6 +183,7 @@ object SparkEntry {
     "g1_pagerank" -> (ExtQueries.g1PageRank _),
     "p17_pos_tokens" -> (ExtQueries.p17PosTokens _),
     "x3_minhash_lsh_pairs" -> (ExtQueries.x3MinhashLshPairs _),
+    "id1_incremental_neardup" -> (ExtQueries.id1IncrementalNeardup _),
     "x4_ann_topk" -> (ExtQueries.x4AnnTopK _),
     "e3_knn_join" -> (ExtQueries.e3KnnJoin _),
     "x8_ivf_topk" -> (ExtQueries.x8IvfTopK _),
@@ -529,6 +530,17 @@ object SparkEntry {
                 CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.h, b.h)) <= 3""",
+    // id1: the incremental miner's output is DECLARATIVELY "every
+    // Hamming ≤ 3 pair touching a new-batch doc" — the oracle computes
+    // that set directly; the engine gets there via the banded corpus
+    // sketch table without re-mining corpus×corpus.
+    "id1_incremental_neardup" ->
+      s"""WITH $SimhashShCte
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.h, b.h)) <= 3
+           AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)""",
     "x2_simhash_sketches" ->
       s"""WITH $SimhashShCte
          SELECT doc_id,

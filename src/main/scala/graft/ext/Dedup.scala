@@ -89,6 +89,61 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** INCREMENTAL near-dup mining — the batch-ingest shape of the dedup
+    * pipeline: mine a NEW batch of documents against an existing corpus
+    * without re-mining the corpus. Pairs = (new × corpus) via a band
+    * join against the corpus's banded sketch table, plus (new × new)
+    * via the band self-join — corpus × corpus pairs are already known
+    * from the last run, so at 100 TB each ingest pays O(batch) sketch
+    * work and a band join against a (bucketed, band-keyed) corpus
+    * table, never O(corpus) re-mining. SimHash banding is deterministic,
+    * so incremental ∪ previous ≡ full recompute EXACTLY —
+    * IncrementalDedupSpec pins that equivalence.
+    *
+    * `newDocs` carries (doc_id, text); doc_ids must be disjoint from the
+    * corpus's (ingest assigns fresh ids). Output matches
+    * [[simhashNearDupPairs]]: (doc_a, doc_b, hamming), doc_a < doc_b.
+    */
+  def incrementalSimhashPairs(s: SparkSession, corpusDir: String,
+      newDocs: DataFrame, maxDist: Int = 3,
+      bucketCap: Int = 1024): DataFrame =
+    incrementalSimhashPairsOf(simhashes(s, corpusDir), newDocs, maxDist,
+      bucketCap)
+
+  /** Same, with the corpus's (doc_id, simhash) sketch table passed
+    * directly — the production call shape (the sketch table persists
+    * between ingests; re-sketching the corpus per batch would defeat
+    * the point).
+    */
+  def incrementalSimhashPairsOf(corpusSketches: DataFrame,
+      newDocs: DataFrame, maxDist: Int = 3,
+      bucketCap: Int = 1024): DataFrame = {
+    val corpusBands = simhashBands(corpusSketches)
+      .select(col("doc_id"), col("simhash"), col("band"), col("key"))
+    val newBands = simhashBands(
+        newDocs.select(col("doc_id"), simhash64(col("text")).as("simhash")))
+      .select(col("doc_id"), col("simhash"), col("band"), col("key"))
+    def mine(l: DataFrame, r: DataFrame): DataFrame =
+      SkewSafe.cappedEquiJoin(
+          l.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"),
+            col("band"), col("key")),
+          r.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"),
+            col("band"), col("key")),
+          Seq("band", "key"), xxhash64(col("doc_b")), bucketCap)
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxDist)
+    // new×corpus needs BOTH orientations (doc_a < doc_b can fall either
+    // side of the corpus/new id split); union + distinct restores the
+    // canonical pair set
+    mine(newBands, corpusBands)
+      .unionByName(mine(corpusBands, newBands))
+      .unionByName(mine(newBands, newBands))
+      .distinct()
+  }
+
   /** Character shingles (k-gram substrings) hashed to longs — the input to
     * MinHash and Jaccard: one native pass producing the sorted distinct
     * hash set, so downstream intersections are linear merges.

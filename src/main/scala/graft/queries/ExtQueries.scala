@@ -507,6 +507,22 @@ object ExtQueries {
   def d8SimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDupPairs(s, dir, maxDist = 3)
 
+  /** Incremental ingest dedup (id1): every fifth document arrives as the
+    * "new batch", the rest is the standing corpus — mine new×corpus +
+    * new×new through the corpus's banded sketch table without re-mining
+    * corpus×corpus. The oracle recomputes the same pair set declaratively
+    * (all Hamming ≤ 3 pairs touching a new doc); IncrementalDedupSpec
+    * pins the stronger property that incremental ∪ previous ≡ full
+    * recompute exactly.
+    */
+  def id1IncrementalNeardup(s: SparkSession, dir: String): DataFrame = {
+    val all = Dedup.simhashes(s, dir)
+    Dedup.incrementalSimhashPairsOf(
+      all.filter(col("doc_id") % 5 =!= 0),
+      docs(s, dir).filter(col("doc_id") % 5 === 0)
+        .select("doc_id", "text"))
+  }
+
   /** MinHash LSH candidate pairs with exact-Jaccard verify — oracle-exact
     * since r10 (the DuckDB side replays shingle FNV, splitmix signature
     * minima, and the exact sub-signature band join).
