@@ -144,6 +144,49 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental MinHash-LSH mining — the Jaccard-metric sibling of
+    * [[incrementalSimhashPairs]]: the standing corpus keeps its
+    * signature table (doc_id, shingle_hashes, sig) from the last run;
+    * an arriving batch computes sketches only for itself and mines
+    * new×corpus + new×new through the band join. Banding is
+    * deterministic (sub-signature value equality, r10), so incremental
+    * ∪ previous ≡ full recompute exactly — IncrementalDedupSpec pins
+    * it. At 100 TB the signature table is the persisted dedup index
+    * (bucketed on (band, key) like the SimHash one); per ingest this
+    * costs O(batch) sketch work + the band join, never O(corpus).
+    */
+  def incrementalMinhashPairsOf(corpusSigs: DataFrame, newDocs: DataFrame,
+      k: Int = 5, numHashes: Int = 32, bands: Int = 8,
+      jaccardMin: Double = 0.5, bucketCap: Int = 1024): DataFrame = {
+    val perBand = numHashes / bands
+    val newSigs = minhashSignatures(shingles(
+      newDocs.select(col("doc_id"), col("text")), k), numHashes)
+    def banded(sig: DataFrame): DataFrame =
+      sig.select(col("doc_id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            slice(col("sig"), b * perBand + 1, perBand).as("key"))): _*))
+          .as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"),
+          col("bk.key").as("key"))
+    val cBands = banded(corpusSigs)
+    val nBands = banded(newSigs)
+    def cands(l: DataFrame, r: DataFrame): DataFrame =
+      SkewSafe.cappedEquiJoin(
+          l.select(col("doc_id").as("doc_a"), col("band"), col("key")),
+          r.select(col("doc_id").as("doc_b"), col("band"), col("key")),
+          Seq("band", "key"), xxhash64(col("doc_b")), bucketCap)
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+    val cand = cands(nBands, cBands)
+      .unionByName(cands(cBands, nBands))
+      .unionByName(cands(nBands, nBands))
+      .dropDuplicates("doc_a", "doc_b")
+    val sets = corpusSigs.select(col("doc_id"), col("shingle_hashes"))
+      .unionByName(newSigs.select(col("doc_id"), col("shingle_hashes")))
+    verifyCandidates(cand, sets, jaccardMin)
+  }
+
   /** Character shingles (k-gram substrings) hashed to longs — the input to
     * MinHash and Jaccard: one native pass producing the sorted distinct
     * hash set, so downstream intersections are linear merges.

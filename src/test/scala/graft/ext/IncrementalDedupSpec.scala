@@ -15,6 +15,32 @@ class IncrementalDedupSpec extends SparkSpec {
     df.select("doc_a", "doc_b", "hamming").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
 
+  test("incremental MinHash pairs + corpus pairs == full recompute") {
+    val full = sf("sf0.001")
+    val all = spark.read.parquet(s"$full/documents.parquet")
+    val corpusDocs = all.filter(col("doc_id") % 5 =!= 0)
+    val newDocs = all.filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "text")
+    val corpusDir =
+      java.nio.file.Files.createTempDirectory("graft-incr-mh").toString
+    corpusDocs.write.mode("overwrite")
+      .parquet(s"$corpusDir/documents.parquet")
+    def mh(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullPairs = mh(Dedup.minhashLshPairs(spark, full))
+    val corpusPairs = mh(Dedup.minhashLshPairs(spark, corpusDir))
+    val corpusSigs = Dedup.minhashSignatures(
+      Dedup.shingles(spark.read
+        .parquet(s"$corpusDir/documents.parquet"), 5), 32)
+    val incr = mh(Dedup.incrementalMinhashPairsOf(corpusSigs, newDocs))
+    assert(fullPairs.nonEmpty && incr.nonEmpty,
+      s"degenerate fixture: full=${fullPairs.size} incr=${incr.size}")
+    assert((corpusPairs & incr).isEmpty)
+    assert(corpusPairs ++ incr == fullPairs,
+      s"full=${fullPairs.size} corpus=${corpusPairs.size} incr=${incr.size}")
+  }
+
   test("incremental pairs + corpus pairs == full recompute, exactly") {
     val full = sf("sf0.001")
     val all = spark.read.parquet(s"$full/documents.parquet")
