@@ -56,9 +56,12 @@ object StreamGateBench {
     // State/shuffle partitions sized to the EPOCH volume, not the core
     // count — the r9 sweep's dominant finding (380 → 955 docs/s from
     // 32 → 8 state partitions at 2k epochs). Env-overridable for sweeps.
-    val stateParts = sys.env.get("SPARK_GRAFT_STATE_PARTITIONS") match {
+    // toIntOption + floor clamp: a typo'd or non-positive override must
+    // not kill the run before any measurement (nor set 0 partitions)
+    val stateParts = sys.env.get("SPARK_GRAFT_STATE_PARTITIONS")
+      .flatMap(_.toIntOption).map(math.max(1, _)) match {
       case Some(v) =>
-        spark.conf.set("spark.sql.shuffle.partitions", v.toInt); v.toInt
+        spark.conf.set("spark.sql.shuffle.partitions", v); v
       case None => graft.stream.StreamTuning
         .sizeShufflePartitionsForEpoch(spark, batchSize)
     }

@@ -28,12 +28,22 @@ object Bucketing {
     * o_custkey = c_custkey join; returns their catalog names.
     */
   def ensureBucketed(s: SparkSession, dir: String,
-      buckets: Int = 8): (String, String) =
+      buckets: Int = 8): (String, String) = {
+    // deterministic per-corpus name — sf0.01 and sf0.1 must not share.
+    // The tag is the SANITIZED path, not a hashCode: a 32-bit hash
+    // collision between two corpora would silently alias their tables.
+    val tag = s"${dir}_$buckets".replaceAll("[^A-Za-z0-9]+", "_")
+      .replaceAll("^_+", "").toLowerCase
+    val names = (s"graft_orders_b_$tag", s"graft_customer_b_$tag")
+    // the memo is JVM-wide but catalog registration is SESSION-scoped:
+    // a later SparkSession in the same JVM has a fresh in-memory
+    // catalog, so a map hit must still verify the tables exist there
+    if (built.containsKey(s"$dir|$buckets") &&
+        s.catalog.tableExists(names._1) && s.catalog.tableExists(names._2))
+      return names
+    built.remove(s"$dir|$buckets")
     built.computeIfAbsent(s"$dir|$buckets", _ => {
-      // deterministic per-corpus name — sf0.01 and sf0.1 must not share
-      val tag = java.lang.Integer.toHexString(s"$dir|$buckets".hashCode)
-      val ot = s"graft_orders_b_$tag"
-      val ct = s"graft_customer_b_$tag"
+      val (ot, ct) = names
       // a FRESH session's in-memory catalog doesn't know about a previous
       // JVM's on-disk table, and saveAsTable refuses to reuse the
       // location — drop both sides of the stale state before writing
@@ -55,6 +65,7 @@ object Bucketing {
         .format("parquet").saveAsTable(ct)
       (ot, ct)
     })
+  }
 
   /** j2's join/agg over the bucketed layout — row-identical to
     * `j2_shuffle_join_agg` (same oracle SQL), but the join itself is

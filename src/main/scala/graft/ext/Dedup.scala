@@ -135,13 +135,23 @@ object Dedup {
           bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
         .distinct()
         .filter(col("hamming") <= maxDist)
-    // new×corpus needs BOTH orientations (doc_a < doc_b can fall either
-    // side of the corpus/new id split); union + distinct restores the
-    // canonical pair set
-    mine(newBands, corpusBands)
-      .unionByName(mine(corpusBands, newBands))
-      .unionByName(mine(newBands, newBands))
+    // new×corpus: ONE un-ordered join (the doc_a < doc_b canonical order
+    // can fall either side of the corpus/new id split, so order with
+    // least/greatest after the join instead of running both orientations
+    // — the corpus-side join is the dominant per-ingest cost)
+    val cross = SkewSafe.cappedEquiJoin(
+        newBands.select(col("doc_id").as("in_id"),
+          col("simhash").as("in_sim"), col("band"), col("key")),
+        corpusBands.select(col("doc_id").as("c_id"),
+          col("simhash").as("c_sim"), col("band"), col("key")),
+        Seq("band", "key"), xxhash64(col("c_id")), bucketCap)
+      .filter(col("in_id") =!= col("c_id"))
+      .select(least(col("in_id"), col("c_id")).as("doc_a"),
+        greatest(col("in_id"), col("c_id")).as("doc_b"),
+        bit_count(col("in_sim").bitwiseXOR(col("c_sim"))).as("hamming"))
       .distinct()
+      .filter(col("hamming") <= maxDist)
+    cross.unionByName(mine(newBands, newBands)).distinct()
   }
 
   /** Incremental MinHash-LSH mining — the Jaccard-metric sibling of
@@ -178,8 +188,15 @@ object Dedup {
           Seq("band", "key"), xxhash64(col("doc_b")), bucketCap)
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"))
-    val cand = cands(nBands, cBands)
-      .unionByName(cands(cBands, nBands))
+    // same single-join canonicalization as the SimHash incremental miner
+    val cross = SkewSafe.cappedEquiJoin(
+        nBands.select(col("doc_id").as("in_id"), col("band"), col("key")),
+        cBands.select(col("doc_id").as("c_id"), col("band"), col("key")),
+        Seq("band", "key"), xxhash64(col("c_id")), bucketCap)
+      .filter(col("in_id") =!= col("c_id"))
+      .select(least(col("in_id"), col("c_id")).as("doc_a"),
+        greatest(col("in_id"), col("c_id")).as("doc_b"))
+    val cand = cross
       .unionByName(cands(nBands, nBands))
       .dropDuplicates("doc_a", "doc_b")
     val sets = corpusSigs.select(col("doc_id"), col("shingle_hashes"))
@@ -343,27 +360,16 @@ object Dedup {
     * are what the bench now reports for d4/d9 (min-of-2 semantics, like
     * every other artifact-backed query).
     */
-  private val pairsBuilt =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val clustersBuilt =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val minerArtifacts =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** Session-free parquet artifact of a miner's output, built on first
-    * use. Verifiers consume these instead of re-executing the miner:
-    * the artifact IS the result the gate records, so checking it is
-    * strictly more faithful than checking a second execution — and each
-    * verifier stops paying a full re-mine per sweep.
+    * use (see [[ArtifactCache]]). Verifiers consume these instead of
+    * re-executing the miner: the artifact IS the result the gate
+    * records, so checking it is strictly more faithful than checking a
+    * second execution — and each verifier stops paying a full re-mine
+    * per sweep.
     */
   private def minerArtifact(s: SparkSession, key: String)
       (build: => DataFrame): DataFrame =
-    s.read.parquet(minerArtifacts.computeIfAbsent(key, _ => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-miner-artifact").toString
-      build.write.mode("overwrite").parquet(out)
-      out
-    }))
+    ArtifactCache.frame(s, s"miner|$key")(build)
 
   def winnowPairsArtifact(s: SparkSession, dir: String, k: Int, w: Int,
       jaccardMin: Double): DataFrame =
@@ -387,25 +393,17 @@ object Dedup {
 
   private def minedPairsPath(s: SparkSession, dir: String, k: Int,
       jaccardMin: Double): String =
-    pairsBuilt.computeIfAbsent(s"$dir|$k|$jaccardMin", _ => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-dedup-pairs").toString
+    ArtifactCache.path(s"pairs|$dir|$k|$jaccardMin")(out =>
       prefixJaccardPairs(s, dir, k, jaccardMin)
-        .write.mode("overwrite").parquet(out)
-      out
-    })
+        .write.mode("overwrite").parquet(out))
 
   private def clustersPath(s: SparkSession, dir: String, k: Int,
       jaccardMin: Double): String =
-    clustersBuilt.computeIfAbsent(s"$dir|$k|$jaccardMin", _ => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-dedup-clusters").toString
+    ArtifactCache.path(s"clusters|$dir|$k|$jaccardMin")(out =>
       connectedComponents(
           s.read.parquet(minedPairsPath(s, dir, k, jaccardMin))
             .select("doc_a", "doc_b"))
-        .write.mode("overwrite").parquet(out)
-      out
-    })
+        .write.mode("overwrite").parquet(out))
 
   /** d4: iterative CC is THIS query's operator, so it runs fresh on
     * every call — only the pair-mining input comes from the shared

@@ -139,18 +139,27 @@ object Similarity {
   private val ivfBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** The IVF index artifact built in this JVM, if any — consumed by the
-    * SparkEntry x8 oracle (the artifact-derived-oracle pattern; Verify
-    * runs all queries before dumping oracle_sql.json).
+  /** The IVF index artifact the engine most recently USED — consumed by
+    * the SparkEntry x8 oracle (the artifact-derived-oracle pattern;
+    * Verify runs all queries before dumping oracle_sql.json, so this is
+    * x8's own index there). A map `.values.headOption` would return an
+    * ARBITRARY entry once a second (dir, nlist, seed) is ever built in
+    * the JVM; last-used tracking keeps oracle and query aligned.
     */
-  def builtIvfIndexDir: Option[String] = {
-    import scala.jdk.CollectionConverters._
-    ivfBuilt.asScala.values.headOption
-  }
+  @volatile private var lastIvfIndexDir: String = _
+
+  def builtIvfIndexDir: Option[String] = Option(lastIvfIndexDir)
 
   /** Build (or reuse) the IVF index artifact; returns its directory. */
   def ivfIndexDir(s: SparkSession, dir: String, nlist: Int = 16,
-      seed: Long = 42L): String =
+      seed: Long = 42L): String = {
+    val p = ivfIndexDir0(s, dir, nlist, seed)
+    lastIvfIndexDir = p
+    p
+  }
+
+  private def ivfIndexDir0(s: SparkSession, dir: String, nlist: Int,
+      seed: Long): String =
     ivfBuilt.computeIfAbsent(s"$dir|$nlist|$seed", _ => {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
@@ -272,17 +281,10 @@ object Similarity {
     * for a verifier: it checks the result the gate records, not a
     * second independent execution of the same plan.
     */
-  private val knnBuilt =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   def knnJoinArtifact(s: SparkSession, dir: String, k: Int = 3,
       nPlanes: Int = 8): DataFrame =
-    s.read.parquet(knnBuilt.computeIfAbsent(s"$dir|$k|$nPlanes", _ => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-knn-artifact").toString
-      knnJoin(s, dir, k, nPlanes).write.mode("overwrite").parquet(out)
-      out
-    }))
+    ArtifactCache.frame(s, s"knn|$dir|$k|$nPlanes")(
+      knnJoin(s, dir, k, nPlanes))
 
   def knnJoin(s: SparkSession, dir: String, k: Int = 3,
       nPlanes: Int = 8, hamming1Probes: Boolean = true,

@@ -106,22 +106,25 @@ object ExtQueries {
   private val cmsCellsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
 
-  private def cmsCells(s: SparkSession, dir: String): Array[Long] =
-    cmsCellsCache.computeIfAbsent(dir, _ =>
+  private def cmsCells(s: SparkSession, dir: String): Array[Long] = {
+    val cells = cmsCellsCache.computeIfAbsent(dir, _ =>
       tokens(s, dir)
         .agg(graft.functions.CountMin.sketch(col("token"), 4, 2048).as("sk"))
         .select(col("sk.cells")).head().getSeq[Long](0).toArray)
-
-  /** The built CMS cells, if x16 ran in this JVM — the artifact the
-    * SparkEntry x16 oracle embeds (the same artifact-derived-oracle
-    * pattern as ProductQuant.x14OracleEntry; Verify runs all queries
-    * before dumping oracle_sql.json, so this is present on the gate
-    * path).
-    */
-  def cmsCellsBuilt: Option[Array[Long]] = {
-    import scala.jdk.CollectionConverters._
-    cmsCellsCache.asScala.values.headOption
+    lastCmsCells = cells
+    cells
   }
+
+  /** The CMS cells x16 most recently USED — the artifact the SparkEntry
+    * x16 oracle embeds (artifact-derived-oracle pattern; Verify runs
+    * all queries before dumping oracle_sql.json, so this is x16's own
+    * sketch there). Last-used, not `.values.headOption`: once a second
+    * dir is built in the JVM a map pick would be arbitrary and the
+    * oracle could replay the wrong corpus's sketch.
+    */
+  @volatile private var lastCmsCells: Array[Long] = _
+
+  def cmsCellsBuilt: Option[Array[Long]] = Option(lastCmsCells)
 
   /** Count-Min token counts vs exact — top 100 by true count. Rows-only
     * (the estimate has no SQL form); x16v pins the one-sided guarantee.
