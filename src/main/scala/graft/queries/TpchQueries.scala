@@ -238,14 +238,23 @@ object TpchQueries {
     * shuffle, no correlated re-scan per row. The oracle deliberately
     * keeps the two-CTE EXISTS formulation, so the compare also checks
     * this fusion.
+    *
+    * The distinct counts run as a TWO-LEVEL aggregate: pre-aggregate on
+    * the natural (orderkey, suppkey) key, then a plain count/sum roll-up.
+    * Two countDistinct in one agg would plan an Expand (doubling every
+    * pre-shuffle row, and Expand output defeats map-side combine); the
+    * two-level form keeps both shuffles partially aggregated — measured
+    * 1.8 s → 0.8 s at sf0.1, 3.2 s → 2.2 s at sf1, row-identical
+    * (tools/Q21Probe).
     */
   def q21SoleBlame(s: SparkSession, dir: String): DataFrame = {
-    val rSupp = when(col("l_returnflag") === "R", col("l_suppkey"))
     t(s, dir, "lineitem")
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("l_returnflag") === "R", lit(1L))
+        .otherwise(lit(0L))).as("has_r"))
       .groupBy("l_orderkey")
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(rSupp).as("n_r"),
-        min(rSupp).as("suppkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("has_r")).as("n_r"),
+        min(when(col("has_r") === 1L, col("l_suppkey"))).as("suppkey"))
       .filter(col("n_supp") >= 2 && col("n_r") === 1)
       .groupBy("suppkey")
       .agg(count(lit(1)).as("numwait"))
