@@ -610,25 +610,37 @@ object Dedup {
     * Shape: positional k-gram explode → groupBy(gram) to find cross-doc
     * grams → join back → per-doc gaps-and-islands merge (one window
     * pass, lag + running sum) → span aggregate. Every shuffle is on a
-    * compact key (the gram string here, its 8-byte hash at scale — the
-    * paper's suffix array is a single-machine structure; the positional
-    *-gram join is the standard distributed equivalent). The window
+    * compact key — the gram's 8-byte [[graft.functions.GramHashArray]]
+    * hash by default (the paper's suffix array is a single-machine
+    * structure; the positional-gram join is the standard distributed
+    * equivalent). The window
     * partitions by doc_id, so span assembly never crosses executors.
     * Overlapping or adjacent duplicated windows merge into one span
     * (`pos > prev + k` breaks; positions ascending make lag = running
     * max).
     */
-  def dupSpans(s: SparkSession, dir: String, k: Int = 25): DataFrame = {
+  def dupSpans(s: SparkSession, dir: String, k: Int = 25,
+      hashKeys: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // id-repartition BEFORE the ~300× explode: the fixture is one parquet
     // file → one input partition, which would serialize the gram
     // generation and the partial aggregate (same fix as Multimodal's
     // decode passes). Also pre-co-locates docs for the span window.
+    //
+    // hashKeys=true (default, the at-scale shape): the cross-doc gram
+    // matching shuffles an 8-byte GramHashArray hash per position instead
+    // of the k-char gram string — ~4× fewer shuffle bytes at k=25 and no
+    // per-gram string allocation. Output-identical unless two distinct
+    // grams collide in 64 bits (~2^-64/pair; a collision could only add a
+    // span); hashKeys=false keeps the literal-string path that the
+    // equivalence spec compares against.
+    val gramCol =
+      if (hashKeys) graft.functions.Expressions.gramHashArray(col("text"), k)
+      else graft.functions.Expressions.gramArray(col("text"), k)
     val g = docs(s, dir)
       .filter(length(col("text")) >= k)
       .repartition(col("doc_id"))
-      .select(col("doc_id"),
-        posexplode(graft.functions.Expressions.gramArray(col("text"), k)))
+      .select(col("doc_id"), posexplode(gramCol))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
     val crossDoc = g.groupBy("gram")
       .agg(min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))

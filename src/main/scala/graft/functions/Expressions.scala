@@ -216,6 +216,8 @@ object Expressions {
     GraftBridge.column(WinnowFingerprints(GraftBridge.expression(c), k, w))
   def gramArray(c: Column, k: Int): Column =
     GraftBridge.column(GramArray(GraftBridge.expression(c), k))
+  def gramHashArray(c: Column, k: Int): Column =
+    GraftBridge.column(GramHashArray(GraftBridge.expression(c), k))
 }
 
 /** All positional k-character grams of a string in ONE pass. The naive
@@ -252,6 +254,39 @@ object Grams {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Per-position gram hashes (see [[GramHashArray]]): FNV-1a over the
+    * gram's byte range, splitmix-finalized for uniform high/low bits.
+    */
+  def hashAll(s: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = s.getBytes
+    val starts = new Array[Int](s.numChars() + 1)
+    var n = 0
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) { starts(n) = i; n += 1 }
+      i += 1
+    }
+    starts(n) = bytes.length
+    if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.empty[Long])
+    val out = new Array[Long](n - k + 1)
+    var j = 0
+    while (j <= n - k) {
+      var h = 0xcbf29ce484222325L
+      var p = starts(j)
+      val end = starts(j + k)
+      while (p < end) {
+        h = (h ^ (bytes(p) & 0xffL)) * 0x100000001b3L
+        p += 1
+      }
+      h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+      h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+      out(j) = h ^ (h >>> 31)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 case class GramArray(child: Expression, k: Int) extends UnaryExpression {
@@ -261,6 +296,26 @@ case class GramArray(child: Expression, k: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Grams.all($c, $k)")
   override protected def withNewChildInternal(c: Expression): GramArray =
+    copy(child = c)
+}
+
+/** 64-bit hash of every positional k-gram, one pass, no string
+  * materialization: positions line up 1:1 with [[GramArray]], but each
+  * element is an 8-byte FNV-1a-then-splitmix hash of the gram's bytes
+  * instead of a copied UTF8String. Downstream shuffles keyed on the gram
+  * (cross-doc gram matching) carry 8 bytes instead of k characters plus
+  * an object header, and the per-row allocation disappears entirely.
+  * Two grams collide with ~2^-64 pair probability — at 10^9 distinct
+  * grams the expected collision count is still < 10^-1 — and a collision
+  * can only ADD a false duplicate span, never lose one.
+  */
+case class GramHashArray(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Grams.hashAll(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Grams.hashAll($c, $k)")
+  override protected def withNewChildInternal(c: Expression): GramHashArray =
     copy(child = c)
 }
 /** Shared two-stream splitmix64 mixer (Steele et al., "Fast Splittable

@@ -105,6 +105,15 @@ class Round7Spec extends SparkSpec {
     assert(spans == Seq((1L, 31L, 70L), (2L, 21L, 60L)), spans.toString)
   }
 
+  test("d11: 8-byte gram-hash shuffle keys produce spans identical to" +
+      " literal gram strings on the real fixture") {
+    val dir = "/root/testdata/sf0.01"
+    val hashed = Dedup.dupSpans(spark, dir, k = 25, hashKeys = true)
+    val literal = Dedup.dupSpans(spark, dir, k = 25, hashKeys = false)
+    assert(hashed.unionByName(literal).distinct().count() == hashed.count())
+    assert(hashed.count() == literal.count())
+  }
+
   test("g1: integer-micros PageRank matches hand-computed one iteration") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-g1").toString
