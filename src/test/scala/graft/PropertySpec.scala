@@ -91,6 +91,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: GramHashArray aligns 1:1 with GramArray — same length," +
+      " equal grams hash equal, unequal grams hash unequal (incl unicode)") {
+    import spark.implicits._
+    val gen = Gen.oneOf(
+      Gen.stringOfN(40, Gen.oneOf('a', 'b', 'c', ' ')),
+      Gen.stringOfN(30, Gen.oneOf('é', 'ü', '中', 'a')),
+      Gen.stringOf(Gen.alphaNumChar))
+    val texts = samples(gen, 60, 77L).filter(_.nonEmpty)
+    val rows = texts.toDF("text")
+      .select(
+        graft.functions.Expressions.gramArray(col("text"), 5).as("g"),
+        graft.functions.Expressions.gramHashArray(col("text"), 5).as("h"))
+      .collect()
+    val pairs = rows.flatMap { r =>
+      val g = r.getSeq[String](0)
+      val h = r.getSeq[Long](1)
+      assert(g.length == h.length)
+      g.zip(h)
+    }
+    // hash is a pure function of the gram text: one hash per gram, and
+    // no two distinct grams collide on this sample
+    val byGram = pairs.groupBy(_._1).view.mapValues(_.map(_._2).distinct)
+    assert(byGram.values.forall(_.size == 1))
+    val byHash = pairs.groupBy(_._2).view.mapValues(_.map(_._1).distinct)
+    assert(byHash.values.forall(_.size == 1))
+  }
+
   test("Morton zkey8 is a bijection on [0,256)^2 (exhaustive)") {
     import graft.functions.Morton
     val seen = new java.util.BitSet(65536)
