@@ -497,21 +497,30 @@ object Dedup {
   def prefixJaccardPairs(s: SparkSession, dir: String, k: Int = 3,
       jaccardMin: Double = 0.2,
       blockCols: Seq[String] = Seq("lang", "source"),
-      rarestFirst: Boolean = true): DataFrame = {
+      rarestFirst: Boolean = true,
+      compactKeys: Boolean = true): DataFrame = {
     val sh = shingles(docs(s, dir), k).select(
       (Seq(col("doc_id")) ++ blockCols.map(col) :+ col("shingle_hashes")): _*)
     val plen = (n: org.apache.spark.sql.Column) =>
       n - floor(lit(jaccardMin) * n) + 1
-    // Completeness holds under ANY global total order (see lemma above).
-    // rarestFirst = (document frequency, hash) keeps common shingles out
-    // of prefixes — the order that survives boilerplate-heavy corpora at
-    // scale — at the cost of a df aggregation + doc-keyed window rank.
-    // Hash order uses the already-sorted shingle arrays directly (no df
-    // pass) and is fine when sharing is moderate.
+    // compactKeys (default, the at-scale shape): fold (blockCols…, h)
+    // into ONE xxhash64 join key so every token-level exchange (df agg,
+    // window sort, prefix self-join) moves 8 bytes of key instead of
+    // (lang, source, h) strings — ~2× fewer shuffle/scratch bytes, the
+    // lever that matters for the d3 sf10 spill wall (SCALING.md). A
+    // 64-bit collision merges two buckets and can only ADD a candidate
+    // pair (~2^-64/pair), which the exact Jaccard verify then discards;
+    // compactKeys=false keeps the literal path the equivalence spec
+    // compares against. Ordering by (df, jk) instead of (df, h) is just
+    // a different global total order — completeness is order-free.
+    val jkey = xxhash64((blockCols.map(col) :+ col("h")): _*)
     val ordered = if (rarestFirst) {
-      val tok = sh.select(
+      val tok0 = sh.select(
         (Seq(col("doc_id"), size(col("shingle_hashes")).cast("long").as("n")) ++
           blockCols.map(col) :+ explode(col("shingle_hashes")).as("h")): _*)
+      val tok =
+        if (compactKeys) tok0.select(col("doc_id"), col("n"), jkey.as("h"))
+        else tok0
       // Only REPEATED shingles need their true df: the df=1 long tail (the
       // overwhelming majority of any real corpus) sorts identically whether
       // joined or defaulted, so filtering to df>1 shrinks the frequency
@@ -520,19 +529,25 @@ object Dedup {
       val dfreq = tok.groupBy("h").agg(count(lit(1)).as("df"))
         .filter(col("df") > 1)
       val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-      tok.join(dfreq, Seq("h"), "left").na.fill(1L, Seq("df"))
+      val kept = tok.join(dfreq, Seq("h"), "left").na.fill(1L, Seq("df"))
         .withColumn("rn", row_number().over(byDoc.orderBy("df", "h")))
         .filter(col("rn") <= plen(col("n")))
-        .select((Seq(col("doc_id"), col("n")) ++ blockCols.map(col) :+ col("h")): _*)
+      if (compactKeys) kept.select("doc_id", "n", "h")
+      else kept.select((Seq(col("doc_id"), col("n")) ++ blockCols.map(col) :+
+        col("h")): _*)
     } else {
-      sh.withColumn("n", size(col("shingle_hashes")))
+      val pref = sh.withColumn("n", size(col("shingle_hashes")))
         .select((Seq(col("doc_id"), col("n")) ++ blockCols.map(col) :+
           explode(slice(col("shingle_hashes"), lit(1),
             plen(col("n")).cast("int"))).as("h")): _*)
+      if (compactKeys) pref.select(col("doc_id"), col("n"), jkey.as("h"))
+      else pref
     }
     // size filter: J(a,b) >= t forces t·|a| <= |b| <= |a|/t — prunes
     // candidate pairs between very different-sized sets in the join itself
-    val joinCond = (blockCols.map(c => col(s"l.$c") === col(s"r.$c")) ++ Seq(
+    val blockEq = if (compactKeys) Nil
+      else blockCols.map(c => col(s"l.$c") === col(s"r.$c"))
+    val joinCond = (blockEq ++ Seq(
       col("l.h") === col("r.h"), col("l.doc_id") < col("r.doc_id"),
       col("l.n") * lit(jaccardMin) <= col("r.n"),
       col("r.n") * lit(jaccardMin) <= col("l.n")))
@@ -556,18 +571,28 @@ object Dedup {
     */
   def winnowPairs(s: SparkSession, dir: String, k: Int = 3, w: Int = 8,
       jaccardMin: Double = 0.4,
-      blockCols: Seq[String] = Seq("lang", "source")): DataFrame = {
+      blockCols: Seq[String] = Seq("lang", "source"),
+      compactKeys: Boolean = true): DataFrame = {
     val sh = shingles(docs(s, dir), k).select(
       (Seq(col("doc_id"), col("shingle_hashes")) ++ blockCols.map(col) :+
         graft.functions.Expressions.winnowFingerprints(col("text"), k, w)
           .as("fps")): _*)
     // same (lang, source) blocking as the exact prefix join — candidates
     // never cross blocks, keeping wv2's subset relation exact and the
-    // join buckets pruned
-    val fp = sh.select(
+    // join buckets pruned. compactKeys folds (blockCols…, fp) into one
+    // xxhash64 join key (8 bytes crosses the exchange instead of the
+    // block strings + fp; a 2^-64 collision could only add a candidate,
+    // which the exact verify discards — same argument as d11/d3).
+    val fp0 = sh.select(
       (Seq(col("doc_id")) ++ blockCols.map(col) :+
         explode(col("fps")).as("fp")): _*)
-    val joinCond = (blockCols.map(c => col(s"l.$c") === col(s"r.$c")) ++ Seq(
+    val fp = if (compactKeys)
+      fp0.select(col("doc_id"),
+        xxhash64((blockCols.map(col) :+ col("fp")): _*).as("fp"))
+      else fp0
+    val blockEq = if (compactKeys) Nil
+      else blockCols.map(c => col(s"l.$c") === col(s"r.$c"))
+    val joinCond = (blockEq ++ Seq(
       col("l.fp") === col("r.fp"), col("l.doc_id") < col("r.doc_id")))
       .reduce(_ && _)
     val cand = fp.alias("l").join(fp.alias("r"), joinCond)

@@ -259,8 +259,9 @@ object Similarity {
     * near-dup clustering and diversity scoring (single-query probes like
     * [[annTopK]] serve lookups; corpus curation needs all rows at once).
     * Candidates are same-(table, bucket) pairs over [[lshBucketsMulti]] —
-    * always an equi-join carrying (table_id, bucket, id, embedding),
-    * never a cross product. Two stacked recall levers (VERDICT r5
+    * always an equi-join carrying only (table_id, bucket, id); the two
+    * embeddings attach to the deduped pair set afterwards (late
+    * materialization), never a cross product. Two stacked recall levers (VERDICT r5
     * item 2), both ON by default:
     *  - `nTables` independent hash tables (OR-construction): a pair is a
     *    candidate if it collides in ANY table — candidates ×nTables;
@@ -289,25 +290,40 @@ object Similarity {
   def knnJoin(s: SparkSession, dir: String, k: Int = 3,
       nPlanes: Int = 8, hamming1Probes: Boolean = true,
       nTables: Int = 4): DataFrame = {
+    // LATE MATERIALIZATION (r10 session 3, A/B-proven in tools/E3Probe):
+    // the candidate join shuffles IDs only. The old shape carried the
+    // 256-byte embedding on both sides of the (table_id, bucket)
+    // exchange — ×nTables on the build side and ×nTables·(nPlanes+1)
+    // Hamming-1 probes on the stream side, so every vector's floats
+    // crossed the wire ~36+4 times. Now each embedding crosses an
+    // exchange O(1) times via two narrow id-keyed joins against the
+    // DEDUPED pair set, and the distinct itself runs on 16-byte pairs
+    // instead of (pair, double) rows. Output is bit-identical (cosine
+    // is a deterministic function of the pair).
     val b = lshBucketsMulti(s, dir, nPlanes, nTables)
-    val l0 = b.select(col("vec_id").as("src_id"),
-      col("embedding").as("src_emb"), col("table_id"), col("bucket"))
+      .select("vec_id", "table_id", "bucket")
+    val l0 = b.select(col("vec_id").as("src_id"), col("table_id"),
+      col("bucket"))
     val l = if (!hamming1Probes) l0
-      else b.select(col("vec_id").as("src_id"),
-        col("embedding").as("src_emb"), col("table_id"),
+      else b.select(col("vec_id").as("src_id"), col("table_id"),
         explode(probeBuckets(nPlanes)).as("bucket"))
-    val r = b.select(col("vec_id").as("nb_id"),
-      col("embedding").as("nb_emb"), col("table_id"), col("bucket"))
-    // dedup collisions across tables/probes BEFORE the heap: distinct on
-    // the scored pair (cosine is deterministic, so it dedups cleanly).
+    val r = b.select(col("vec_id").as("nb_id"), col("table_id"),
+      col("bucket"))
     // Hot buckets (a templated-content corpus hashing to one signature)
     // are capped via the skew-safe join — no single quadratic task.
-    val cand = SkewSafe.cappedEquiJoin(l, r, Seq("table_id", "bucket"),
+    val pairs = SkewSafe.cappedEquiJoin(l, r, Seq("table_id", "bucket"),
         xxhash64(col("nb_id")), cap = 1024)
       .filter(col("src_id") =!= col("nb_id"))
+      .select("src_id", "nb_id")
+      .distinct()
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val cand = pairs
+      .join(e.select(col("vec_id").as("src_id"),
+        col("embedding").as("src_emb")), Seq("src_id"))
+      .join(e.select(col("vec_id").as("nb_id"),
+        col("embedding").as("nb_emb")), Seq("nb_id"))
       .select(col("src_id"), col("nb_id"),
         cosineF(col("src_emb"), col("nb_emb")).as("cosine"))
-      .distinct()
     graft.plans.TopKPerGroup.topK(cand, Seq("src_id"), "cosine", k,
       desc = true, tiebreakCols = Seq("nb_id"))
   }
