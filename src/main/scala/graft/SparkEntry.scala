@@ -180,6 +180,7 @@ object SparkEntry {
     "x2v_simhash_recompute" -> (ExtQueries.x2vSimhashRecompute _),
     "d10_template_ngrams" -> (ExtQueries.d10TemplateNgrams _),
     "d11_dup_spans" -> (ExtQueries.d11DupSpans _),
+    "d12_span_cut" -> (ExtQueries.d12SpanCut _),
     "g1_pagerank" -> (ExtQueries.g1PageRank _),
     "p17_pos_tokens" -> (ExtQueries.p17PosTokens _),
     "x3_minhash_lsh_pairs" -> (ExtQueries.x3MinhashLshPairs _),
@@ -1758,6 +1759,59 @@ object SparkEntry {
          SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
                 CAST(max(pos) + 24 AS BIGINT) AS span_end
          FROM i GROUP BY doc_id, island""",
+    // d12: same span CTEs as d11, then the cut — gaps between spans
+    // (plus the tail after the last span) spliced back together in
+    // position order; docs with no spans pass through, a fully-covered
+    // doc becomes the empty string.
+    "d12_span_cut" ->
+      """WITH g AS (
+           SELECT doc_id, pos, substring(text, pos, 25) AS gram FROM (
+             SELECT doc_id, text,
+                    unnest(generate_series(1, length(text) - 24)) AS pos
+             FROM documents WHERE length(text) >= 25)),
+         x AS (SELECT gram FROM g GROUP BY gram
+               HAVING min(doc_id) <> max(doc_id)),
+         h AS (SELECT doc_id, pos FROM g JOIN x USING (gram)),
+         b AS (SELECT doc_id, pos,
+                 CASE WHEN pos > coalesce(lag(pos) OVER
+                        (PARTITION BY doc_id ORDER BY pos), pos) + 25
+                      THEN 1 ELSE 0 END AS brk
+               FROM h),
+         i AS (SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+               FROM b),
+         spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 24 AS e
+                   FROM i GROUP BY doc_id, island),
+         gaps AS (
+           SELECT sp.doc_id,
+                  coalesce(lag(sp.e) OVER (PARTITION BY sp.doc_id
+                    ORDER BY sp.s), 0) + 1 AS gs,
+                  sp.s - 1 AS ge
+           FROM spans sp
+           UNION ALL
+           SELECT doc_id, max(e) + 1 AS gs, 2147483647 AS ge
+           FROM spans GROUP BY doc_id),
+         pieces AS (
+           SELECT gp.doc_id, gp.gs,
+                  substring(d.text, CAST(gp.gs AS INT),
+                    CAST(least(gp.ge, length(d.text)) - gp.gs + 1 AS INT))
+                    AS piece
+           FROM gaps gp JOIN documents d USING (doc_id)
+           WHERE least(gp.ge, length(d.text)) >= gp.gs),
+         cut AS (SELECT doc_id, string_agg(piece, '' ORDER BY gs)
+                   AS clean_text
+                 FROM pieces GROUP BY doc_id)
+         SELECT d.doc_id,
+                CASE WHEN sp.doc_id IS NULL THEN d.text
+                     ELSE coalesce(c.clean_text, '') END AS clean_text,
+                CAST(length(d.text) - length(CASE WHEN sp.doc_id IS NULL
+                  THEN d.text ELSE coalesce(c.clean_text, '') END)
+                  AS BIGINT) AS n_cut
+         FROM documents d
+         LEFT JOIN (SELECT DISTINCT doc_id FROM spans) sp USING (doc_id)
+         LEFT JOIN cut c USING (doc_id)""",
     "p17_pos_tokens" ->
       """SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, words[i] AS token
          FROM (

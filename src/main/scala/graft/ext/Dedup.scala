@@ -685,4 +685,41 @@ object Dedup {
       .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
         col("span_end").cast("long").as("span_end"))
   }
+
+  /** The CUT step of ExactSubstr dedup (Lee et al. 2022 §4.1 — after
+    * finding duplicated spans, the pipeline removes them from the
+    * training text): every document rewritten with its [[dupSpans]]
+    * spans spliced out. Returns (doc_id, clean_text, n_cut).
+    *
+    * Shape: spans aggregate to one sorted array per doc (keyed agg on
+    * doc_id), left-join back to the corpus on doc_id, and the splice is
+    * a single `aggregate` higher-order fold over the span array — per-row
+    * compute, no extra exchange beyond the one doc-keyed join. Spans are
+    * non-overlapping and position-sorted by construction (islands
+    * merged in dupSpans), which is what lets the fold carry just a
+    * cursor. Docs with no spans pass through; a doc fully covered by
+    * one span becomes the empty string.
+    */
+  def cutDupSpans(s: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    val spans = dupSpans(s, dir, k)
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(
+        struct(col("span_start"), col("span_end")))).as("spans"))
+    docs(s, dir)
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("clean_text",
+        when(col("spans").isNull, col("text")).otherwise(expr(
+          """aggregate(
+               spans,
+               struct(CAST(1 AS BIGINT) AS cur, '' AS acc),
+               (a, sp) -> struct(
+                 sp.span_end + CAST(1 AS BIGINT) AS cur,
+                 concat(a.acc, substring(text, CAST(a.cur AS INT),
+                   CAST(sp.span_start - a.cur AS INT))) AS acc),
+               a -> concat(a.acc,
+                 substring(text, CAST(a.cur AS INT), length(text))))""")))
+      .select(col("doc_id"), col("clean_text"),
+        (length(col("text")) - length(col("clean_text"))).cast("long")
+          .as("n_cut"))
+  }
 }

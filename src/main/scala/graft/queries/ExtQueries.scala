@@ -39,6 +39,12 @@ object ExtQueries {
   def d11DupSpans(s: SparkSession, dir: String): DataFrame =
     Dedup.dupSpans(s, dir, k = 25)
 
+  /** The ExactSubstr CUT: corpus rewritten with duplicated spans
+    * spliced out (the step the training pipeline actually ships).
+    */
+  def d12SpanCut(s: SparkSession, dir: String): DataFrame =
+    Dedup.cutDupSpans(s, dir, k = 25)
+
   /** Integer-micros PageRank over the co-order part graph (3 unrolled
     * power iterations — bit-identical across engines by construction).
     */

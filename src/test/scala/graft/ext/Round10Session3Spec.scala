@@ -39,6 +39,38 @@ class Round10Session3Spec extends SparkSpec {
       "d7 compactKeys")
   }
 
+  test("d12: span cut splices duplicated spans out, passes clean docs " +
+      "through, and empties a fully-covered doc") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-d12").toString
+    val block = "0123456789" * 4 // 40 chars shared between docs 1 and 2
+    Seq(
+      (1L, ("u" * 30) + block + ("v" * 30), "s"),
+      (2L, ("w" * 20) + block + ("y" * 10), "s"),
+      (3L, "entirely original text that is long enough to gram", "s"),
+      (4L, block, "s")) // fully covered -> empty
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cut = Dedup.cutDupSpans(spark, dir, k = 25)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(cut(1L) == (("u" * 30) + ("v" * 30), 40L), cut(1L).toString)
+    assert(cut(2L) == (("w" * 20) + ("y" * 10), 40L), cut(2L).toString)
+    assert(cut(3L) ==
+      (("entirely original text that is long enough to gram", 0L)))
+    assert(cut(4L) == (("", 40L)), cut(4L).toString)
+    // conservation: clean length + chars cut == original length, per doc
+    val bad = Dedup.cutDupSpans(spark, dir, k = 25)
+      .join(spark.read.parquet(s"$dir/documents.parquet"), "doc_id")
+      .filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("clean_text")) +
+        org.apache.spark.sql.functions.col("n_cut") =!=
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")))
+      .count()
+    assert(bad == 0L)
+  }
+
   test("e3: late-materialized kNN join (IDs through the candidate " +
       "exchange, embeddings re-attached to the deduped pair set) equals " +
       "the embedding-carrying shape") {
