@@ -213,6 +213,33 @@ object Similarity {
     * lockstep, or an invariant would keep measuring a construction the
     * operator no longer uses.
     */
+  /** Size the hyperplane count to the corpus so LSH candidate volume
+    * stays ~linear in n. With p planes the table has 2^p buckets, the
+    * average bucket holds n/2^p vectors, and the candidate join emits
+    * ~nTables · n · (n/2^p) · (p+1) pairs (Hamming-1 probing visits p+1
+    * buckets per source). A FIXED p therefore makes candidates grow
+    * QUADRATICALLY with the corpus — measured: nPlanes=8 is 56M pairs
+    * at 20k vectors (~10 s) but ~5.6B pairs at 200k vectors (fills
+    * ~800 GB of shuffle scratch and dies on one node). Solving
+    * n/2^p ≈ targetBucket gives p = ⌈log2(n / targetBucket)⌉ — bucket
+    * occupancy, and with it per-source candidate work, stays constant
+    * as the corpus scales; recall lost to the finer partition is
+    * recovered by the OR-construction (more tables) and the Hamming-1
+    * probes, exactly the levers [[knnJoin]] already stacks. Clamped to
+    * [4, 24]: below 4 the buckets are degenerate, above 24 the bucket
+    * key no longer gains selectivity against 64-dim embeddings.
+    *
+    * Callers pass `nPlanes = 0` to [[lshBucketsMulti]] / [[knnJoin]]
+    * to opt in (the gate queries stay at their pinned explicit counts —
+    * their recall floors are corpus-calibrated).
+    */
+  def autoPlanes(nVectors: Long, targetBucket: Int = 32): Int = {
+    require(targetBucket > 0, "targetBucket must be positive")
+    val p = math.ceil(math.log(math.max(1L, nVectors).toDouble /
+      targetBucket) / math.log(2.0)).toInt
+    math.min(24, math.max(4, p))
+  }
+
   private def probeBuckets(nPlanes: Int) = array(
     (Seq(col("bucket")) ++ (0 until nPlanes).map(i =>
       col("bucket").bitwiseXOR(lit(1L << i)))): _*)
@@ -227,6 +254,10 @@ object Similarity {
     */
   def lshBucketsMulti(s: SparkSession, dir: String, nPlanes: Int = 8,
       nTables: Int = 4, seed: Long = 42L): DataFrame = {
+    // nPlanes = 0 → auto-size from the corpus count (one metadata-only
+    // parquet count; see autoPlanes for why fixed counts die at scale)
+    val planes = if (nPlanes > 0) nPlanes
+      else autoPlanes(emb(s, dir).count())
     val dim = 64 // embeddings fixture dim (TESTDATA.md)
     // Fail loudly on fixture-schema drift: the hyperplanes are length-64,
     // and Vec.dot runs over min(len) — a shorter/longer embedding would
@@ -239,7 +270,7 @@ object Similarity {
         lit(" for vec_id="), col("vec_id").cast("string"))))
     val tableBuckets = (0 until nTables).map { t =>
       val rnd = new scala.util.Random(seed + 1000L * t)
-      val sigBits = Seq.fill(nPlanes)(
+      val sigBits = Seq.fill(planes)(
         Array.fill(dim)(rnd.nextGaussian().toFloat))
         .zipWithIndex.map { case (p, i) =>
           when(dotF(col("embedding"),
@@ -290,6 +321,9 @@ object Similarity {
   def knnJoin(s: SparkSession, dir: String, k: Int = 3,
       nPlanes: Int = 8, hamming1Probes: Boolean = true,
       nTables: Int = 4): DataFrame = {
+    // nPlanes = 0 → auto-size to the corpus (see autoPlanes)
+    val planes = if (nPlanes > 0) nPlanes
+      else autoPlanes(emb(s, dir).count())
     // LATE MATERIALIZATION (r10 session 3, A/B-proven in tools/E3Probe):
     // the candidate join shuffles IDs only. The old shape carried the
     // 256-byte embedding on both sides of the (table_id, bucket)
@@ -300,13 +334,13 @@ object Similarity {
     // DEDUPED pair set, and the distinct itself runs on 16-byte pairs
     // instead of (pair, double) rows. Output is bit-identical (cosine
     // is a deterministic function of the pair).
-    val b = lshBucketsMulti(s, dir, nPlanes, nTables)
+    val b = lshBucketsMulti(s, dir, planes, nTables)
       .select("vec_id", "table_id", "bucket")
     val l0 = b.select(col("vec_id").as("src_id"), col("table_id"),
       col("bucket"))
     val l = if (!hamming1Probes) l0
       else b.select(col("vec_id").as("src_id"), col("table_id"),
-        explode(probeBuckets(nPlanes)).as("bucket"))
+        explode(probeBuckets(planes)).as("bucket"))
     val r = b.select(col("vec_id").as("nb_id"), col("table_id"),
       col("bucket"))
     // Hot buckets (a templated-content corpus hashing to one signature)

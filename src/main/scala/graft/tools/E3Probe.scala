@@ -29,6 +29,8 @@ object E3Probe {
     variant match {
       case "late" => Similarity.knnJoin(s, dir, k, nPlanes,
         hamming1Probes = true, nTables = nTables)
+      case "auto" => Similarity.knnJoin(s, dir, k, nPlanes = 0,
+        hamming1Probes = true, nTables = nTables)
       case "base" =>
         // the pre-r10s3 shape: embeddings ride through the candidate
         // exchange on both sides, distinct runs on (pair, cosine)
@@ -51,28 +53,35 @@ object E3Probe {
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // At-scale probes: shuffle partitions sized independently of thread
+    // count (a cluster raises partitions, not per-task memory)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
-    for (v <- Seq("base", "late", "base", "late", "base", "late")) {
+    val order = if (args.length > 1) args.drop(1).toSeq
+      else Seq("base", "late", "base", "late", "base", "late")
+    for (v <- order) {
       val t0 = System.nanoTime()
       knnJoinVariant(spark, dir, v)
         .write.mode("overwrite").format("noop").save()
       println(f"[e3probe] $v ${(System.nanoTime() - t0) / 1e9}%.2f")
     }
-    val base = knnJoinVariant(spark, dir, "base")
-    val late = knnJoinVariant(spark, dir, "late")
-    val nBase = base.count()
-    val nBoth = base.unionByName(late).distinct().count()
-    println(s"[e3probe] equivalence: base=$nBase union_distinct=$nBoth " +
-      (if (nBase == nBoth && late.count() == nBase) "IDENTICAL"
-       else "MISMATCH"))
+    if (args.length <= 1) {
+      val base = knnJoinVariant(spark, dir, "base")
+      val late = knnJoinVariant(spark, dir, "late")
+      val nBase = base.count()
+      val nBoth = base.unionByName(late).distinct().count()
+      println(s"[e3probe] equivalence: base=$nBase union_distinct=$nBoth " +
+        (if (nBase == nBoth && late.count() == nBase) "IDENTICAL"
+         else "MISMATCH"))
+    }
     spark.stop()
   }
 }

@@ -35,15 +35,16 @@ object PairKeyProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val order = Seq("d3_str", "d3_ckey", "d7_str", "d7_ckey",
-      "d3_str", "d3_ckey", "d7_str", "d7_ckey",
-      "d3_str", "d3_ckey", "d7_str", "d7_ckey")
+    val order = if (args.length > 1) args.drop(1).toSeq
+      else Seq("d3_str", "d3_ckey", "d7_str", "d7_ckey",
+        "d3_str", "d3_ckey", "d7_str", "d7_ckey",
+        "d3_str", "d3_ckey", "d7_str", "d7_ckey")
     for (v <- order) {
       val t0 = System.nanoTime()
       variant(spark, dir, v).write.mode("overwrite").format("noop").save()
       println(f"[pairkey] $v ${(System.nanoTime() - t0) / 1e9}%.2f")
     }
-    for (q <- Seq("d3", "d7")) {
+    for (q <- Seq("d3", "d7") if args.length <= 1) {
       val a = variant(spark, dir, s"${q}_str")
       val b = variant(spark, dir, s"${q}_ckey")
       val nA = a.count()

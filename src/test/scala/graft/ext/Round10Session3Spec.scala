@@ -71,6 +71,27 @@ class Round10Session3Spec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("autoPlanes sizes the LSH partition to the corpus: constant " +
+      "bucket occupancy, clamped, and knnJoin(nPlanes=0) routes " +
+      "through it") {
+    // n/2^p ≈ targetBucket ⇒ doubling n adds one plane
+    assert(Similarity.autoPlanes(1000, 32) + 1 ==
+      Similarity.autoPlanes(2000, 32))
+    assert(Similarity.autoPlanes(20000) == 10)   // 20k/32 → 2^10
+    assert(Similarity.autoPlanes(200000) == 13)  // 200k/32 → 2^13
+    assert(Similarity.autoPlanes(1) == 4)        // clamp floor
+    assert(Similarity.autoPlanes(Long.MaxValue) == 24) // clamp ceiling
+    // sentinel routing: auto at this corpus must equal the explicit call
+    // at the computed plane count (same seed ⇒ same buckets ⇒ same knn)
+    val dir = sf("sf0.001")
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val auto = Similarity.knnJoin(spark, dir, k = 3, nPlanes = 0)
+    val explicit = Similarity.knnJoin(spark, dir, k = 3,
+      nPlanes = Similarity.autoPlanes(n))
+    assert(auto.unionByName(explicit).distinct().count() == auto.count())
+    assert(auto.count() == explicit.count())
+  }
+
   test("e3: late-materialized kNN join (IDs through the candidate " +
       "exchange, embeddings re-attached to the deduped pair set) equals " +
       "the embedding-carrying shape") {
