@@ -30,10 +30,13 @@ object ExtQueries {
 
   /** Prefix-filter set-similarity join (complete — no all-pairs step);
     * equals [[Dedup.ngramJaccardPairs]] on every corpus by the prefix
-    * lemma, which the oracle verifies.
+    * lemma, which the oracle verifies. WRITE-THROUGH: the first call
+    * mines AND persists the pair-graph artifact (the honest pipeline
+    * cost — the miner's output is what d4/d9/verifiers consume), so
+    * the downstream cluster stages never re-mine the same corpus.
     */
   def d3NgramJaccardPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.prefixJaccardPairs(s, dir, k = 3, jaccardMin = 0.4)
+    Dedup.prefixPairsArtifact(s, dir, k = 3, jaccardMin = 0.4)
 
   /** Exact substring-duplication spans (Lee et al. 2022 ExactSubstr). */
   def d11DupSpans(s: SparkSession, dir: String): DataFrame =
