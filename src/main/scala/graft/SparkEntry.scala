@@ -181,6 +181,7 @@ object SparkEntry {
     "d10_template_ngrams" -> (ExtQueries.d10TemplateNgrams _),
     "d11_dup_spans" -> (ExtQueries.d11DupSpans _),
     "d12_span_cut" -> (ExtQueries.d12SpanCut _),
+    "d13_self_repeat_spans" -> (ExtQueries.d13SelfRepeatSpans _),
     "g1_pagerank" -> (ExtQueries.g1PageRank _),
     "p17_pos_tokens" -> (ExtQueries.p17PosTokens _),
     "x3_minhash_lsh_pairs" -> (ExtQueries.x3MinhashLshPairs _),
@@ -1758,6 +1759,33 @@ object SparkEntry {
                FROM b)
          SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
                 CAST(max(pos) + 24 AS BIGINT) AS span_end
+         FROM i GROUP BY doc_id, island""",
+    // d13: within-doc repeats — same gram explode as d11, but the
+    // repeated set is per-(doc, gram) with keep-first semantics
+    // (pos > first occurrence), then the same islands merge.
+    "d13_self_repeat_spans" ->
+      """WITH g AS (
+           SELECT doc_id, pos, substring(text, pos, 12) AS gram FROM (
+             SELECT doc_id, text,
+                    unnest(generate_series(1, length(text) - 11)) AS pos
+             FROM documents WHERE length(text) >= 12)),
+         r AS (SELECT doc_id, gram, min(pos) AS first_pos
+               FROM g GROUP BY doc_id, gram HAVING count(*) > 1),
+         h AS (SELECT g.doc_id, g.pos FROM g
+               JOIN r ON g.doc_id = r.doc_id AND g.gram = r.gram
+               WHERE g.pos > r.first_pos),
+         b AS (SELECT doc_id, pos,
+                 CASE WHEN pos > coalesce(lag(pos) OVER
+                        (PARTITION BY doc_id ORDER BY pos), pos) + 12
+                      THEN 1 ELSE 0 END AS brk
+               FROM h),
+         i AS (SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+               FROM b)
+         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                CAST(max(pos) + 11 AS BIGINT) AS span_end
          FROM i GROUP BY doc_id, island""",
     // d12: same span CTEs as d11, then the cut — gaps between spans
     // (plus the tail after the last span) spliced back together in

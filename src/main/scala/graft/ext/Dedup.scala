@@ -686,6 +686,55 @@ object Dedup {
         col("span_end").cast("long").as("span_end"))
   }
 
+  /** WITHIN-doc self-repetition spans — the complement of [[dupSpans]]
+    * (which only counts grams crossing documents): the maximal character
+    * spans whose every k-gram already occurred EARLIER in the same
+    * document. These are the repeated-paragraph / boilerplate-loop
+    * artifacts repetition-removal passes cut (cf. Gopher's repetition
+    * filters, which [[TextAnalysis]] t7 scores — this operator locates
+    * the actual spans). Keep-first semantics: a position is repeat-
+    * covered iff its gram equals a gram at a STRICTLY EARLIER position,
+    * so the first occurrence always survives and a cut never removes
+    * all copies.
+    *
+    * Shape: positional gram explode → per-(doc, gram) min-position
+    * aggregate (compact 8-byte gram-hash keys, map-side combinable) →
+    * self-filter `pos > first_pos` → the same per-doc gaps-and-islands
+    * merge as dupSpans. Every exchange is (doc_id, 8-byte hash)-keyed;
+    * the span window never crosses executors.
+    */
+  def selfRepeatSpans(s: SparkSession, dir: String, k: Int = 25,
+      hashKeys: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gramCol =
+      if (hashKeys) graft.functions.Expressions.gramHashArray(col("text"), k)
+      else graft.functions.Expressions.gramArray(col("text"), k)
+    val g = docs(s, dir)
+      .filter(length(col("text")) >= k)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(gramCol))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
+    val repeats = g.groupBy("doc_id", "gram")
+      .agg(min("pos").as("first_pos"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select("doc_id", "gram", "first_pos")
+    val hits = g.join(repeats, Seq("doc_id", "gram"))
+      .filter(col("pos") > col("first_pos"))
+      .select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("brk",
+        when(col("pos") > coalesce(lag(col("pos"), 1).over(w), col("pos"))
+          + k, lit(1)).otherwise(lit(0)))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"))
+  }
+
   /** The CUT step of ExactSubstr dedup (Lee et al. 2022 §4.1 — after
     * finding duplicated spans, the pipeline removes them from the
     * training text): every document rewritten with its [[dupSpans]]

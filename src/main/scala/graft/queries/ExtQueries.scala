@@ -48,6 +48,14 @@ object ExtQueries {
   def d12SpanCut(s: SparkSession, dir: String): DataFrame =
     Dedup.cutDupSpans(s, dir, k = 25)
 
+  /** Within-doc self-repetition spans (keep-first semantics). k = 12:
+    * within-document repetition lives at shorter lexical scales than
+    * cross-doc duplication (d11's k = 25 finds 0 self-repeats on this
+    * corpus; 12 chars ≈ a repeated two-word phrase).
+    */
+  def d13SelfRepeatSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.selfRepeatSpans(s, dir, k = 12)
+
   /** Integer-micros PageRank over the co-order part graph (3 unrolled
     * power iterations — bit-identical across engines by construction).
     */

@@ -71,6 +71,38 @@ class Round10Session3Spec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("d13: self-repeat spans keep the first occurrence, merge " +
+      "overlapping repeats, and ignore cross-doc-only duplication") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-d13").toString
+    val block = "abcdefghij0123456789ABCDE" // 25 chars, k = 25
+    Seq(
+      // block at 1, repeated at 41 and 81 (non-adjacent): two repeat
+      // spans, first occurrence NOT marked
+      (1L, block + ("u" * 15) + block + ("v" * 15) + block, "s"),
+      // self-overlap: "zz...z" run — every gram equals the one before
+      // it, so positions 2..6 are repeat-covered: one span 2..30
+      (2L, ("z" * 30), "s"),
+      // cross-doc duplication only (same text as doc 4, no within-doc
+      // repeats): NO self-repeat spans
+      (3L, "entirely original text that is long enough." + ("w" * 5), "s"),
+      (4L, "entirely original text that is long enough." + ("w" * 5), "s"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val spans = Dedup.selfRepeatSpans(spark, dir, k = 25)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(spans == Seq((1L, 41L, 65L), (1L, 81L, 105L), (2L, 2L, 30L)),
+      spans.toString)
+    // hashed and literal gram paths agree on the real fixture
+    val dirF = sf("sf0.01")
+    val hashed = Dedup.selfRepeatSpans(spark, dirF, k = 25, hashKeys = true)
+    val literal = Dedup.selfRepeatSpans(spark, dirF, k = 25,
+      hashKeys = false)
+    assert(hashed.unionByName(literal).distinct().count() == hashed.count())
+    assert(hashed.count() == literal.count())
+  }
+
   test("autoPlanes sizes the LSH partition to the corpus: constant " +
       "bucket occupancy, clamped, and knnJoin(nPlanes=0) routes " +
       "through it") {
