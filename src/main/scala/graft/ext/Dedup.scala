@@ -508,18 +508,30 @@ object Dedup {
     // window sort, prefix self-join) moves 8 bytes of key instead of
     // (lang, source, h) strings — ~2× fewer shuffle/scratch bytes, the
     // lever that matters for the d3 sf10 spill wall (SCALING.md). A
-    // 64-bit collision merges two buckets and can only ADD a candidate
-    // pair (~2^-64/pair), which the exact Jaccard verify then discards;
-    // compactKeys=false keeps the literal path the equivalence spec
-    // compares against. Ordering by (df, jk) instead of (df, h) is just
-    // a different global total order — completeness is order-free.
+    // 64-bit collision merges two blocks' token buckets and can ADD a
+    // candidate pair the literal path would never generate
+    // (~2^-64/pair; the exact Jaccard verify discards it unless the
+    // docs are genuinely similar across blocks — an accepted
+    // one-in-2^64 semantic, same as d11). NULL block values must be
+    // handled explicitly: the literal join's `l.c === r.c` is
+    // null-FALSE, so null-block docs never pair there — but xxhash64
+    // SKIPS null inputs, which would both let null-block docs pair and
+    // collide (NULL,"x") with ("x",NULL). Filtering them out up front
+    // reproduces the literal semantics exactly (they cannot appear in
+    // any candidate either way). compactKeys=false keeps the literal
+    // path the equivalence spec compares against. Ordering by (df, jk)
+    // instead of (df, h) is just a different global total order —
+    // completeness is order-free.
     val jkey = xxhash64((blockCols.map(col) :+ col("h")): _*)
+    val blockNotNull = blockCols.map(col(_).isNotNull)
+      .foldLeft(lit(true))(_ && _)
     val ordered = if (rarestFirst) {
       val tok0 = sh.select(
         (Seq(col("doc_id"), size(col("shingle_hashes")).cast("long").as("n")) ++
           blockCols.map(col) :+ explode(col("shingle_hashes")).as("h")): _*)
       val tok =
-        if (compactKeys) tok0.select(col("doc_id"), col("n"), jkey.as("h"))
+        if (compactKeys) tok0.filter(blockNotNull)
+          .select(col("doc_id"), col("n"), jkey.as("h"))
         else tok0
       // Only REPEATED shingles need their true df: the df=1 long tail (the
       // overwhelming majority of any real corpus) sorts identically whether
@@ -540,7 +552,8 @@ object Dedup {
         .select((Seq(col("doc_id"), col("n")) ++ blockCols.map(col) :+
           explode(slice(col("shingle_hashes"), lit(1),
             plen(col("n")).cast("int"))).as("h")): _*)
-      if (compactKeys) pref.select(col("doc_id"), col("n"), jkey.as("h"))
+      if (compactKeys) pref.filter(blockNotNull)
+        .select(col("doc_id"), col("n"), jkey.as("h"))
       else pref
     }
     // size filter: J(a,b) >= t forces t·|a| <= |b| <= |a|/t — prunes
@@ -581,14 +594,19 @@ object Dedup {
     // never cross blocks, keeping wv2's subset relation exact and the
     // join buckets pruned. compactKeys folds (blockCols…, fp) into one
     // xxhash64 join key (8 bytes crosses the exchange instead of the
-    // block strings + fp; a 2^-64 collision could only add a candidate,
-    // which the exact verify discards — same argument as d11/d3).
+    // block strings + fp). A 2^-64 collision can ADD a candidate the
+    // literal path would not generate; the exact verify discards it
+    // unless the docs are genuinely similar across blocks (accepted
+    // 2^-64 semantic, same as d3/d11). Null-block rows are filtered to
+    // reproduce the literal join's null-FALSE semantics exactly —
+    // xxhash64 would otherwise skip the nulls and let them pair.
     val fp0 = sh.select(
       (Seq(col("doc_id")) ++ blockCols.map(col) :+
         explode(col("fps")).as("fp")): _*)
     val fp = if (compactKeys)
-      fp0.select(col("doc_id"),
-        xxhash64((blockCols.map(col) :+ col("fp")): _*).as("fp"))
+      fp0.filter(blockCols.map(col(_).isNotNull).foldLeft(lit(true))(_ && _))
+        .select(col("doc_id"),
+          xxhash64((blockCols.map(col) :+ col("fp")): _*).as("fp"))
       else fp0
     val blockEq = if (compactKeys) Nil
       else blockCols.map(c => col(s"l.$c") === col(s"r.$c"))

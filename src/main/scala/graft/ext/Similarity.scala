@@ -333,7 +333,12 @@ object Similarity {
     // exchange O(1) times via two narrow id-keyed joins against the
     // DEDUPED pair set, and the distinct itself runs on 16-byte pairs
     // instead of (pair, double) rows. Output is bit-identical (cosine
-    // is a deterministic function of the pair).
+    // is a deterministic function of the pair) PROVIDED vec_id is
+    // unique in embeddings.parquet (the table's primary key per
+    // TESTDATA.md): a duplicated vec_id would fan the deduped pair
+    // back out through the re-attach joins and could fill top-k slots
+    // with the same neighbor twice, where the old embedding-carrying
+    // shape deduped after scoring.
     val b = lshBucketsMulti(s, dir, planes, nTables)
       .select("vec_id", "table_id", "bucket")
     val l0 = b.select(col("vec_id").as("src_id"), col("table_id"),

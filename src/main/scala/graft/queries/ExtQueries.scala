@@ -30,13 +30,16 @@ object ExtQueries {
 
   /** Prefix-filter set-similarity join (complete — no all-pairs step);
     * equals [[Dedup.ngramJaccardPairs]] on every corpus by the prefix
-    * lemma, which the oracle verifies. WRITE-THROUGH: the first call
-    * mines AND persists the pair-graph artifact (the honest pipeline
-    * cost — the miner's output is what d4/d9/verifiers consume), so
-    * the downstream cluster stages never re-mine the same corpus.
+    * lemma, which the oracle verifies. Runs the miner FRESH — d3 IS the
+    * mining operator, and routing it through the parquet artifact would
+    * (a) lint/bench a scan instead of the prefix-join plan after the
+    * first call and (b) blind PlanWasteSpec's whole-surface guard to
+    * the engine's most complex miner. The cluster stages (d4/d9) and
+    * the verifiers share one artifact build of the same parameters
+    * instead (see [[graft.ext.Dedup.prefixPairsArtifact]]).
     */
   def d3NgramJaccardPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.prefixPairsArtifact(s, dir, k = 3, jaccardMin = 0.4)
+    Dedup.prefixJaccardPairs(s, dir, k = 3, jaccardMin = 0.4)
 
   /** Exact substring-duplication spans (Lee et al. 2022 ExactSubstr). */
   def d11DupSpans(s: SparkSession, dir: String): DataFrame =

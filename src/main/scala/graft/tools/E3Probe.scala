@@ -48,6 +48,8 @@ object E3Probe {
           .distinct()
         graft.plans.TopKPerGroup.topK(cand, Seq("src_id"), "cosine", k,
           desc = true, tiebreakCols = Seq("nb_id"))
+      case other =>
+        sys.error(s"unknown variant '$other' (expected base|late|auto)")
     }
 
   def main(args: Array[String]): Unit = {

@@ -21,6 +21,8 @@ object PairKeyProbe {
         jaccardMin = 0.4, compactKeys = false)
       case "d7_ckey" => Dedup.winnowPairs(s, dir, k = 3, w = 8,
         jaccardMin = 0.4, compactKeys = true)
+      case other => sys.error(
+        s"unknown variant '$other' (expected d3_str|d3_ckey|d7_str|d7_ckey)")
     }
 
   def main(args: Array[String]): Unit = {

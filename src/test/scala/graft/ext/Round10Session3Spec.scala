@@ -11,10 +11,11 @@ class Round10Session3Spec extends SparkSpec {
 
   private def identical(a: org.apache.spark.sql.DataFrame,
       b: org.apache.spark.sql.DataFrame, what: String): Unit = {
-    val nA = a.count()
-    assert(b.count() == nA, s"$what: row counts differ")
-    assert(a.unionByName(b).distinct().count() == nA,
-      s"$what: row sets differ")
+    // exceptAll both ways = exact MULTISET equality (a set-based
+    // union-distinct check would pass when one side duplicates a row
+    // and the other adds a spurious one)
+    assert(a.exceptAll(b).isEmpty, s"$what: rows only in the first side")
+    assert(b.exceptAll(a).isEmpty, s"$what: rows only in the second side")
   }
 
   test("d3: compact xxhash64(lang,source,shingle) join keys mine pairs " +
@@ -94,13 +95,47 @@ class Round10Session3Spec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(spans == Seq((1L, 41L, 65L), (1L, 81L, 105L), (2L, 2L, 30L)),
       spans.toString)
-    // hashed and literal gram paths agree on the real fixture
+    // hashed and literal gram paths agree on the real fixture — at the
+    // SHIPPED k = 12, where the comparison is non-vacuous (578 spans;
+    // k = 25 finds zero self-repeats on this corpus)
     val dirF = sf("sf0.01")
-    val hashed = Dedup.selfRepeatSpans(spark, dirF, k = 25, hashKeys = true)
-    val literal = Dedup.selfRepeatSpans(spark, dirF, k = 25,
+    val hashed = Dedup.selfRepeatSpans(spark, dirF, k = 12, hashKeys = true)
+    val literal = Dedup.selfRepeatSpans(spark, dirF, k = 12,
       hashKeys = false)
-    assert(hashed.unionByName(literal).distinct().count() == hashed.count())
-    assert(hashed.count() == literal.count())
+    assert(hashed.count() > 0, "vacuous equivalence: zero spans at k=12")
+    identical(hashed, literal, "d13 hashKeys")
+  }
+
+  test("compact keys reproduce the literal join's NULL-block semantics: " +
+      "null-lang docs never pair, and (null, x) does not collide with " +
+      "(x, null)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nullb").toString
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    Seq(
+      (1L, t, Option.empty[String], Option("web"), 60L),
+      (2L, t, Option.empty[String], Option("web"), 60L),
+      (3L, t, Option("web"), Option.empty[String], 60L),
+      (4L, t + " x", Option("en"), Option("web"), 62L),
+      (5L, t + " y", Option("en"), Option("web"), 62L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    for (compact <- Seq(true, false)) {
+      val pairs = Dedup.prefixJaccardPairs(spark, dir, k = 3,
+          jaccardMin = 0.4, compactKeys = compact)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // docs 1/2 (identical, lang NULL) and 1/3-2/3 ((null,web) vs
+      // (web,null)) must NOT pair under either path; 4/5 must.
+      assert(pairs == Set((4L, 5L)), s"compact=$compact: $pairs")
+    }
+    for (compact <- Seq(true, false)) {
+      val pairs = Dedup.winnowPairs(spark, dir, k = 3, w = 4,
+          jaccardMin = 0.4, compactKeys = compact)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((4L, 5L)), s"winnow compact=$compact: $pairs")
+    }
   }
 
   test("autoPlanes sizes the LSH partition to the corpus: constant " +
