@@ -78,11 +78,12 @@ object E3Probe {
     if (args.length <= 1) {
       val base = knnJoinVariant(spark, dir, "base")
       val late = knnJoinVariant(spark, dir, "late")
-      val nBase = base.count()
-      val nBoth = base.unionByName(late).distinct().count()
-      println(s"[e3probe] equivalence: base=$nBase union_distinct=$nBoth " +
-        (if (nBase == nBoth && late.count() == nBase) "IDENTICAL"
-         else "MISMATCH"))
+      // exceptAll both ways = exact multiset equality
+      val extra = base.exceptAll(late).count()
+      val missing = late.exceptAll(base).count()
+      println(s"[e3probe] equivalence: only_in_base=$extra " +
+        s"only_in_late=$missing " +
+        (if (extra == 0 && missing == 0) "IDENTICAL" else "MISMATCH"))
     }
     spark.stop()
   }

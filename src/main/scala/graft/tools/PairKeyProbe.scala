@@ -49,10 +49,12 @@ object PairKeyProbe {
     for (q <- Seq("d3", "d7") if args.length <= 1) {
       val a = variant(spark, dir, s"${q}_str")
       val b = variant(spark, dir, s"${q}_ckey")
-      val nA = a.count()
-      val nU = a.unionByName(b).distinct().count()
-      println(s"[pairkey] $q equivalence: str=$nA union_distinct=$nU " +
-        (if (nA == nU && b.count() == nA) "IDENTICAL" else "MISMATCH"))
+      // exceptAll both ways = exact multiset equality
+      val extra = a.exceptAll(b).count()
+      val missing = b.exceptAll(a).count()
+      println(s"[pairkey] $q equivalence: only_in_str=$extra " +
+        s"only_in_ckey=$missing " +
+        (if (extra == 0 && missing == 0) "IDENTICAL" else "MISMATCH"))
     }
     spark.stop()
   }
