@@ -147,6 +147,7 @@ object SparkEntry {
     "wv2_winnow_pairs_subset_exact" -> (ExtQueries.wv2WinnowPairsSubsetExact _),
     "v1_vocab_topk" -> (ExtQueries.v1VocabTopk _),
     "t5_tfidf_top_terms" -> (ExtQueries.t5TfidfTopTerms _),
+    "bm1_bm25_topk" -> (ExtQueries.bm1Bm25Topk _),
     // oracle-checked invariants over the approximate operators
     "x1v_fingerprint_injective" -> (ExtQueries.x1vFingerprintInjective _),
     "x3v_lsh_subset_exact" -> (ExtQueries.x3vLshSubsetExact _),
@@ -1326,6 +1327,38 @@ object SparkEntry {
              ORDER BY tfidf_r6 DESC, token) AS rn
            FROM scored)
          WHERE rn <= 3""",
+    // BM25: per-term contributions floor-rounded to micro-units and
+    // summed as BIGINT, so the per-doc score is an integer sum —
+    // order-independent and bit-identical across engines. Expression
+    // association mirrors the Spark side exactly.
+    "bm1_bm25_topk" ->
+      """WITH stats AS (
+           SELECT CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+                    / count(*) AS avgdl,
+                  count(*) AS n
+           FROM documents),
+         toks AS (
+           SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                  unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         tf AS (
+           SELECT doc_id, dl, token, count(*) AS tf FROM toks
+           WHERE token IN ('hash', 'join', 'scan')
+           GROUP BY doc_id, dl, token),
+         df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         contrib AS (
+           SELECT tf.doc_id,
+                  CAST(floor(
+                    ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                      * (tf * (CAST(1.2 AS DOUBLE) + 1.0))
+                      / (tf + CAST(1.2 AS DOUBLE)
+                          * (1.0 - CAST(0.75 AS DOUBLE)
+                             + CAST(0.75 AS DOUBLE) * dl / avgdl))
+                    * 1000000 + 0.5) AS BIGINT) AS c
+           FROM tf JOIN df USING (token) CROSS JOIN stats)
+         SELECT doc_id, CAST(sum(c) AS DOUBLE) / 1000000.0 AS bm25_r6
+         FROM contrib GROUP BY doc_id
+         ORDER BY bm25_r6 DESC, doc_id LIMIT 50""",
     // Invariant oracles: the Spark side computes the approximate
     // structure's guarantee (subset anti-join / exactness-below-k / error
     // bound); the oracle states what it must equal. Subset violations are

@@ -209,6 +209,58 @@ object TextAnalysis {
       .select(col("doc_id"), col("token"), col("tfidf_r6"))
   }
 
+  /** Okapi BM25 ranked retrieval (Robertson et al., TREC-3; the idf form
+    * is Lucene's non-negative variant ln(1 + (N-df+0.5)/(df+0.5))): score
+    * every document against a fixed bag of query terms, return the top
+    * `k` by score. This is the retrieval primitive behind search-based
+    * decontamination and targeted corpus audits ("which training docs
+    * match this eval query"), complementing t5's per-doc TF-IDF terms.
+    *
+    * Oracle-exactness: per-term contributions are floor-rounded to 1e-6
+    * and summed as LONG micro-units, so the per-doc score is an integer
+    * sum — order-independent, bit-identical on Spark and DuckDB (a raw
+    * double sum over terms would depend on aggregation order).
+    *
+    * Plan shape at 100 TB: the token stream is filtered to the query
+    * terms INSIDE the array (`filter` lambda) before explode, so the
+    * exploded stream carries only matching occurrences (|terms| ≪ dl per
+    * doc); dl rides along from the scan, so tf needs one compact-key
+    * aggregation and no corpus re-join; df derives from tf (a handful of
+    * rows, broadcast); the final top-k is TakeOrderedAndProject. Corpus
+    * constants N/avgdl are two exact longs from one scalar aggregate.
+    */
+  def bm25TopK(s: SparkSession, dir: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75, k: Int = 50): DataFrame = {
+    val corpus = docs(s, dir)
+    // one scalar aggregate: exact longs → one double division, identical
+    // to the oracle's CAST(sum AS DOUBLE)/count(*)
+    val stats = corpus
+      .agg(sum(size(split(col("text"), " "))).as("tot"),
+        count(lit(1)).as("n"))
+      .head()
+    val nDocs = stats.getLong(1)
+    val avgdl = stats.getLong(0).toDouble / nDocs
+    val tf = corpus
+      .select(col("doc_id"), size(split(col("text"), " ")).as("dl"),
+        explode(filter(split(col("text"), " "),
+          t => t.isin(terms: _*))).as("token"))
+      .groupBy("doc_id", "dl", "token")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") +
+      lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))
+    val contrib = idf * (col("tf") * (lit(k1) + lit(1.0))) / denom
+    tf.join(broadcast(df), "token")
+      .select(col("doc_id"),
+        floor(contrib * 1000000 + lit(0.5)).cast("long").as("c"))
+      .groupBy("doc_id")
+      .agg((sum(col("c")).cast("double") / lit(1000000.0)).as("bm25_r6"))
+      .orderBy(col("bm25_r6").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Document fingerprints: FNV-1a content hash (native expression) + MD5,
     * plus a shingle-set sketch hash (order-insensitive content signature —
     * robust to token reordering, unlike the rolling hash).

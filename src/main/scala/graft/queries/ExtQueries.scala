@@ -389,6 +389,12 @@ object ExtQueries {
   def t5TfidfTopTerms(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfidfTopTerms(s, dir, k = 3)
 
+  /** BM25 top-50 docs for a fixed query-term bag (retrieval-based
+    * decontamination / corpus audit primitive).
+    */
+  def bm1Bm25Topk(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopK(s, dir, terms = Seq("hash", "join", "scan"))
+
   // ---- multimodal --------------------------------------------------------
 
   def mm1BinaryMeta(s: SparkSession, dir: String): DataFrame =
