@@ -148,6 +148,9 @@ object SparkEntry {
     "v1_vocab_topk" -> (ExtQueries.v1VocabTopk _),
     "t5_tfidf_top_terms" -> (ExtQueries.t5TfidfTopTerms _),
     "bm1_bm25_topk" -> (ExtQueries.bm1Bm25Topk _),
+    "t14_char_entropy" -> (ExtQueries.t14CharEntropy _),
+    "v3_bpe_encode" -> (ExtQueries.v3BpeEncode _),
+    "e6_random_projection" -> (ExtQueries.e6RandomProjection _),
     // oracle-checked invariants over the approximate operators
     "x1v_fingerprint_injective" -> (ExtQueries.x1vFingerprintInjective _),
     "x3v_lsh_subset_exact" -> (ExtQueries.x3vLshSubsetExact _),
@@ -1359,6 +1362,84 @@ object SparkEntry {
          SELECT doc_id, CAST(sum(c) AS DOUBLE) / 1000000.0 AS bm25_r6
          FROM contrib GROUP BY doc_id
          ORDER BY bm25_r6 DESC, doc_id LIMIT 50""",
+    // t14: per-class entropy contributions from exact integer counts,
+    // floor-quantized to nano-units per class and integer-summed — the
+    // t10/bm1 order-independence pattern. Alphabet mirrors the Spark
+    // literal exactly (a-z, space, other-bucket).
+    "t14_char_entropy" -> {
+      val alpha = (('a' to 'z').map(c => s"'$c'") :+ "' '")
+        .mkString("[", ", ", "]")
+      s"""WITH base AS (
+           SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+                  list_transform($alpha,
+                    c -> CAST(length(text) - length(replace(text, c, ''))
+                         AS BIGINT)) AS ks
+           FROM documents),
+         b2 AS (
+           SELECT doc_id, n,
+                  list_append(ks, n - CAST(list_sum(ks) AS BIGINT)) AS ks2
+           FROM base)
+         SELECT doc_id, n AS n_chars,
+                CAST(list_sum(list_transform(ks2, k -> CASE WHEN k > 0
+                  THEN CAST(floor((CAST(k AS DOUBLE) / n)
+                         * ln(CAST(n AS DOUBLE) / k) * 1000000000.0)
+                       AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ent_nano
+         FROM b2""" },
+    // v3: the BPE apply step — recursive CTE replays the identical
+    // rank-ordered |w1||w2| -> |w1+w2| replace fold the Spark side runs;
+    // the merge table is v2's top-50 recomputed in SQL (total order, so
+    // both engines pick the same 50). Each applied merge shrinks the
+    // encoded string by exactly 1 char.
+    "v3_bpe_encode" ->
+      """WITH RECURSIVE
+         m AS (
+           SELECT row_number() OVER (ORDER BY n_pair DESC, w1, w2) AS rk,
+                  w1, w2
+           FROM (
+             SELECT w1, w2, count(*) AS n_pair FROM (
+               SELECT words[i] AS w1, words[i + 1] AS w2 FROM (
+                 SELECT words, unnest(range(1, len(words))) AS i FROM (
+                   SELECT list_filter(string_split(text, ' '),
+                            x -> len(x) > 0) AS words FROM documents)
+                 WHERE len(words) >= 2))
+             GROUP BY w1, w2 ORDER BY n_pair DESC, w1, w2 LIMIT 50)),
+         b0 AS (
+           SELECT doc_id, CAST(len(words) AS BIGINT) AS n_before,
+                  '|' || array_to_string(words, '||') || '|' AS s
+           FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+                          x -> len(x) > 0) AS words FROM documents)),
+         b1 AS (SELECT doc_id, n_before,
+                       CAST(length(s) AS BIGINT) AS len0, s FROM b0),
+         step AS (
+           SELECT doc_id, n_before, len0, s, 0 AS rk FROM b1
+           UNION ALL
+           SELECT st.doc_id, st.n_before, st.len0,
+                  replace(st.s, '|' || m.w1 || '||' || m.w2 || '|',
+                                '|' || m.w1 || '+' || m.w2 || '|'),
+                  st.rk + 1
+           FROM step st JOIN m ON m.rk = st.rk + 1)
+         SELECT doc_id, n_before,
+                n_before - (len0 - CAST(length(s) AS BIGINT)) AS n_after,
+                md5(s) AS enc_md5
+         FROM step WHERE rk = (SELECT count(*) FROM m)""",
+    // e6: the identical splitmix-derived sign matrix rides in as a
+    // literal (rpSigns is deterministic), inputs floor-quantize to
+    // micro-unit BIGINTs, so each projection is an exact integer dot
+    // product on both engines.
+    "e6_random_projection" -> {
+      val sm = graft.ext.Similarity.rpSigns(16, 64)
+        .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      s"""WITH sm(sm) AS (SELECT $sm),
+         q AS (SELECT vec_id,
+                      list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0)
+                             AS BIGINT)) AS q
+               FROM embeddings)
+         SELECT vec_id, CAST(i AS INT) AS plane,
+                CAST(list_sum(list_transform(range(1, 65),
+                  j -> q[j] * sm[i + 1][j])) AS BIGINT) AS proj
+         FROM q, sm, range(0, 16) r(i)""" },
     // Invariant oracles: the Spark side computes the approximate
     // structure's guarantee (subset anti-join / exactness-below-k / error
     // bound); the oracle states what it must equal. Subset violations are

@@ -37,6 +37,59 @@ object Similarity {
           .as("cosine_r6"))
   }
 
+  /** Seed for the [[randomProjection]] sign matrix (shared with the
+    * oracle-SQL generator in SparkEntry so both engines see one matrix).
+    */
+  val RpSeed = 0x5eedL
+
+  /** Sign matrix for [[randomProjection]]: m×dim Rademacher (±1) entries
+    * from the deterministic splitmix stream — sign(i,j) is the top bit of
+    * mix2(seed, i·dim + j).
+    */
+  def rpSigns(m: Int, dim: Int): Seq[Seq[Int]] =
+    (0 until m).map { i =>
+      (0 until dim).map { j =>
+        if (graft.functions.SplitMix.mix2(RpSeed, i.toLong * dim + j) >= 0) 1
+        else -1
+      }
+    }
+
+  /** Signed random projection (Rademacher/Johnson–Lindenstrauss): reduce
+    * each embedding to `m` coordinates, proj_i = Σ_j sign(i,j)·x_j — the
+    * dimensionality-reduction primitive behind SRP-LSH bit signatures
+    * (Charikar 2002) and cheap pre-filters for the kNN/ANN family. Same
+    * sign family as [[lshBuckets]]; this variant keeps the signed
+    * magnitudes instead of collapsing to bits.
+    *
+    * Oracle-exactness: inputs are floor-quantized to integer micro-units
+    * (floor(x·1e6), a deterministic IEEE op on the same float→double
+    * widening both engines perform), so every projection is an exact
+    * BIGINT dot product — order-independent, no float summation drift.
+    *
+    * Plan shape at 100 TB: map-only — the sign matrix is a literal folded
+    * into the codegen'd projection (m·dim ≤ a few KB), no shuffle, no
+    * driver state; emitted as scalar (vec_id, plane, proj) rows.
+    */
+  def randomProjection(s: SparkSession, dir: String, m: Int = 16,
+      dim: Int = 64): DataFrame = {
+    val signsSql = rpSigns(m, dim)
+      .map(_.mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+    emb(s, dir)
+      .withColumn("q", expr(
+        "transform(embedding, " +
+          "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"))
+      .select(col("vec_id"), expr(
+        s"""explode(transform(sequence(0, ${m - 1}), i -> struct(
+           |  CAST(i AS INT) AS plane,
+           |  aggregate(zip_with(q, element_at($signsSql, i + 1),
+           |      (x, sg) -> x * CAST(sg AS BIGINT)),
+           |    CAST(0 AS BIGINT), (a, b) -> a + b) AS proj)))""".stripMargin)
+        .as("e"))
+      .select(col("vec_id"), col("e.plane").as("plane"),
+        col("e.proj").as("proj"))
+  }
+
   /** Exact near-duplicate pairs by embedding cosine above a threshold.
     * All-pairs within blocks: at test scale a full self-join; the scale
     * path is [[lshBuckets]] candidates → this exact filter.

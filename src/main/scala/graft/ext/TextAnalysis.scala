@@ -261,6 +261,85 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Shannon character entropy over a fixed alphabet (a-z, space, other) —
+    * the compression-proxy quality signal (low-entropy text = repeated
+    * boilerplate / character spam; used alongside t7's token repetition
+    * ratio the way Gopher/Dolma pair character- and token-level filters).
+    *
+    * Oracle-exactness: per-class contributions (k/n)·ln(n/k) are computed
+    * from exact integer counts with an identical expression shape on both
+    * engines, floor-quantized to 1e-9 nano-units per CLASS, and summed as
+    * BIGINT — order-independent (the t10/bm1 micro-unit pattern).
+    *
+    * Plan shape at 100 TB: zero shuffles. Per-class counts come from 27
+    * `replace` passes fused into one codegen'd projection over the scan
+    * (no per-character explode — a char-level explode would shuffle one
+    * row per BYTE of corpus); entropy folds the 28-element count array
+    * in-expression.
+    */
+  def charEntropy(s: SparkSession, dir: String): DataFrame = {
+    val alphabet = ('a' to 'z').map(_.toString) :+ " "
+    val alphaSql = alphabet.map(c => s"'$c'").mkString("array(", ", ", ")")
+    docs(s, dir)
+      .withColumn("n", length(col("text")).cast("long"))
+      .withColumn("ks", expr(
+        s"transform($alphaSql, " +
+          "c -> CAST(length(text) - length(replace(text, c, '')) AS BIGINT))"))
+      .withColumn("ks2", expr(
+        "ks || array(n - aggregate(ks, CAST(0 AS BIGINT), (a, x) -> a + x))"))
+      .select(
+        col("doc_id"),
+        col("n").as("n_chars"),
+        expr(
+          """aggregate(ks2, CAST(0 AS BIGINT), (a, k) -> a +
+            |  CASE WHEN k > 0
+            |    THEN CAST(floor((CAST(k AS DOUBLE) / n)
+            |           * ln(CAST(n AS DOUBLE) / k) * 1000000000.0) AS BIGINT)
+            |    ELSE CAST(0 AS BIGINT) END)""".stripMargin).as("ent_nano"))
+  }
+
+  /** The APPLY step of byte-pair encoding at the word level: take the 50
+    * merge rules [[bpeMergePairs]] learns (ranked by frequency, ties by
+    * pair), and rewrite every document's token stream by applying each
+    * rule in rank order — all non-overlapping occurrences left-to-right,
+    * exactly the tokenizer-trainer merge semantics (Sennrich et al. 2016).
+    *
+    * Mechanism: tokens are wrapped as `|tok|` and joined (`|a||b||c|`),
+    * so merge (a,b) is the literal string replace `|a||b|` → `|a+b|`:
+    * token boundaries can't false-match inside a token, a consumed token
+    * can't merge twice, and the scan-left-resume-after-match semantics of
+    * `replace` on BOTH engines is exactly BPE's non-overlapping pass.
+    * The oracle replays the identical fold with a recursive CTE over the
+    * SQL-recomputed merge table. Each merge shrinks the encoded string by
+    * exactly 1 char (`|a||b|` → `|a+b|`), so the merged-token count needs
+    * no re-split.
+    *
+    * The 50-row merge table is collected to the driver to build the
+    * replace chain (bounded, the centroid-load pattern); the 50 chained
+    * replaces then run as one codegen'd map-only projection — no shuffle
+    * beyond the one inside the merge miner itself.
+    */
+  def bpeEncode(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val merges = bpeMergePairs(s, dir, k).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val base = docs(s, dir)
+      .withColumn("words",
+        filter(split(col("text"), " "), w => length(w) > 0))
+      .withColumn("n_before", size(col("words")).cast("long"))
+      .withColumn("s",
+        concat(lit("|"), array_join(col("words"), "||"), lit("|")))
+      .withColumn("len0", length(col("s")).cast("long"))
+    val encoded = merges.foldLeft(base) { case (df, (w1, w2)) =>
+      df.withColumn("s",
+        replace(col("s"), lit(s"|$w1||$w2|"), lit(s"|$w1+$w2|")))
+    }
+    encoded.select(
+      col("doc_id"),
+      col("n_before"),
+      (col("n_before") - (col("len0") - length(col("s")))).as("n_after"),
+      md5(col("s")).as("enc_md5"))
+  }
+
   /** Document fingerprints: FNV-1a content hash (native expression) + MD5,
     * plus a shingle-set sketch hash (order-insensitive content signature —
     * robust to token reordering, unlike the rolling hash).

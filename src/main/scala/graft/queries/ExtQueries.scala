@@ -395,6 +395,24 @@ object ExtQueries {
   def bm1Bm25Topk(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bm25TopK(s, dir, terms = Seq("hash", "join", "scan"))
 
+  /** Shannon char entropy (nano-unit exact) — compression-proxy quality
+    * signal; zero-shuffle map pass.
+    */
+  def t14CharEntropy(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charEntropy(s, dir)
+
+  /** BPE merge application: v2's 50 learned rules rewritten over every
+    * doc's token stream in rank order (the tokenizer "apply" step).
+    */
+  def v3BpeEncode(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpeEncode(s, dir, k = 50)
+
+  /** Signed random projection to 16 planes (JL reduction / SRP-LSH
+    * magnitudes), exact BIGINT micro-unit dot products.
+    */
+  def e6RandomProjection(s: SparkSession, dir: String): DataFrame =
+    Similarity.randomProjection(s, dir, m = 16, dim = 64)
+
   // ---- multimodal --------------------------------------------------------
 
   def mm1BinaryMeta(s: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,93 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Round-10 session-5: char entropy (t14), BPE merge application (v3),
+  * signed random projection (e6).
+  */
+class Round10Session5Spec extends SparkSpec {
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("t14: entropy matches a hand computation, incl. the other-bucket") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-t14").toString
+    Seq((1L, "aab"), (2L, "Ab!"), (3L, "zzzz"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.charEntropy(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    def nano(k: Long, n: Long): Long =
+      math.floor((k.toDouble / n) * math.log(n.toDouble / k) * 1e9).toLong
+    // "aab": a=2, b=1               -> two classes
+    assert(got(1L) == ((3L, nano(2, 3) + nano(1, 3))), got(1L).toString)
+    // "Ab!": b=1; 'A' and '!' fall in the other-bucket (k=2)
+    assert(got(2L) == ((3L, nano(1, 3) + nano(2, 3))), got(2L).toString)
+    // "zzzz": single class, entropy exactly 0
+    assert(got(3L) == ((4L, 0L)), got(3L).toString)
+  }
+
+  test("t14: corpus pass is deterministic, positive, and bounded by ln(28)") {
+    val rows = graft.queries.ExtQueries.t14CharEntropy(spark, sf("sf0.001"))
+      .collect()
+    assert(rows.length == 500, s"expected 500 docs, got ${rows.length}")
+    val maxNano = (math.log(28.0) * 1e9).toLong // 28-class uniform bound
+    rows.foreach { r =>
+      val e = r.getLong(2)
+      assert(e > 0 && e <= maxNano, s"doc ${r.getLong(0)}: ent_nano $e")
+    }
+  }
+
+  test("v3: merge fold on a tiny corpus — rank order, boundary safety, " +
+      "merged-token accounting") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-v3").toString
+    // pairs: (a,b)x3 ranks first; (b,a)/(b,c)/(b,x) tie-break after but
+    // never match post-merge (their b's are consumed by a+b tokens).
+    Seq((1L, "a b a b c"), (2L, "a b x"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.bpeEncode(spark, dir, k = 50)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((5L, 3L, md5Hex("|a+b||a+b||c|"))), got(1L).toString)
+    assert(got(2L) == ((3L, 2L, md5Hex("|a+b||x|"))), got(2L).toString)
+  }
+
+  test("v3: corpus invariants — n_after <= n_before, deterministic, " +
+      "merges actually fire") {
+    val dir = sf("sf0.001")
+    val a = graft.queries.ExtQueries.v3BpeEncode(spark, dir).collect()
+    val b = graft.queries.ExtQueries.v3BpeEncode(spark, dir).collect()
+    assert(a.toSeq == b.toSeq, "two runs disagree")
+    assert(a.length == 500)
+    a.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1),
+        s"doc ${r.getLong(0)}: n_after > n_before")
+    }
+    assert(a.exists(r => r.getLong(2) < r.getLong(1)),
+      "no merge fired anywhere — fixture or fold broken")
+  }
+
+  test("e6: projections equal an independent driver-side recomputation") {
+    val dir = sf("sf0.001")
+    val signs = Similarity.rpSigns(16, 64)
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val expected = for {
+      (id, v) <- vecs.toSeq
+      q = v.map(x => math.floor(x.toDouble * 1e6).toLong)
+      i <- 0 until 16
+    } yield (id, i, (0 until 64).map(j => q(j) * signs(i)(j)).sum)
+    val got = graft.queries.ExtQueries.e6RandomProjection(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.length == vecs.size * 16, s"rows ${got.length}")
+    assert(got.toSet == expected.toSet, "projection mismatch")
+  }
+}
