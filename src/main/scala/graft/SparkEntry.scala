@@ -404,6 +404,53 @@ object SparkEntry {
          FROM m5 GROUP BY doc_id, j)"""
   }
 
+  /** XXH64 of one LONG input (r10s5): Spark's `XxHash64` on a LongType
+    * column is the public XXH64 algorithm over the value's 8
+    * little-endian bytes — pure 64-bit integer arithmetic, so it
+    * emulates in DuckDB exactly like the FNV/splitmix loops: split-
+    * constant mulmod for the ≥2^32 primes, shift-pair rotations
+    * (`rotl(z,r) = (z·2^r mod 2^64) + (z >> 64-r)`, disjoint bits so
+    * `+` is `|`), UBIGINT xor. Validated bit-identical against
+    * `functions.xxhash64` over positive/negative/boundary longs.
+    * Emits CTE stages `h0..h9(grp, user_id, h)` over `$src(grp, v)`;
+    * seed 42 (the KmvSketch/SQL-function default).
+    */
+  private def xxh64LongStagesCte(src: String): String = {
+    def sp(c: BigInt): (String, String) =
+      ((c >> 32).toString, (c & 0xffffffffL).toString)
+    def mm(z: String, c: BigInt): String = {
+      val (hi, lo) = sp(c)
+      s"((($z) * $lo) % $FnvM + (((($z) % 4294967296) * $hi)" +
+        s" % 4294967296) * 4294967296) % $FnvM"
+    }
+    val p1 = BigInt("9E3779B185EBCA87", 16)
+    val p2 = BigInt("C2B2AE3D27D4EB4F", 16)
+    val p3 = BigInt("165667B19E3779F9", 16)
+    val p4 = BigInt("85EBCA77C2B2AE63", 16)
+    val p5 = BigInt("27D4EB2F165667C5", 16)
+    val c0 = (BigInt(42) + p5 + 8) % (BigInt(1) << 64)
+    s"""h0 AS (SELECT grp, v, CAST(CASE WHEN v < 0
+                  THEN CAST(v AS HUGEINT) + $FnvM
+                  ELSE CAST(v AS HUGEINT) END AS HUGEINT) AS z FROM $src),
+       h1 AS (SELECT grp, v, ${mm("z", p2)} AS z FROM h0),
+       h2 AS (SELECT grp, v, ((z * 2147483648) % $FnvM
+                + (z // 8589934592)) AS z FROM h1),
+       h3 AS (SELECT grp, v, ${mm("z", p1)} AS z FROM h2),
+       h4 AS (SELECT grp, v, CAST(xor(CAST($c0 AS UBIGINT),
+                CAST(z AS UBIGINT)) AS HUGEINT) AS z FROM h3),
+       h5 AS (SELECT grp, v, ((z * 134217728) % $FnvM
+                + (z // 137438953472)) AS z FROM h4),
+       h6 AS (SELECT grp, v, (${mm("z", p1)} + $p4) % $FnvM AS z FROM h5),
+       h7 AS (SELECT grp, v, CAST(xor(CAST(z AS UBIGINT),
+                CAST(z AS UBIGINT) >> 33) AS HUGEINT) AS z FROM h6),
+       h8 AS (SELECT grp, v, ${mm("z", p2)} AS z FROM h7),
+       h9 AS (SELECT grp, v, CAST(xor(CAST(z AS UBIGINT),
+                CAST(z AS UBIGINT) >> 29) AS HUGEINT) AS z FROM h8),
+       hx AS (SELECT grp, v, ${mm("z", p3)} AS z FROM h9),
+       hh AS (SELECT grp, v, xor(CAST(z AS UBIGINT),
+                CAST(z AS UBIGINT) >> 32) AS h FROM hx)"""
+  }
+
   /** x16 oracle (r10, artifact-derived): the Count-Min ESTIMATE column is
     * exactly replayable — contentHash is the byte-wise FNV loop
     * (`fnvTokenSqlU`), the per-row stream is splitmix64's mix2
@@ -1423,6 +1470,66 @@ object SparkEntry {
                 n_before - (len0 - CAST(length(s) AS BIGINT)) AS n_after,
                 md5(s) AS enc_md5
          FROM step WHERE rk = (SELECT count(*) FROM m)""",
+    // x9 (flipped from rows-only, r10s5): the KMV ESTIMATE is exactly
+    // replayable — XXH64-on-long emulated in integer SQL (stage chain
+    // above), k smallest DISTINCT hashes per group in unsigned order,
+    // then the Bar-Yossef estimator with Scala's exact double shape:
+    // t = (double(u_signed) + 2^63) / 2^64, round = floor(x + 0.5).
+    "x9_kmv_distinct" -> {
+      s"""WITH ue AS (SELECT DISTINCT event_type AS grp, user_id AS v
+                      FROM events WHERE user_id IS NOT NULL),
+         ${xxh64LongStagesCte("ue")},
+         d AS (SELECT DISTINCT grp, h FROM hh),
+         r AS (SELECT grp, h,
+                      row_number() OVER (PARTITION BY grp ORDER BY h)
+                        AS rk,
+                      count(*) OVER (PARTITION BY grp) AS n
+               FROM d),
+         kth AS (SELECT grp, h FROM r WHERE rk = 256),
+         cnts AS (SELECT grp, max(n) AS n FROM r GROUP BY grp),
+         ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+                FROM events GROUP BY event_type)
+         SELECT ex.event_type,
+                CASE WHEN COALESCE(c.n, 0) < 256
+                     THEN CAST(COALESCE(c.n, 0) AS BIGINT)
+                     ELSE CAST(floor(255.0 /
+                       ((CAST(CAST(CAST(k.h AS HUGEINT)
+                              - 9223372036854775808 AS BIGINT) AS DOUBLE)
+                         + 9223372036854775808.0)
+                        / 18446744073709551616.0) + 0.5) AS BIGINT) END
+                  AS kmv_users,
+                ex.exact_users
+         FROM ex LEFT JOIN cnts c ON c.grp = ex.event_type
+                 LEFT JOIN kth k ON k.grp = ex.event_type""" },
+    // t6 (flipped from rows-only, r10s5): the greedy per-shard packing
+    // recurrence IS SQL-expressible — a recursive CTE advances every
+    // shard one doc per step (rank within shard), carrying (batch, used)
+    // exactly like the Scala packer: strict > budget opens a new batch,
+    // an oversized doc gets its own. Recursion depth = max docs/shard.
+    "t6_token_batches" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(doc_id % 32 AS INT) AS shard,
+                  row_number() OVER (PARTITION BY doc_id % 32
+                                     ORDER BY doc_id) AS rk
+           FROM documents),
+         pack AS (
+           SELECT shard, rk, doc_id, n_tokens,
+                  CAST(0 AS BIGINT) AS batch, n_tokens AS used
+           FROM d WHERE rk = 1
+           UNION ALL
+           SELECT d.shard, d.rk, d.doc_id, d.n_tokens,
+                  CASE WHEN p.used + d.n_tokens > 2000
+                       THEN p.batch + 1 ELSE p.batch END,
+                  CASE WHEN p.used + d.n_tokens > 2000
+                       THEN d.n_tokens ELSE p.used + d.n_tokens END
+           FROM pack p JOIN d ON d.shard = p.shard AND d.rk = p.rk + 1)
+         SELECT shard, batch AS batch_in_shard,
+                CAST(shard AS VARCHAR) || '-' || CAST(batch AS VARCHAR)
+                  AS batch_id,
+                doc_id, n_tokens
+         FROM pack""",
     // e6: the identical splitmix-derived sign matrix rides in as a
     // literal (rpSigns is deterministic), inputs floor-quantize to
     // micro-unit BIGINTs, so each projection is an exact integer dot

@@ -53,9 +53,10 @@ object BatchPacking {
 
   /** Declared query: documents packed by whitespace token count under a
     * 2 000-token budget. Batch ids are deterministic (shard = doc_id mod
-    * 32, greedy in doc-id order) but the packing recurrence is not
-    * SQL-expressible — ScalaTest owns the invariants (budget respected,
-    * every doc exactly once, greedy tightness).
+    * 32, greedy in doc-id order); oracle-exact since r10s5 — the DuckDB
+    * side replays the greedy recurrence with a recursive CTE that
+    * advances every shard one ranked doc per step. ScalaTest still owns
+    * the invariants (budget respected, every doc once, greedy tightness).
     */
   /** One budget definition shared by the declared query and its invariant —
     * if they drifted, t6v would silently check the wrong bound.

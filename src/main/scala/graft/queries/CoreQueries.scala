@@ -661,7 +661,10 @@ object CoreQueries {
 
   /** KMV bottom-k distinct sketch (custom TypedImperativeAggregate) next
     * to the exact count — at |users| < k the sketch must BE exact, which
-    * doubles as its driver-checkable contract.
+    * doubles as its driver-checkable contract. Oracle-exact since r10s5:
+    * the estimate replays in SQL (XXH64-on-long emulation + Bar-Yossef
+    * formula with Scala's exact double/round shape) — validated on the
+    * estimator branch too (sf0.1: 1756 est vs 1500 exact, hash-equal).
     */
   def x9KmvDistinct(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
