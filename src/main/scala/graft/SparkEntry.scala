@@ -451,6 +451,47 @@ object SparkEntry {
                 CAST(z AS UBIGINT) >> 32) AS h FROM hx)"""
   }
 
+  /** LSH signature CTE for the x4/e3 oracles (r10s5): the seeded-Gaussian
+    * hyperplanes are deterministic Scala values ([[graft.ext.Similarity
+    * .tablePlanes]], the SAME generation call the engine uses), so they
+    * ride into the SQL as literals — each float printed via its exact
+    * double widening (`f.toDouble.toString`, shortest-roundtrip, so
+    * `CAST(s AS DOUBLE)` reproduces the bit pattern Vec.dot sees). The
+    * dot is the element-ordered list fold the e1/x8 oracles already
+    * proved bit-identical to Vec.dot, so bucket bits — and therefore the
+    * whole candidate set — replay exactly. Emits
+    * `pl(t, i, p)` + `sig(vec_id, t, bucket)`.
+    */
+  private def lshSigCte(nTables: Int, nPlanes: Int): String = {
+    val rows = for {
+      t <- 0 until nTables
+      (p, i) <- graft.ext.Similarity.tablePlanes(t, nPlanes, 64).zipWithIndex
+    } yield {
+      val lst = p.map(f => s"'${f.toDouble.toString}'")
+        .mkString("[", ",", "]")
+      s"($t, $i, list_transform($lst, x -> CAST(x AS DOUBLE)))"
+    }
+    s"""pl(t, i, p) AS (
+         SELECT * FROM (VALUES ${rows.mkString(",\n")}) v(t, i, p)),
+       sig AS (
+         SELECT e.vec_id, pl.t,
+                CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65),
+                       j -> CAST(e.embedding[j] AS DOUBLE) * pl.p[j])) >= 0
+                     THEN CAST(1 AS BIGINT) << pl.i
+                     ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+         FROM embeddings e CROSS JOIN pl GROUP BY e.vec_id, pl.t)"""
+  }
+
+  /** Element-ordered cosine (the e1 oracle shape — bit-identical to
+    * cosineF's Vec.dot).
+    */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_aggregate(list_transform(list_zip($x, $y), " +
+        s"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
   /** x16 oracle (r10, artifact-derived): the Count-Min ESTIMATE column is
     * exactly replayable — contentHash is the byte-wise FNV loop
     * (`fnvTokenSqlU`), the per-row stream is splitmix64's mix2
@@ -1470,6 +1511,54 @@ object SparkEntry {
                 n_before - (len0 - CAST(length(s) AS BIGINT)) AS n_after,
                 md5(s) AS enc_md5
          FROM step WHERE rk = (SELECT count(*) FROM m)""",
+    // x4 (flipped from rows-only, r10s5): the whole ANN probe replays —
+    // literal planes → exact bucket bits → candidate set (bucket match
+    // or Hamming-1 probe against the query's signature, any of the 8
+    // tables) → element-ordered cosine re-rank. Raw-double cosine is
+    // bit-exact because every arithmetic step mirrors Vec.dot.
+    "x4_ann_topk" -> {
+      s"""WITH ${lshSigCte(nTables = 8, nPlanes = 8)},
+         q AS (SELECT t, bucket AS qb FROM sig WHERE vec_id = 0),
+         cand AS (
+           SELECT DISTINCT s.vec_id
+           FROM sig s JOIN q ON s.t = q.t
+           WHERE s.vec_id <> 0
+             AND (s.bucket = q.qb OR xor(s.bucket, q.qb) IN
+                  (1, 2, 4, 8, 16, 32, 64, 128))),
+         qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         scored AS (
+           SELECT e.vec_id, e.label,
+                  ${cosSql("e.embedding", "qe")} AS cosine
+           FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qe)
+         SELECT vec_id, label, cosine
+         FROM scored ORDER BY cosine DESC, vec_id LIMIT 20""" },
+    // e3 (flipped from rows-only, r10s5): same replay for the kNN JOIN —
+    // every vector probes its own bucket + 8 Hamming-1 buckets in each
+    // of 4 tables; candidates scored with the element-ordered cosine,
+    // top-3 per source by (cosine DESC, nb_id) exactly like the
+    // TopKPerGroup operator ranks.
+    "e3_knn_join" -> {
+      s"""WITH ${lshSigCte(nTables = 4, nPlanes = 8)},
+         probes AS (
+           SELECT vec_id AS src_id, t,
+                  unnest([bucket] || list_transform(range(0, 8),
+                    i -> xor(bucket, CAST(1 AS BIGINT) << CAST(i AS INT))))
+                    AS pb
+           FROM sig),
+         cand AS (
+           SELECT DISTINCT p.src_id, s.vec_id AS nb_id
+           FROM probes p JOIN sig s ON s.t = p.t AND s.bucket = p.pb
+           WHERE s.vec_id <> p.src_id),
+         scored AS (
+           SELECT c.src_id, c.nb_id,
+                  ${cosSql("a.embedding", "b.embedding")} AS cosine
+           FROM cand c JOIN embeddings a ON a.vec_id = c.src_id
+                       JOIN embeddings b ON b.vec_id = c.nb_id),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY src_id
+                       ORDER BY cosine DESC, nb_id) AS rn
+           FROM scored)
+         SELECT src_id, nb_id, cosine FROM ranked WHERE rn <= 3""" },
     // x9 (flipped from rows-only, r10s5): the KMV ESTIMATE is exactly
     // replayable — XXH64-on-long emulated in integer SQL (stage chain
     // above), k smallest DISTINCT hashes per group in unsigned order,

@@ -293,6 +293,18 @@ object Similarity {
     math.min(24, math.max(4, p))
   }
 
+  /** Hyperplanes of LSH table `t`: `nPlanes` seeded-Gaussian float
+    * vectors. The single generation point shared by [[lshBucketsMulti]]
+    * and the SparkEntry oracle generators (which embed these exact
+    * floats as literals) — one code path, so engine and oracle cannot
+    * drift.
+    */
+  def tablePlanes(t: Int, nPlanes: Int, dim: Int,
+      seed: Long = 42L): Seq[Array[Float]] = {
+    val rnd = new scala.util.Random(seed + 1000L * t)
+    Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
   private def probeBuckets(nPlanes: Int) = array(
     (Seq(col("bucket")) ++ (0 until nPlanes).map(i =>
       col("bucket").bitwiseXOR(lit(1L << i)))): _*)
@@ -322,9 +334,7 @@ object Similarity {
         size(col("embedding")).cast("string"),
         lit(" for vec_id="), col("vec_id").cast("string"))))
     val tableBuckets = (0 until nTables).map { t =>
-      val rnd = new scala.util.Random(seed + 1000L * t)
-      val sigBits = Seq.fill(planes)(
-        Array.fill(dim)(rnd.nextGaussian().toFloat))
+      val sigBits = tablePlanes(t, planes, dim, seed)
         .zipWithIndex.map { case (p, i) =>
           when(dotF(col("embedding"),
             array(p.toIndexedSeq.map(x => lit(x)): _*).cast("array<float>")) >= 0,
