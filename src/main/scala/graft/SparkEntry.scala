@@ -187,6 +187,8 @@ object SparkEntry {
     "d12_span_cut" -> (ExtQueries.d12SpanCut _),
     "d13_self_repeat_spans" -> (ExtQueries.d13SelfRepeatSpans _),
     "g1_pagerank" -> (ExtQueries.g1PageRank _),
+    "g2_label_prop" -> (ExtQueries.g2LabelProp _),
+    "w15_ewma" -> (CoreQueries.w15Ewma _),
     "p17_pos_tokens" -> (ExtQueries.p17PosTokens _),
     "x3_minhash_lsh_pairs" -> (ExtQueries.x3MinhashLshPairs _),
     "id1_incremental_neardup" -> (ExtQueries.id1IncrementalNeardup _),
@@ -2048,6 +2050,55 @@ object SparkEntry {
              GROUP BY e.dst) s ON d.src = s.dst)
          SELECT node AS part_key, CAST(pr AS BIGINT) AS pr_micro
          FROM it3""",
+    // g2: the same unrolled-iteration replay story as g1 — three LPA
+    // rounds, argmax by (count DESC, label ASC) via row_number, all
+    // integer, so the communities are bit-identical.
+    "g2_label_prop" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+         edges AS (
+           SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey <> b.l_partkey),
+         l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+         n1 AS (SELECT e.dst AS node, l.label, count(*) AS cnt
+                FROM edges e JOIN l0 l ON l.node = e.src
+                GROUP BY e.dst, l.label),
+         l1 AS (SELECT node, label FROM (
+                  SELECT node, label, row_number() OVER (PARTITION BY node
+                    ORDER BY cnt DESC, label) AS rn FROM n1) WHERE rn = 1),
+         n2 AS (SELECT e.dst AS node, l.label, count(*) AS cnt
+                FROM edges e JOIN l1 l ON l.node = e.src
+                GROUP BY e.dst, l.label),
+         l2 AS (SELECT node, label FROM (
+                  SELECT node, label, row_number() OVER (PARTITION BY node
+                    ORDER BY cnt DESC, label) AS rn FROM n2) WHERE rn = 1),
+         n3 AS (SELECT e.dst AS node, l.label, count(*) AS cnt
+                FROM edges e JOIN l2 l ON l.node = e.src
+                GROUP BY e.dst, l.label),
+         l3 AS (SELECT node, label FROM (
+                  SELECT node, label, row_number() OVER (PARTITION BY node
+                    ORDER BY cnt DESC, label) AS rn FROM n3) WHERE rn = 1)
+         SELECT node AS part_key, CAST(label AS BIGINT) AS label FROM l3""",
+    // w15: the EWMA recurrence replayed exactly — the recursive CTE
+    // advances every user one (ts, event_id)-ranked event per step,
+    // executing the identical 0.25·x + 0.75·s double sequence, so the
+    // pre-floor ewma is bit-identical (the t6 recursion pattern).
+    "w15_ewma" ->
+      """WITH RECURSIVE ev AS (
+           SELECT user_id, event_id, value AS x,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS rk
+           FROM events),
+         st AS (
+           SELECT user_id, event_id, rk, x AS s FROM ev WHERE rk = 1
+           UNION ALL
+           SELECT e.user_id, e.event_id, e.rk,
+                  CAST(0.25 AS DOUBLE) * e.x + CAST(0.75 AS DOUBLE) * st.s
+           FROM st JOIN ev e ON e.user_id = st.user_id
+                            AND e.rk = st.rk + 1)
+         SELECT user_id, event_id,
+                CAST(floor(s * 1000000.0) AS BIGINT) AS ewma_micro
+         FROM st""",
     "d11_dup_spans" ->
       """WITH g AS (
            SELECT doc_id, pos, substring(text, pos, 25) AS gram FROM (

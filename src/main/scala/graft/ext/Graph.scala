@@ -81,6 +81,36 @@ object Graph {
     pr.select(col("node").as("part_key"), col("pr").as("pr_micro"))
   }
 
+  /** Synchronous label propagation, `iters` fixed rounds (Raghavan et
+    * al. 2007 — the near-linear community detector; here over the same
+    * co-order graph g1 ranks, the community refinement pass a dedup
+    * pipeline runs on its similarity graph). Fully deterministic and
+    * integer-exact: every node takes the neighbor label with the
+    * highest count, ties to the SMALLEST label (argmax via
+    * max(struct(cnt, -label))) — so the unrolled rounds replay in SQL
+    * exactly, no float anywhere.
+    *
+    * Scale shape: per round one shuffle of (dst, label) pairs + two
+    * keyed aggregates; labels are 8-byte keys, the edge build is shared
+    * across rounds by ReuseExchange (lazy, like [[pageRank]] — fixed
+    * iteration count, identical subtrees).
+    */
+  def labelProp(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val edges = coOrderEdges(s, dir)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      labels = edges
+        .join(labels.select(col("node").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("node")
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).cast("long").as("label"))
+    }
+    labels.select(col("node").as("part_key"), col("label"))
+  }
+
   /** Convergence-mode PageRank: iterate until the TOTAL L1 delta of the
     * micro-PR vector drops below `epsMicro` (or `maxIter` as a backstop).
     * This is the 100 TB formulation the fixed-iteration Scaladoc above

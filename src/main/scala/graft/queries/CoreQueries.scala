@@ -969,6 +969,41 @@ object CoreQueries {
         last(col("v"), ignoreNulls = true).over(w).as("v_ffill"))
   }
 
+  /** W15: exponentially-weighted moving average per user over the event
+    * stream — the time-decay smoother next to w1's SMA (the online form
+    * monitoring/feature pipelines keep per key). The recurrence
+    * s_t = α·x_t + (1−α)·s_{t-1} (s_0 = x_0, α = 0.25 — dyadic, exact
+    * in binary) is inherently sequential per key, so the distributed
+    * shape is repartition-by-key + in-partition ordered fold (the
+    * BatchPacking pattern): ONE shuffle, O(1) state per key, keys never
+    * span partitions, output independent of parallelism.
+    *
+    * Oracle-exactness: both engines execute the identical double
+    * sequence in identical (ts, event_id) order — the DuckDB recursive
+    * CTE advances every user one ranked event per step — so the ewma is
+    * bit-identical before the micro-unit floor.
+    */
+  def w15Ewma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        expr("unix_micros(ts)").as("tsu"),
+        col("event_id").cast("long").as("event_id"),
+        col("value").cast("double").as("x"))
+      .repartition(32, col("user_id"))
+      .sortWithinPartitions("user_id", "tsu", "event_id")
+      .as[(Long, Long, Long, Double)]
+    e.mapPartitions { it =>
+      var curUser = Long.MinValue
+      var sAcc = 0.0
+      it.map { case (u, _, id, x) =>
+        if (u != curUser) { curUser = u; sAcc = x }
+        else sAcc = 0.25 * x + 0.75 * sAcc
+        (u, id, math.floor(sAcc * 1000000.0).toLong)
+      }
+    }.toDF("user_id", "event_id", "ewma_micro")
+  }
+
   /** TPC-H Q7 shape: bilateral trade volume by year — the 5-way
     * fact-to-dimension join pipeline. Scale-correct order: the nation
     * filter restricts supplier and customer FIRST (each shrinks to 2/25

@@ -65,6 +65,12 @@ object ExtQueries {
   def g1PageRank(s: SparkSession, dir: String): DataFrame =
     Graph.pageRank(s, dir, iters = 3)
 
+  /** Label-propagation communities, 3 synchronous integer-exact rounds
+    * over the co-order graph.
+    */
+  def g2LabelProp(s: SparkSession, dir: String): DataFrame =
+    Graph.labelProp(s, dir, iters = 3)
+
   // ---- similarity search -------------------------------------------------
 
   def e1CosineTopK(s: SparkSession, dir: String): DataFrame =

@@ -73,6 +73,58 @@ class Round10Session5Spec extends SparkSpec {
       "no merge fired anywhere — fixture or fold broken")
   }
 
+  test("g2: label propagation on a hand-traced graph (tie-to-min, " +
+      "bipartite oscillation preserved)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-g2").toString
+    // clique {1,2,3} + pendant 4 on 3 + isolated edge {5,6}
+    Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 3L), (20L, 4L),
+      (30L, 5L), (30L, 6L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Graph.labelProp(spark, dir, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // traced by hand: clique+pendant converge to 1; the 2-cycle
+    // oscillates (synchronous LPA on a bipartite component)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 6L, 6L -> 5L), got.toString)
+  }
+
+  test("w15: EWMA recurrence on a tiny ordered series") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-w15").toString
+    Seq(
+      (1L, "2024-01-01 00:00:00", 7L, 1.0),
+      (2L, "2024-01-01 00:01:00", 7L, 2.0),
+      (3L, "2024-01-01 00:02:00", 7L, 3.0),
+      (4L, "2024-01-01 00:00:30", 9L, 4.0))
+      .toDF("event_id", "ts_s", "user_id", "value")
+      .selectExpr("event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id",
+        "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.queries.CoreQueries.w15Ewma(spark, dir)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // user 7: 1.0 ; .25*2+.75*1 = 1.25 ; .25*3+.75*1.25 = 1.6875
+    assert(got == Map(1L -> 1000000L, 2L -> 1250000L, 3L -> 1687500L,
+      4L -> 4000000L), got.toString)
+  }
+
+  test("w15: corpus pass is parallelism-independent (8 vs 32 shuffle " +
+      "partitions) and covers every event") {
+    val dir = sf("sf0.001")
+    val n = spark.read.parquet(s"$dir/events.parquet").count()
+    val a = graft.queries.CoreQueries.w15Ewma(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._2)
+    assert(a.length == n, s"${a.length} != $n")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val b = graft.queries.CoreQueries.w15Ewma(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._2)
+      assert(a.toSeq == b.toSeq, "parallelism changed the EWMA")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("e6: projections equal an independent driver-side recomputation") {
     val dir = sf("sf0.001")
     val signs = Similarity.rpSigns(16, 64)
