@@ -96,12 +96,27 @@ object Graph {
     * iteration count, identical subtrees).
     */
   def labelProp(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
-    val edges = coOrderEdges(s, dir)
+    // The edge set is loop-invariant: materialize it ONCE. Lazy
+    // unrolling re-runs the 20M-row co-order self-join per round
+    // (measured at sf1: 16 parquet scans, ZERO reused exchanges — AQE
+    // replans each stage). persist() beats localCheckpoint here (sf1
+    // interleaved A/B in tools/G2Plan: ~13-15 s vs ~19 s vs ~15-35 s
+    // lazy) AND keeps the full edge-build plan visible to the plan
+    // guards (InMemoryRelation wraps the child plan; a checkpoint
+    // truncates to an opaque RDD scan). Bench drops leaked blocks
+    // between queries; the cache is node-pair-sized (16 B/edge).
+    val edges = coOrderEdges(s, dir).persist()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to iters) {
+      // labels is node-sized (8+8 bytes/row) — broadcast it so the fat
+      // edge table never re-shuffles; the (dst, label) count then
+      // partial-aggregates map-side before its one narrow exchange. At
+      // billions of nodes swap the hint for a src-bucketed layout; the
+      // aggregate shape is unchanged.
       labels = edges
-        .join(labels.select(col("node").as("src"), col("label")), "src")
+        .join(broadcast(labels.select(col("node").as("src"), col("label"))),
+          "src")
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy("node")
