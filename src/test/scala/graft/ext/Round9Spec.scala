@@ -8,12 +8,25 @@ class Round9Spec extends SparkSpec {
   test("pageRankUntil at tight eps agrees with a long fixed-iteration " +
       "run and frees superseded checkpoint blocks") {
     val dir = sf("sf0.001")
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // Suites share one session and run concurrently, so the leak count
+    // must ignore blocks pinned by OTHER suites: snapshot the pinned RDD
+    // ids first, drop cached FRAMES before counting (clearCache
+    // unpersists cache entries — e.g. g2's persisted edge table — but
+    // checkpoint blocks survive it), and give the async unpersist
+    // cleaner a bounded window.
+    def pinnedIds() = spark.sparkContext.getPersistentRDDs.keySet
+    val before = pinnedIds()
     val conv = Graph.pageRankUntil(spark, dir, epsMicro = 1000L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // only the final rank checkpoint may stay pinned (it backs the
     // returned frame); every superseded round + edges/deg must be freed
-    val leaked = spark.sparkContext.getPersistentRDDs.size - before
+    spark.sharedState.cacheManager.clearCache()
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var leaked = (pinnedIds() -- before).size
+    while (leaked > 1 && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      leaked = (pinnedIds() -- before).size
+    }
     assert(leaked <= 1, s"$leaked checkpoint RDDs still pinned")
     // a 40-step unrolled power iteration is far past the integer
     // fixpoint; the converged loop must land on (essentially) the same
