@@ -47,6 +47,51 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming EMA == batch w15 EWMA on the same event series " +
+      "(cross-surface consistency, state split across micro-batches)") {
+    import spark.implicits._
+    // same series into both surfaces: user_id → symbol, value → close,
+    // event-time micros → timestamp_ms slot (any monotonic key works)
+    val rows = graft.sources.EventsTable.load(spark, sf("sf0.001"))
+      .selectExpr("CAST(user_id AS STRING) AS s", "unix_micros(ts) AS t",
+        "value AS v")
+      .as[(String, Long, Double)].collect().sortBy(_._2)
+    val batch = graft.queries.CoreQueries.w15Ewma(spark, sf("sf0.001"))
+    val evById = graft.sources.EventsTable.load(spark, sf("sf0.001"))
+      .selectExpr("event_id", "CAST(user_id AS STRING) AS s",
+        "unix_micros(ts) AS t").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val expected = batch.collect()
+      .map(r => evById(r.getLong(1)) -> r.getLong(2)).toMap
+
+    val mem = MemoryStream[(String, Long, Double)](12)(
+      implicitly, spark.sqlContext)
+    val parsed = mem.toDF()
+      .selectExpr("_1 AS symbol", "_2 AS timestamp_ms", "_3 AS close_price")
+    val updates = StatefulOps.emaUpdates(parsed, alpha = 0.25)
+    val q = updates.writeStream
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ema-w15-ckpt").toString)
+      .format("memory").queryName("ema_w15_out")
+      .start()
+    try {
+      // two halves in global time order → per-user state crosses the
+      // micro-batch boundary for every user active in both halves
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      mem.addData(h1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(h2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("ema_w15_out").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          math.floor(r.getDouble(3) * 1000000.0).toLong).toMap
+      assert(got.size == expected.size, s"${got.size} != ${expected.size}")
+      val diff = expected.collect {
+        case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k))
+      }
+      assert(diff.isEmpty, s"first divergences: ${diff.take(3).toList}")
+    } finally q.stop()
+  }
+
   test("streaming top-k: bounded per-key state, snapshots re-rank on change") {
     import spark.implicits._
     val mem = MemoryStream[String](12)(implicitly, spark.sqlContext)
