@@ -188,7 +188,7 @@ object SparkEntry {
     "d13_self_repeat_spans" -> (ExtQueries.d13SelfRepeatSpans _),
     "g1_pagerank" -> (ExtQueries.g1PageRank _),
     "g2_label_prop" -> (ExtQueries.g2LabelProp _),
-    "w15_ewma" -> (CoreQueries.w15Ewma _),
+    "w15_ewma" -> ((s, dir) => CoreQueries.w15Ewma(s, dir)),
     "p17_pos_tokens" -> (ExtQueries.p17PosTokens _),
     "x3_minhash_lsh_pairs" -> (ExtQueries.x3MinhashLshPairs _),
     "id1_incremental_neardup" -> (ExtQueries.id1IncrementalNeardup _),
@@ -1597,13 +1597,17 @@ object SparkEntry {
     // shard one doc per step (rank within shard), carrying (batch, used)
     // exactly like the Scala packer: strict > budget opens a new batch,
     // an oversized doc gets its own. Recursion depth = max docs/shard.
+    // Budget/shards interpolate from the SAME definitions the query and
+    // its invariant use — the drift T6Budget exists to prevent.
     "t6_token_batches" ->
-      """WITH RECURSIVE d AS (
+      s"""WITH RECURSIVE d AS (
            SELECT doc_id,
                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-                  CAST(doc_id % 32 AS INT) AS shard,
-                  row_number() OVER (PARTITION BY doc_id % 32
-                                     ORDER BY doc_id) AS rk
+                  CAST(doc_id % ${graft.ext.BatchPacking.T6Shards} AS INT)
+                    AS shard,
+                  row_number() OVER (
+                    PARTITION BY doc_id % ${graft.ext.BatchPacking.T6Shards}
+                    ORDER BY doc_id) AS rk
            FROM documents),
          pack AS (
            SELECT shard, rk, doc_id, n_tokens,
@@ -1611,9 +1615,9 @@ object SparkEntry {
            FROM d WHERE rk = 1
            UNION ALL
            SELECT d.shard, d.rk, d.doc_id, d.n_tokens,
-                  CASE WHEN p.used + d.n_tokens > 2000
+                  CASE WHEN p.used + d.n_tokens > ${graft.ext.BatchPacking.T6Budget}
                        THEN p.batch + 1 ELSE p.batch END,
-                  CASE WHEN p.used + d.n_tokens > 2000
+                  CASE WHEN p.used + d.n_tokens > ${graft.ext.BatchPacking.T6Budget}
                        THEN d.n_tokens ELSE p.used + d.n_tokens END
            FROM pack p JOIN d ON d.shard = p.shard AND d.rk = p.rk + 1)
          SELECT shard, batch AS batch_in_shard,

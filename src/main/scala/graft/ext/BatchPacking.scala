@@ -63,11 +63,17 @@ object BatchPacking {
     */
   val T6Budget = 2000L
 
+  /** Shard count shared by the declared query and its DuckDB oracle
+    * (the oracle's recursive CTE interpolates both constants).
+    */
+  val T6Shards = 32
+
   def t6TokenBatches(s: SparkSession, dir: String): DataFrame = {
     val d = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    packByTokenBudget(d, "doc_id", "n_tokens", budget = T6Budget)
+    packByTokenBudget(d, "doc_id", "n_tokens", budget = T6Budget,
+      shards = T6Shards)
   }
 
   /** Oracle-checkable invariant over [[t6TokenBatches]] (ok-flag form):

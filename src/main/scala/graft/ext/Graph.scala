@@ -24,7 +24,7 @@ object Graph {
     * both the shuffle bytes and the dedup hash-table footprint of the
     * edge build.
     */
-  private def coOrderEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def coOrderEdges(s: SparkSession, dir: String): DataFrame = {
     val li = s.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey"))
     val half = li.alias("a")
@@ -103,8 +103,12 @@ object Graph {
     // interleaved A/B in tools/G2Plan: ~13-15 s vs ~19 s vs ~15-35 s
     // lazy) AND keeps the full edge-build plan visible to the plan
     // guards (InMemoryRelation wraps the child plan; a checkpoint
-    // truncates to an opaque RDD scan). Bench drops leaked blocks
-    // between queries; the cache is node-pair-sized (16 B/edge).
+    // truncates to an opaque RDD scan). KNOWN COST: the block stays
+    // pinned after the query (the returned lazy frame needs it; d4's
+    // checkpoints behave the same) — Bench drops leaked blocks between
+    // queries, long-lived sessions reclaim it with clearCache(), and
+    // the leak-count specs exclude cached frames for this reason. The
+    // cache is edge-pair-sized (16 B/edge).
     val edges = coOrderEdges(s, dir).persist()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))

@@ -983,14 +983,14 @@ object CoreQueries {
     * CTE advances every user one ranked event per step — so the ewma is
     * bit-identical before the micro-unit floor.
     */
-  def w15Ewma(s: SparkSession, dir: String): DataFrame = {
+  def w15Ewma(s: SparkSession, dir: String, shards: Int = 32): DataFrame = {
     import s.implicits._
     val e = events(s, dir)
       .select(col("user_id").cast("long").as("user_id"),
         expr("unix_micros(ts)").as("tsu"),
         col("event_id").cast("long").as("event_id"),
         col("value").cast("double").as("x"))
-      .repartition(32, col("user_id"))
+      .repartition(shards, col("user_id"))
       .sortWithinPartitions("user_id", "tsu", "event_id")
       .as[(Long, Long, Long, Double)]
     e.mapPartitions { it =>

@@ -16,16 +16,10 @@ object G1PersistAB extends App {
     .config("spark.ui.enabled", "false").getOrCreate()
   spark.sparkContext.setLogLevel("ERROR")
 
-  def coOrderEdges(): DataFrame = {
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_partkey"))
-    val half = li.alias("a").join(li.alias("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .distinct()
-    half.unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
-  }
+  // delegate to the PRODUCTION edge builder so the probe can
+  // never drift from the shipped loop input
+  def coOrderEdges(): DataFrame =
+    graft.ext.Graph.coOrderEdges(spark, dir)
   def pr(edges: DataFrame): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     var prDf = deg.select(col("src").as("node"), lit(1000000L).as("pr"))

@@ -20,12 +20,18 @@ class Round9Spec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // only the final rank checkpoint may stay pinned (it backs the
     // returned frame); every superseded round + edges/deg must be freed
-    spark.sharedState.cacheManager.clearCache()
     val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-    var leaked = (pinnedIds() -- before).size
+    def leakedNow(): Int = {
+      // inside the loop: a concurrent suite may persist a frame at any
+      // moment during the window — re-clearing each poll keeps the count
+      // down to blocks nobody will ever free (true leaks)
+      spark.sharedState.cacheManager.clearCache()
+      (pinnedIds() -- before).size
+    }
+    var leaked = leakedNow()
     while (leaked > 1 && System.nanoTime() < deadline) {
       Thread.sleep(200)
-      leaked = (pinnedIds() -- before).size
+      leaked = leakedNow()
     }
     assert(leaked <= 1, s"$leaked checkpoint RDDs still pinned")
     // a 40-step unrolled power iteration is far past the integer

@@ -56,6 +56,16 @@ class StatefulOpsSpec extends SparkSpec {
       .selectExpr("CAST(user_id AS STRING) AS s", "unix_micros(ts) AS t",
         "value AS v")
       .as[(String, Long, Double)].collect().sortBy(_._2)
+    // PRECONDITION, asserted so a testdata regeneration fails HERE with a
+    // readable message instead of a confusing size/value diff below: the
+    // two surfaces genuinely diverge on tied (user, ts) — the stream
+    // drops ts <= lastTs (idempotent redelivery semantics) while the
+    // batch fold keeps every event and tiebreaks by event_id.
+    val dupTies = rows.groupBy(r => (r._1, r._2)).count(_._2.size > 1)
+    assert(dupTies == 0,
+      s"$dupTies duplicated (user, ts) keys in the fixture — the " +
+        "stream==batch equivalence only holds on tie-free series; " +
+        "restrict the input to unique (user, ts) before comparing")
     val batch = graft.queries.CoreQueries.w15Ewma(spark, sf("sf0.001"))
     val evById = graft.sources.EventsTable.load(spark, sf("sf0.001"))
       .selectExpr("event_id", "CAST(user_id AS STRING) AS s",
