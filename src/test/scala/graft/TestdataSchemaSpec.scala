@@ -72,6 +72,17 @@ class TestdataSchemaSpec extends SparkSpec {
         ArrayType(FloatType, containsNull = false)),
       "label" -> exact(IntegerType)))
 
+  test("every embedding is exactly 64-dim (the LSH plane length, the " +
+      "e6/x4/e3 oracle literals, and Vec.dot's min-len contract)") {
+    import org.apache.spark.sql.functions._
+    val bad = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+      .groupBy(size(col("embedding")).as("dim")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(bad.keySet == Set(64),
+      s"embedding dims drifted from 64: $bad — lshBucketsMulti fails " +
+        "loudly at runtime, but e6/x4/e3 oracles embed 64-wide literals")
+  }
+
   for ((table, cols) <- expected)
     test(s"$table schema matches the dtype families the loaders handle") {
       val schema =
