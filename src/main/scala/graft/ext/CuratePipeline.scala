@@ -1,0 +1,146 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Expressions.simhash64
+
+/** The COMPOSED training-data curation job — the library's operators
+  * chained into the full pipeline a 100 TB pretraining-data run executes
+  * (the C4/Gopher/Dolma stage order):
+  *
+  *   1. quality gates   — Gopher integer rules + char-entropy floor
+  *   2. PII redaction   — typed placeholders, text REWRITTEN downstream
+  *   3. exact dedup     — min-doc_id keeper per redacted text
+  *   4. near-dup prune  — SimHash bands → Hamming≤3 pairs → connected
+  *                        components → keep-longest per cluster
+  *   5. decontamination — 24-char shingle overlap vs the held-out eval
+  *                        slice (broadcast semi-join), overlapping docs
+  *                        dropped
+  *   6. packing         — greedy per-shard token-budget batches
+  *
+  * Every stage is the SAME code path its gate query runs (gopherRules /
+  * charEntropy / simhashBands / connectedComponents / packByTokenBudget),
+  * so the pipeline's behavior is pinned transitively by their oracles;
+  * CuratePipelineSpec re-checks the composition's end-state invariants
+  * (no exact dup, no Hamming≤3 pair, every multi-doc batch under
+  * budget, monotone shrink, determinism).
+  *
+  * Scale shape: gates and redaction are map-only; exact dedup is one
+  * keyed shuffle on the text hash; near-dup is the banded
+  * candidate join + CC (both skew-capped / contraction-bounded);
+  * decontamination broadcasts the tiny eval gram set; packing is one
+  * shard shuffle + in-partition fold. No stage collects to the driver.
+  */
+object CuratePipeline {
+
+  final case class StageCounts(stage: String, docs: Long, tokens: Long)
+
+  /** Run the full pipeline; returns (packed batches, per-stage counts).
+    * Counting executes each stage frame once — acceptable for a
+    * pipeline job whose stages are one projection/shuffle each; the
+    * final survivor set is cached before the two consumers (metrics +
+    * packing) so the whole upstream chain is not replayed.
+    */
+  def curate(s: SparkSession, dir: String, budget: Long = 2000L,
+      entropyFloorNano: Long = 1500000000L, maxDist: Int = 3,
+      bucketCap: Int = 1024): (DataFrame, Seq[StageCounts]) = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+    // -- 1. quality gates (map-only; both flag sets are gate operators)
+    val gopherKept = TextAnalysis.gopherRules(s, dir)
+      .filter(col("kept") === 1).select("doc_id")
+    val entropyKept = TextAnalysis.charEntropy(s, dir)
+      .filter(col("ent_nano") >= entropyFloorNano).select("doc_id")
+    val gated = docs
+      .join(gopherKept, "doc_id")
+      .join(entropyKept, "doc_id")
+
+    // -- 2. PII redaction (the t12 regex chain, email→phone→ip order)
+    val redacted = gated.select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), TextAnalysis.EmailRe, "<EMAIL>"),
+          TextAnalysis.PhoneRe, "<PHONE>"),
+        TextAnalysis.Ipv4Re, "<IP>").as("clean"))
+
+    // -- 3. exact dedup: min-doc_id keeper per redacted text
+    val exactKept = redacted
+      .groupBy("clean").agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("clean"))
+
+    // -- 4. near-dup prune: SimHash → bands → pairs → CC → keep-longest
+    val sketches = exactKept
+      .select(col("doc_id"), length(col("clean")).as("n_chars"),
+        simhash64(col("clean")).as("simhash"))
+    val banded = Dedup.simhashBands(sketches)
+    val l = banded.select(col("doc_id").as("doc_a"),
+      col("simhash").as("sim_a"), col("band"), col("key"))
+    val r = banded.select(col("doc_id").as("doc_b"),
+      col("simhash").as("sim_b"), col("band"), col("key"))
+    val pairs = SkewSafe.cappedEquiJoin(l, r, Seq("band", "key"),
+        xxhash64(col("doc_b")), bucketCap)
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+    val clusters = Dedup.connectedComponents(
+      pairs.select("doc_a", "doc_b"))
+    val clusterKeep = graft.plans.TopKPerGroup.topK(
+        clusters.join(sketches.select("doc_id", "n_chars"), "doc_id"),
+        Seq("cluster_id"), "n_chars", 1, desc = true,
+        tiebreakCols = Seq("doc_id"))
+      .select("doc_id")
+    val nearKept = exactKept
+      .join(clusters, Seq("doc_id"), "left_anti")     // never clustered
+      .select("doc_id", "clean")
+      .unionByName(exactKept.join(clusterKeep, "doc_id")
+        .select("doc_id", "clean"))
+
+    // -- 5. decontamination (ct1 rule: any 24-char shingle shared with
+    //       the deterministic eval slice disqualifies the doc)
+    val sh = nearKept.select(col("doc_id"),
+      substring(md5(col("clean")), 1, 2).as("h2"),
+      graft.functions.Expressions.shingleHashes(col("clean"), 24).as("g"))
+    val evalGrams = sh.filter(col("h2") < "10")
+      .select(explode(col("g")).as("ng")).distinct()
+    val contaminated = sh.filter(col("h2") >= "10")
+      .select(col("doc_id"), explode(col("g")).as("ng"))
+      .join(broadcast(evalGrams), "ng")
+      .select("doc_id").distinct()
+    val finalDocs = nearKept
+      .filter(col("doc_id").isNotNull)
+      .join(sh.filter(col("h2") < "10").select("doc_id"),
+        Seq("doc_id"), "left_anti")                   // eval slice itself out
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("clean"),
+        size(split(col("clean"), " ")).cast("long").as("n_tokens"))
+      .persist() // two consumers below: metrics + packing
+
+    // -- 6. packing
+    val packed = BatchPacking.packByTokenBudget(
+      finalDocs, "doc_id", "n_tokens", budget)
+
+    def toks(df: DataFrame, textCol: String): Long = {
+      val r = df.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(size(split(col(textCol), " ")).cast("long")), lit(0L))
+          .as("t")).head()
+      r.getLong(1)
+    }
+    val metrics = Seq(
+      StageCounts("raw", docs.count(), toks(docs, "text")),
+      StageCounts("gated", gated.count(), toks(gated, "text")),
+      StageCounts("exact_dedup", exactKept.count(), toks(exactKept, "clean")),
+      StageCounts("near_dedup", nearKept.count(), toks(nearKept, "clean")),
+      StageCounts("decontaminated", finalDocs.count(),
+        finalDocs.agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0)),
+      StageCounts("packed_batches",
+        packed.select("batch_id").distinct().count(),
+        packed.agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0)))
+    (packed, metrics)
+  }
+}
