@@ -197,6 +197,7 @@ object SparkEntry {
     "x8_ivf_topk" -> (ExtQueries.x8IvfTopK _),
     "x5_frame_sample" -> (ExtQueries.x5FrameSample _),
     "t6_token_batches" -> (graft.ext.BatchPacking.t6TokenBatches _),
+    "t15_sequence_windows" -> (graft.ext.BatchPacking.t15SequenceWindows _),
     "t9_chunk_spans" -> (ExtQueries.t9ChunkSpans _),
     "t6v_packing_invariants" -> (graft.ext.BatchPacking.t6vPackingInvariants _),
     "x6_media_features" -> (ExtQueries.x6MediaFeatures _),
@@ -1561,6 +1562,31 @@ object SparkEntry {
                        ORDER BY cosine DESC, nb_id) AS rn
            FROM scored)
          SELECT src_id, nb_id, cosine FROM ranked WHERE rn <= 3""" },
+    // t15: the sequence-construction step — window cumsum gives each
+    // doc its shard-stream offset, generate_series fans it to every
+    // sequence it overlaps; identical integer arithmetic both engines.
+    "t15_sequence_windows" -> {
+      val L = graft.ext.BatchPacking.T15SeqLen
+      val sh = graft.ext.BatchPacking.T6Shards
+      s"""WITH d AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(doc_id % $sh AS INT) AS shard
+           FROM documents),
+         o AS (
+           SELECT *, CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard
+                       ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS off
+           FROM d),
+         e AS (
+           SELECT shard, doc_id, n_tokens, off,
+                  unnest(generate_series(CAST(off // $L AS BIGINT),
+                    CAST((off + n_tokens - 1) // $L AS BIGINT))) AS seq
+           FROM o)
+         SELECT shard, CAST(seq AS BIGINT) AS seq_in_shard, doc_id,
+                greatest(0, seq * $L - off) AS tok_start,
+                least(n_tokens, (seq + 1) * $L - off) AS tok_end
+         FROM e""" },
     // x9 (flipped from rows-only, r10s5): the KMV ESTIMATE is exactly
     // replayable — XXH64-on-long emulated in integer SQL (stage chain
     // above), k smallest DISTINCT hashes per group in unsigned order,

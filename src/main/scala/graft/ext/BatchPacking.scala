@@ -68,6 +68,59 @@ object BatchPacking {
     */
   val T6Shards = 32
 
+  /** Sequence length for [[sequenceWindows]], shared with its oracle. */
+  val T15SeqLen = 512L
+
+  /** Fixed-length training-sequence construction — the GPT-style data
+    * loader step AFTER packing: per shard, documents concatenate in
+    * doc-id order into one token stream, and the stream splits into
+    * `seqLen`-token sequences; a document crossing a boundary
+    * contributes a span to EACH sequence it touches (t6's batches never
+    * split docs — this operator does, which is how causal-LM loaders
+    * actually build their 2048-token rows).
+    *
+    * Fully declarative — one window cumsum per shard gives each doc its
+    * stream offset, and `explode(sequence(first_seq, last_seq))` fans
+    * each doc to the sequences it overlaps; span arithmetic is pure
+    * integer projection. No mapPartitions, no recursion — the oracle is
+    * the identical window + generate_series SQL, exact by construction.
+    *
+    * Scale shape: ONE shuffle (the shard window sort, t6's layout);
+    * output rows = docs + boundary crossings, never tokens. At 100 TB
+    * the shard count scales with executors and each shard's cumsum is
+    * an independent sorted partition.
+    */
+  def sequenceWindows(docs: DataFrame, idCol: String, tokensCol: String,
+      seqLen: Long = T15SeqLen, shards: Int = T6Shards): DataFrame = {
+    require(seqLen > 0 && shards > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(tokensCol).cast("long").as("n_tokens"))
+      .withColumn("shard", pmod(col("doc_id"), lit(shards)).cast("int"))
+      .withColumn("off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_in_shard", explode(expr(
+        s"sequence(off DIV $seqLen, (off + n_tokens - 1) DIV $seqLen)")))
+      .select(col("shard"), col("seq_in_shard"), col("doc_id"),
+        greatest(lit(0L), col("seq_in_shard") * seqLen - col("off"))
+          .as("tok_start"),
+        least(col("n_tokens"),
+          (col("seq_in_shard") + 1) * seqLen - col("off")).as("tok_end"))
+  }
+
+  /** Declared query: whitespace-token sequences of 512 over the
+    * documents corpus.
+    */
+  def t15SequenceWindows(s: SparkSession, dir: String): DataFrame =
+    sequenceWindows(
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens")
+
   def t6TokenBatches(s: SparkSession, dir: String): DataFrame = {
     val d = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"),

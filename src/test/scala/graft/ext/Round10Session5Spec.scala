@@ -1,5 +1,7 @@
 package graft.ext
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 /** Round-10 session-5: char entropy (t14), BPE merge application (v3),
@@ -123,6 +125,47 @@ class Round10Session5Spec extends SparkSpec {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._2)
     assert(a.toSeq == b.toSeq, "shard layout changed the EWMA")
+  }
+
+  test("t15: hand-traced boundary split, full-tiling invariants on the " +
+      "corpus") {
+    import spark.implicits._
+    // one shard (ids ≡ 0 mod 32), seqLen 512: docs of 300+300+512 tokens
+    // → doc 32 crosses the seq-0/1 boundary at stream offset 512, doc 64
+    // fills seq 1 to 600 then seq 2 to 1112
+    val d = Seq((0L, 300L), (32L, 300L), (64L, 512L))
+      .toDF("doc_id", "n_tokens")
+    val got = BatchPacking.sequenceWindows(d, "doc_id", "n_tokens")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 0L, 300L),    // doc 0: all of it in seq 0
+      (0L, 32L, 0L, 212L),   // doc 32: first 212 tokens finish seq 0
+      (1L, 32L, 212L, 300L), // doc 32: remaining 88 open seq 1
+      (1L, 64L, 0L, 424L),   // doc 64: 424 tokens finish seq 1
+      (2L, 64L, 424L, 512L)  // doc 64: remaining 88 open seq 2
+    ), got.mkString(","))
+
+    val corpus = graft.ext.BatchPacking
+      .t15SequenceWindows(spark, sf("sf0.001"))
+    // every doc's spans tile it exactly
+    val docBad = corpus.groupBy("doc_id")
+      .agg(sum(expr("tok_end - tok_start")).as("covered"))
+      .join(spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n")), "doc_id")
+      .filter(col("covered") =!= col("n"))
+    assert(docBad.count() == 0, "a doc is not exactly tiled by its spans")
+    // every sequence is exactly 512 tokens except the last per shard
+    val lastSeq = corpus.groupBy("shard")
+      .agg(max("seq_in_shard").as("last"))
+    val seqBad = corpus.groupBy("shard", "seq_in_shard")
+      .agg(sum(expr("tok_end - tok_start")).as("filled"))
+      .join(lastSeq, "shard")
+      .filter(col("seq_in_shard") =!= col("last") &&
+        col("filled") =!= graft.ext.BatchPacking.T15SeqLen)
+    assert(seqBad.count() == 0, "a non-final sequence is not full")
   }
 
   test("e6: projections equal an independent driver-side recomputation") {
