@@ -97,9 +97,19 @@ object BatchPacking {
       .partitionBy("shard").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         -1)
+    // Domain guard: Spark's sequence(a, b) with a > b DESCENDS — a
+    // 0-token doc would emit phantom spans (generate_series yields none
+    // on the oracle side) and a negative count would explode a huge
+    // range. Zero-token docs contribute nothing to the stream by
+    // definition → drop them (matches the oracle); negatives are input
+    // corruption → fail loudly, in codegen.
     docs
       .select(col(idCol).cast("long").as("doc_id"),
-        col(tokensCol).cast("long").as("n_tokens"))
+        when(col(tokensCol).cast("long") >= 0, col(tokensCol).cast("long"))
+          .otherwise(raise_error(concat(
+            lit("sequenceWindows: negative token count for doc "),
+            col(idCol).cast("string")))).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
       .withColumn("shard", pmod(col("doc_id"), lit(shards)).cast("int"))
       .withColumn("off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("seq_in_shard", explode(expr(

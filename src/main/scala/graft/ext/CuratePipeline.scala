@@ -37,12 +37,15 @@ object CuratePipeline {
   final case class StageCounts(stage: String, docs: Long, tokens: Long)
 
   /** Run the full pipeline; returns (packed batches, per-stage counts).
-    * Counting executes each stage frame once — acceptable for a
-    * pipeline job whose stages are one projection/shuffle each; the
-    * final survivor set is cached before the two consumers (metrics +
-    * packing) so the whole upstream chain is not replayed.
+    * Multi-consumer intermediates (exact-dedup survivors, the shingle
+    * frame, the final survivor set) are persisted for the duration of
+    * the run and UNPERSISTED before returning — the returned frame is a
+    * self-contained localCheckpoint (one small pinned block, the d4
+    * pattern), so a long-lived session calling curate() per corpus does
+    * not accumulate cache entries.
     */
-  def curate(s: SparkSession, dir: String, budget: Long = 2000L,
+  def curate(s: SparkSession, dir: String,
+      budget: Long = BatchPacking.T6Budget,
       entropyFloorNano: Long = 1500000000L, maxDist: Int = 3,
       bucketCap: Int = 1024): (DataFrame, Seq[StageCounts]) = {
     val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -57,36 +60,25 @@ object CuratePipeline {
       .join(gopherKept, "doc_id")
       .join(entropyKept, "doc_id")
 
-    // -- 2. PII redaction (the t12 regex chain, email→phone→ip order)
+    // -- 2. PII redaction (TextAnalysis.redact — the ONE pinned chain)
     val redacted = gated.select(
-      col("doc_id"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col("text"), TextAnalysis.EmailRe, "<EMAIL>"),
-          TextAnalysis.PhoneRe, "<PHONE>"),
-        TextAnalysis.Ipv4Re, "<IP>").as("clean"))
+      col("doc_id"), TextAnalysis.redact(col("text")).as("clean"))
 
-    // -- 3. exact dedup: min-doc_id keeper per redacted text
+    // -- 3. exact dedup: min-doc_id keeper per redacted text.
+    //       persisted: consumed by the sketch pass AND both nearKept
+    //       branches — without the pin the gate+redact+groupBy chain
+    //       replays per consumer.
     val exactKept = redacted
       .groupBy("clean").agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("clean"))
+      .persist()
 
-    // -- 4. near-dup prune: SimHash → bands → pairs → CC → keep-longest
+    // -- 4. near-dup prune: the d8 miner (Dedup.simhashPairsOf — shared
+    //       code path) → CC → keep-longest per cluster
     val sketches = exactKept
       .select(col("doc_id"), length(col("clean")).as("n_chars"),
         simhash64(col("clean")).as("simhash"))
-    val banded = Dedup.simhashBands(sketches)
-    val l = banded.select(col("doc_id").as("doc_a"),
-      col("simhash").as("sim_a"), col("band"), col("key"))
-    val r = banded.select(col("doc_id").as("doc_b"),
-      col("simhash").as("sim_b"), col("band"), col("key"))
-    val pairs = SkewSafe.cappedEquiJoin(l, r, Seq("band", "key"),
-        xxhash64(col("doc_b")), bucketCap)
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxDist)
+    val pairs = Dedup.simhashPairsOf(sketches, maxDist, bucketCap)
     val clusters = Dedup.connectedComponents(
       pairs.select("doc_a", "doc_b"))
     val clusterKeep = graft.plans.TopKPerGroup.topK(
@@ -101,10 +93,13 @@ object CuratePipeline {
         .select("doc_id", "clean"))
 
     // -- 5. decontamination (ct1 rule: any 24-char shingle shared with
-    //       the deterministic eval slice disqualifies the doc)
+    //       the deterministic eval slice disqualifies the doc).
+    //       sh is persisted: three consumers (eval grams, contamination
+    //       join, eval-slice anti-join).
     val sh = nearKept.select(col("doc_id"),
       substring(md5(col("clean")), 1, 2).as("h2"),
       graft.functions.Expressions.shingleHashes(col("clean"), 24).as("g"))
+      .persist()
     val evalGrams = sh.filter(col("h2") < "10")
       .select(explode(col("g")).as("ng")).distinct()
     val contaminated = sh.filter(col("h2") >= "10")
@@ -112,25 +107,20 @@ object CuratePipeline {
       .join(broadcast(evalGrams), "ng")
       .select("doc_id").distinct()
     val finalDocs = nearKept
-      .filter(col("doc_id").isNotNull)
       .join(sh.filter(col("h2") < "10").select("doc_id"),
         Seq("doc_id"), "left_anti")                   // eval slice itself out
       .join(contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("clean"),
         size(split(col("clean"), " ")).cast("long").as("n_tokens"))
-      .persist() // two consumers below: metrics + packing
+      .persist() // two consumers: metrics + packing
 
     // -- 6. packing
     val packed = BatchPacking.packByTokenBudget(
       finalDocs, "doc_id", "n_tokens", budget)
 
-    def toks(df: DataFrame, textCol: String): Long = {
-      val r = df.agg(
-        count(lit(1)).as("n"),
-        coalesce(sum(size(split(col(textCol), " ")).cast("long")), lit(0L))
-          .as("t")).head()
-      r.getLong(1)
-    }
+    def toks(df: DataFrame, textCol: String): Long =
+      df.agg(coalesce(sum(size(split(col(textCol), " ")).cast("long")),
+        lit(0L))).head().getLong(0)
     val metrics = Seq(
       StageCounts("raw", docs.count(), toks(docs, "text")),
       StageCounts("gated", gated.count(), toks(gated, "text")),
@@ -141,6 +131,12 @@ object CuratePipeline {
       StageCounts("packed_batches",
         packed.select("batch_id").distinct().count(),
         packed.agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0)))
-    (packed, metrics)
+    // self-contained result, then release every interior cache: the
+    // caller holds one small checkpointed frame, not the whole chain
+    val out = packed.localCheckpoint(true)
+    finalDocs.unpersist(false)
+    sh.unpersist(false)
+    exactKept.unpersist(false)
+    (out, metrics)
   }
 }

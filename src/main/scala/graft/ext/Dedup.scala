@@ -74,8 +74,17 @@ object Dedup {
       .drop("bk")
 
   def simhashNearDupPairs(s: SparkSession, dir: String, maxDist: Int = 3,
+      bucketCap: Int = 1024): DataFrame =
+    simhashPairsOf(simhashes(s, dir), maxDist, bucketCap)
+
+  /** The band-join pair miner over an arbitrary (doc_id, simhash) sketch
+    * frame — ONE implementation shared by the d8 gate query and the
+    * composed curation pipeline (CuratePipeline stage 4), so a fix to
+    * the capped join / band layout / dedup ordering propagates to both.
+    */
+  def simhashPairsOf(sketches: DataFrame, maxDist: Int = 3,
       bucketCap: Int = 1024): DataFrame = {
-    val banded = simhashBands(simhashes(s, dir))
+    val banded = simhashBands(sketches.select("doc_id", "simhash"))
     val l = banded.select(col("doc_id").as("doc_a"),
       col("simhash").as("sim_a"), col("band"), col("key"))
     val r = banded.select(col("doc_id").as("doc_b"),

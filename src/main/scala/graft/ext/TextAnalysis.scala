@@ -394,6 +394,18 @@ object TextAnalysis {
   private[ext] val Ipv4Re =
     "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
+  /** The redaction chain as a reusable column — ORDER IS LOAD-BEARING
+    * (emails first, else their host dots feed the IPv4 regex). The one
+    * definition behind [[piiRedact]], the curation pipeline's stage 2,
+    * and its spec, so the order/placeholders can never drift.
+    */
+  def redact(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
   /** PII detection + redaction — the scrub pass every web-scale training
     * corpus runs before model consumption (emails, phone numbers, IPv4
     * addresses → typed placeholder tags). The fixture text is PII-free
@@ -423,10 +435,6 @@ object TextAnalysis {
         // dots are protected by the literal letters, so the count is the
         // true v4 addresses.
         regexp_count(col("raw"), lit(Ipv4Re)).cast("long").as("n_ips"),
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("raw"), EmailRe, "<EMAIL>"),
-            PhoneRe, "<PHONE>"),
-          Ipv4Re, "<IP>").as("clean"))
+        redact(col("raw")).as("clean"))
   }
 }

@@ -32,12 +32,7 @@ class CuratePipelineSpec extends SparkSpec {
     // the packed frame carries doc_id; join back and re-check end-state
     val raw = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
     val clean = raw.join(docs, "doc_id").select(
-      col("doc_id"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col("text"), TextAnalysis.EmailRe, "<EMAIL>"),
-          TextAnalysis.PhoneRe, "<PHONE>"),
-        TextAnalysis.Ipv4Re, "<IP>").as("clean"))
+      col("doc_id"), TextAnalysis.redact(col("text")).as("clean"))
     assert(clean.select("clean").distinct().count() == clean.count(),
       "exact duplicate text survived")
     val sh = clean.select(col("doc_id"), simhash64(col("clean")).as("h"))
