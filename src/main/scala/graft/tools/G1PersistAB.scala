@@ -20,6 +20,24 @@ object G1PersistAB extends App {
   // never drift from the shipped loop input
   def coOrderEdges(): DataFrame =
     graft.ext.Graph.coOrderEdges(spark, dir)
+  def prB(edges: DataFrame): DataFrame = {
+    // g2-style: broadcast the node-sized sides so the persisted edge
+    // table is only scanned, never shuffled, per round
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    var prDf = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
+    for (_ <- 1 to 3) {
+      val in = edges.join(broadcast(deg), "src")
+        .join(broadcast(prDf.withColumnRenamed("node", "src")), "src")
+        .select(col("dst"), expr("pr div outdeg").as("share"))
+        .groupBy("dst").agg(sum(col("share")).as("in_pr"))
+      prDf = deg.select(col("src").as("node"))
+        .join(in, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("(coalesce(in_pr, 0L) * 85) div 100"))
+            .as("pr"))
+    }
+    prDf
+  }
   def pr(edges: DataFrame): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     var prDf = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
@@ -44,8 +62,10 @@ object G1PersistAB extends App {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
   }
   for (i <- 1 to 3) {
-    time(s"lazy    $i") { pr(coOrderEdges()) }
-    time(s"persist $i") { val e = coOrderEdges().persist(); pr(e) }
+    time(s"lazy          $i") { pr(coOrderEdges()) }
+    time(s"persist       $i") { val e = coOrderEdges().persist(); pr(e) }
+    time(s"persist-bcast $i") { val e = coOrderEdges().persist(); prB(e) }
+    time(s"lazy-bcast    $i") { prB(coOrderEdges()) }
   }
   spark.stop()
 }
