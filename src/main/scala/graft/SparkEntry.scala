@@ -202,6 +202,8 @@ object SparkEntry {
     "t6v_packing_invariants" -> (graft.ext.BatchPacking.t6vPackingInvariants _),
     "x6_media_features" -> (ExtQueries.x6MediaFeatures _),
     "x13_media_resize" -> (ExtQueries.x13MediaResize _),
+    "x17_image_phash" -> (ExtQueries.x17ImagePhash _),
+    "x17v_phash_recompute" -> (ExtQueries.x17vPhashRecompute _),
     // multimodal codec round-trip invariants (oracle: empty relation)
     "x5v_frame_roundtrip" -> (ExtQueries.x5vFrameRoundtrip _),
     "x6v_decode_roundtrip" -> (ExtQueries.x6vDecodeRoundtrip _),
@@ -228,7 +230,8 @@ object SparkEntry {
     "x3v_lsh_subset_exact",
     "x4v_ann_scores_match_brute", "x4r_ann_recall", "x5v_frame_roundtrip",
     "x6v_decode_roundtrip", "x7v_hll_error_bound", "x8v_ivf_subset_exact",
-    "x9v_kmv_exact_small", "x16v_cms_lower_bound")
+    "x9v_kmv_exact_small", "x16v_cms_lower_bound",
+    "x17v_phash_recompute")
   require(invariantQueries.subsetOf(queries.keySet),
     s"unknown invariant keys: ${invariantQueries.diff(queries.keySet)}")
 
@@ -1752,6 +1755,10 @@ object SparkEntry {
     "x5v_frame_roundtrip" ->
       """SELECT doc_id AS media_id, CAST('' AS VARCHAR) AS field,
                 CAST(0 AS BIGINT) AS got, CAST(0 AS BIGINT) AS want
+         FROM documents WHERE FALSE""",
+    "x17v_phash_recompute" ->
+      """SELECT doc_id AS media_id, CAST(0 AS BIGINT) AS phash,
+                CAST(0 AS BIGINT) AS phash_re
          FROM documents WHERE FALSE""",
     "x6v_decode_roundtrip" ->
       """SELECT doc_id AS media_id, CAST('' AS VARCHAR) AS field,

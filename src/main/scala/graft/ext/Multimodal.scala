@@ -337,6 +337,83 @@ object Multimodal {
     }
   }
 
+  /** 64-bit average-hash (aHash — the pHash-family perceptual signature
+    * behind LAION-style image dedup): block-average the image to an 8×8
+    * grayscale grid, set bit (i·8+j) when the block's mean exceeds the
+    * grid mean. Exact-integer block sums (gray = r+g+b, compared via
+    * cross-multiplication against the total) so the hash is fully
+    * deterministic — no float rounding anywhere. Brightness-invariant
+    * while no pixel clips: adding c to every channel shifts every block
+    * mean and the grid mean equally, leaving all 64 comparisons — and
+    * therefore the hash — unchanged (PhashSpec pins it).
+    */
+  def imagePhash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](64)   // Σ gray per block
+    val areas = new Array[Long](64)  // pixels per block
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val bx = x * 8 / w
+        val rgb = img.getRGB(x, y)
+        val gray = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        val b = by * 8 + bx
+        sums(b) += gray
+        areas(b) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val total = sums.sum
+    val totalArea = areas.sum
+    // bit b set ⇔ sums(b)/areas(b) > total/totalArea, compared exactly
+    // as sums(b)·totalArea > total·areas(b) (all ≤ 3·255·pixels — no
+    // overflow below ~2^31 pixels per image)
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      if (areas(b) > 0 && sums(b) * totalArea > total * areas(b))
+        hash |= (1L << b)
+      b += 1
+    }
+    hash
+  }
+
+  /** Perceptual-hash table over the visual media (images + first video
+    * frame) — the sketch side of image near-dup mining. Real decode,
+    * partition-local, no shuffle.
+    */
+  def imagePhashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    realMedia(s, dir, kinds = Set("image", "video"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = r.kind match {
+            case "image" => Codec.decodeImage(r.payload)
+            case _       => Codec.decodeImage(Codec.demuxVideo(r.payload).head)
+          }
+          (r.media_id, r.kind, imagePhash64(img))
+        }
+      }
+      .toDF("media_id", "kind", "phash")
+  }
+
+  /** Image near-dup pairs: Hamming ≤ `maxDist` over the aHash sketches,
+    * via the SAME banded pair miner the d8 text path uses
+    * ([[Dedup.simhashPairsOf]]) — one candidate-join implementation for
+    * every 64-bit sketch family.
+    */
+  def imageNearDupPairs(s: SparkSession, dir: String,
+      maxDist: Int = 3): DataFrame =
+    Dedup.simhashPairsOf(
+      imagePhashes(s, dir).select(col("media_id").as("doc_id"),
+        col("phash").as("simhash")), maxDist)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
+
   private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)

@@ -424,6 +424,26 @@ object ExtQueries {
   def mm1BinaryMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.binaryMeta(s, dir)
 
+  /** Perceptual aHash table over decoded visual media (image dedup
+    * sketch side; rows-only — real PNG decode is not SQL-expressible).
+    */
+  def x17ImagePhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imagePhashes(s, dir)
+
+  /** x17 invariant (oracle: empty relation): re-decoding and re-hashing
+    * every visual payload must reproduce the recorded phash exactly —
+    * the x2v recompute-twin pattern for the image sketch.
+    */
+  def x17vPhashRecompute(s: SparkSession, dir: String): DataFrame = {
+    val a = Multimodal.imagePhashes(s, dir)
+      .select(col("media_id"), col("phash"))
+    val b = Multimodal.imagePhashes(s, dir)
+      .select(col("media_id"), col("phash").as("phash_re"))
+    a.join(b, "media_id")
+      .filter(col("phash") =!= col("phash_re"))
+      .select(col("media_id"), col("phash"), col("phash_re"))
+  }
+
   /** Skew-safe two-phase salted sum — must equal the plain groupBy sum
     * (the oracle computes the plain one).
     */

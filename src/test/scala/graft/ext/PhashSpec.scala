@@ -1,0 +1,69 @@
+package graft.ext
+
+import java.awt.image.BufferedImage
+
+import graft.SparkSpec
+
+/** Perceptual average-hash: invariances, discrimination, and the planted
+  * near-dup pair surfacing through the shared banded miner.
+  */
+class PhashSpec extends SparkSpec {
+
+  private def img(w: Int, h: Int)(px: (Int, Int) => Int): BufferedImage = {
+    val b = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) b.setRGB(x, y, px(x, y))
+    b
+  }
+  private def gray(v: Int): Int = (v << 16) | (v << 8) | v
+
+  test("aHash is exactly brightness-invariant while no pixel clips") {
+    val base = img(40, 40)((x, y) => gray(40 + (x * 3 + y * 5) % 160))
+    val shifted = img(40, 40)((x, y) => gray(60 + (x * 3 + y * 5) % 160))
+    assert(Multimodal.imagePhash64(base) == Multimodal.imagePhash64(shifted),
+      "a uniform +20 brightness shift changed the hash")
+  }
+
+  test("aHash separates structure: gradient vs checkerboard vs inverse") {
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val g = Multimodal.imagePhash64(img(32, 32)((x, _) => gray(x * 7)))
+    val check = Multimodal.imagePhash64(
+      img(32, 32)((x, y) => gray(if (((x / 4) + (y / 4)) % 2 == 0) 30 else 220)))
+    val ginv = Multimodal.imagePhash64(img(32, 32)((x, _) => gray(217 - x * 7)))
+    assert(dist(g, check) > 10, s"gradient vs checker only ${dist(g, check)}")
+    assert(dist(g, ginv) > 40, s"gradient vs inverse only ${dist(g, ginv)}")
+  }
+
+  test("planted near-dup image pair surfaces through the shared banded " +
+      "miner; the unrelated image does not") {
+    import spark.implicits._
+    val base = img(48, 48)((x, y) => gray(30 + (x * 4 + y * 2) % 180))
+    val near = img(48, 48)((x, y) =>
+      if (x == 5 && y == 7) gray(255) else gray(30 + (x * 4 + y * 2) % 180))
+    val far = img(48, 48)((x, y) =>
+      gray(if (((x / 6) + (y / 6)) % 2 == 0) 20 else 230))
+    val sketches = Seq(
+      (1L, Multimodal.imagePhash64(base)),
+      (2L, Multimodal.imagePhash64(near)),
+      (3L, Multimodal.imagePhash64(far)))
+      .toDF("doc_id", "simhash")
+    val pairs = Dedup.simhashPairsOf(sketches, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
+  test("a small local perturbation stays Hamming-close; the corpus pass " +
+      "is deterministic and non-empty") {
+    val base = img(48, 48)((x, y) => gray(30 + (x * 4 + y * 2) % 180))
+    val tweaked = img(48, 48)((x, y) =>
+      if (x == 5 && y == 7) gray(255) else gray(30 + (x * 4 + y * 2) % 180))
+    val d = java.lang.Long.bitCount(
+      Multimodal.imagePhash64(base) ^ Multimodal.imagePhash64(tweaked))
+    assert(d <= 3, s"one-pixel tweak moved the hash $d bits")
+
+    val a = graft.queries.ExtQueries.x17ImagePhash(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    val b = graft.queries.ExtQueries.x17ImagePhash(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+  }
+}
