@@ -1757,8 +1757,8 @@ object SparkEntry {
                 CAST(0 AS BIGINT) AS got, CAST(0 AS BIGINT) AS want
          FROM documents WHERE FALSE""",
     "x17v_phash_recompute" ->
-      """SELECT doc_id AS media_id, CAST(0 AS BIGINT) AS phash,
-                CAST(0 AS BIGINT) AS phash_re
+      """SELECT doc_id AS media_id, CAST('' AS VARCHAR) AS field,
+                CAST(0 AS BIGINT) AS got, CAST(0 AS BIGINT) AS want
          FROM documents WHERE FALSE""",
     "x6v_decode_roundtrip" ->
       """SELECT doc_id AS media_id, CAST('' AS VARCHAR) AS field,

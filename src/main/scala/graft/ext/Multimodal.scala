@@ -370,12 +370,16 @@ object Multimodal {
     val total = sums.sum
     val totalArea = areas.sum
     // bit b set ⇔ sums(b)/areas(b) > total/totalArea, compared exactly
-    // as sums(b)·totalArea > total·areas(b) (all ≤ 3·255·pixels — no
-    // overflow below ~2^31 pixels per image)
+    // as sums(b)·totalArea > total·areas(b). The products reach
+    // 765·p · p (p = pixel count) — Long overflows from ~1e8 px on
+    // skewed blocks, so the 64 comparisons go through BigInt (exact at
+    // any image size; 128 allocations per image is noise next to the
+    // PNG decode).
     var hash = 0L
     var b = 0
     while (b < 64) {
-      if (areas(b) > 0 && sums(b) * totalArea > total * areas(b))
+      if (areas(b) > 0 &&
+          BigInt(sums(b)) * totalArea > BigInt(total) * areas(b))
         hash |= (1L << b)
       b += 1
     }
@@ -399,6 +403,29 @@ object Multimodal {
         }
       }
       .toDF("media_id", "kind", "phash")
+  }
+
+  /** x17v violations: a silent-empty or row-dropping phash pass must
+    * fail the gate, not pass vacuously — one `missing_media` row per
+    * expected visual id the pass dropped (the x5v/x6v contract), plus a
+    * structural-property row per hash that is mathematically impossible
+    * (all 64 bits set would mean every block mean exceeds their own
+    * weighted average) or carries a non-visual kind. A self-recompute
+    * was deliberately REJECTED here: both sides would be the identical
+    * plan (ReuseExchange can even collapse them to one execution), so
+    * it can detect nothing.
+    */
+  def phashInvariantViolations(s: SparkSession, dir: String): DataFrame = {
+    val hashes = shareSmall(imagePhashes(s, dir))
+    val bad = hashes
+      .filter(bit_count(col("phash")) === 64 ||
+        !col("kind").isin("image", "video"))
+      .select(col("media_id"),
+        lit("phash_property").as("field"),
+        bit_count(col("phash")).cast("long").as("got"),
+        lit(63L).as("want"))
+    bad.unionByName(missingMediaViolations(s, dir,
+      Set("image", "video"), hashes, "missing_media"))
   }
 
   /** Image near-dup pairs: Hamming ≤ `maxDist` over the aHash sketches,

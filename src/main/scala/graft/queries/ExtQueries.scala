@@ -430,19 +430,13 @@ object ExtQueries {
   def x17ImagePhash(s: SparkSession, dir: String): DataFrame =
     Multimodal.imagePhashes(s, dir)
 
-  /** x17 invariant (oracle: empty relation): re-decoding and re-hashing
-    * every visual payload must reproduce the recorded phash exactly —
-    * the x2v recompute-twin pattern for the image sketch.
+  /** x17 invariant (oracle: empty relation): missing-media presence
+    * contract + impossible-hash structural property — see
+    * [[Multimodal.phashInvariantViolations]] for why a self-recompute
+    * would be vacuous here.
     */
-  def x17vPhashRecompute(s: SparkSession, dir: String): DataFrame = {
-    val a = Multimodal.imagePhashes(s, dir)
-      .select(col("media_id"), col("phash"))
-    val b = Multimodal.imagePhashes(s, dir)
-      .select(col("media_id"), col("phash").as("phash_re"))
-    a.join(b, "media_id")
-      .filter(col("phash") =!= col("phash_re"))
-      .select(col("media_id"), col("phash"), col("phash_re"))
-  }
+  def x17vPhashRecompute(s: SparkSession, dir: String): DataFrame =
+    Multimodal.phashInvariantViolations(s, dir)
 
   /** Skew-safe two-phase salted sum — must equal the plain groupBy sum
     * (the oracle computes the plain one).

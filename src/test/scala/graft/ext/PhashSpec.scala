@@ -16,6 +16,14 @@ class PhashSpec extends SparkSpec {
   }
   private def gray(v: Int): Int = (v << 16) | (v << 8) | v
 
+  // shared planted-pair fixtures (one definition — tests must not drift)
+  private lazy val baseImg =
+    img(48, 48)((x, y) => gray(30 + (x * 4 + y * 2) % 180))
+  private lazy val nearImg = img(48, 48)((x, y) =>
+    if (x == 5 && y == 7) gray(255) else gray(30 + (x * 4 + y * 2) % 180))
+  private lazy val farImg = img(48, 48)((x, y) =>
+    gray(if (((x / 6) + (y / 6)) % 2 == 0) 20 else 230))
+
   test("aHash is exactly brightness-invariant while no pixel clips") {
     val base = img(40, 40)((x, y) => gray(40 + (x * 3 + y * 5) % 160))
     val shifted = img(40, 40)((x, y) => gray(60 + (x * 3 + y * 5) % 160))
@@ -36,15 +44,10 @@ class PhashSpec extends SparkSpec {
   test("planted near-dup image pair surfaces through the shared banded " +
       "miner; the unrelated image does not") {
     import spark.implicits._
-    val base = img(48, 48)((x, y) => gray(30 + (x * 4 + y * 2) % 180))
-    val near = img(48, 48)((x, y) =>
-      if (x == 5 && y == 7) gray(255) else gray(30 + (x * 4 + y * 2) % 180))
-    val far = img(48, 48)((x, y) =>
-      gray(if (((x / 6) + (y / 6)) % 2 == 0) 20 else 230))
     val sketches = Seq(
-      (1L, Multimodal.imagePhash64(base)),
-      (2L, Multimodal.imagePhash64(near)),
-      (3L, Multimodal.imagePhash64(far)))
+      (1L, Multimodal.imagePhash64(baseImg)),
+      (2L, Multimodal.imagePhash64(nearImg)),
+      (3L, Multimodal.imagePhash64(farImg)))
       .toDF("doc_id", "simhash")
     val pairs = Dedup.simhashPairsOf(sketches, maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -53,11 +56,8 @@ class PhashSpec extends SparkSpec {
 
   test("a small local perturbation stays Hamming-close; the corpus pass " +
       "is deterministic and non-empty") {
-    val base = img(48, 48)((x, y) => gray(30 + (x * 4 + y * 2) % 180))
-    val tweaked = img(48, 48)((x, y) =>
-      if (x == 5 && y == 7) gray(255) else gray(30 + (x * 4 + y * 2) % 180))
     val d = java.lang.Long.bitCount(
-      Multimodal.imagePhash64(base) ^ Multimodal.imagePhash64(tweaked))
+      Multimodal.imagePhash64(baseImg) ^ Multimodal.imagePhash64(nearImg))
     assert(d <= 3, s"one-pixel tweak moved the hash $d bits")
 
     val a = graft.queries.ExtQueries.x17ImagePhash(spark, sf("sf0.001"))
@@ -65,5 +65,20 @@ class PhashSpec extends SparkSpec {
     val b = graft.queries.ExtQueries.x17ImagePhash(spark, sf("sf0.001"))
       .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
     assert(a.nonEmpty && a.toSeq == b.toSeq)
+  }
+
+  test("imageNearDupPairs over the corpus equals the brute-force " +
+      "Hamming<=3 set of its own hash table (band completeness, " +
+      "composition exercised end-to-end)") {
+    val hashes = graft.queries.ExtQueries.x17ImagePhash(spark, sf("sf0.001"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    val mined = Multimodal.imageNearDupPairs(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mined == brute,
+      s"missing=${brute -- mined} extra=${mined -- brute}")
   }
 }
