@@ -204,6 +204,8 @@ object SparkEntry {
     "x13_media_resize" -> (ExtQueries.x13MediaResize _),
     "x17_image_phash" -> (ExtQueries.x17ImagePhash _),
     "x17v_phash_recompute" -> (ExtQueries.x17vPhashRecompute _),
+    "x18_audio_phash" -> (ExtQueries.x18AudioPhash _),
+    "x18v_audio_phash_property" -> (ExtQueries.x18vAudioPhashProperty _),
     // multimodal codec round-trip invariants (oracle: empty relation)
     "x5v_frame_roundtrip" -> (ExtQueries.x5vFrameRoundtrip _),
     "x6v_decode_roundtrip" -> (ExtQueries.x6vDecodeRoundtrip _),
@@ -231,7 +233,7 @@ object SparkEntry {
     "x4v_ann_scores_match_brute", "x4r_ann_recall", "x5v_frame_roundtrip",
     "x6v_decode_roundtrip", "x7v_hll_error_bound", "x8v_ivf_subset_exact",
     "x9v_kmv_exact_small", "x16v_cms_lower_bound",
-    "x17v_phash_recompute")
+    "x17v_phash_recompute", "x18v_audio_phash_property")
   require(invariantQueries.subsetOf(queries.keySet),
     s"unknown invariant keys: ${invariantQueries.diff(queries.keySet)}")
 
@@ -1757,6 +1759,10 @@ object SparkEntry {
                 CAST(0 AS BIGINT) AS got, CAST(0 AS BIGINT) AS want
          FROM documents WHERE FALSE""",
     "x17v_phash_recompute" ->
+      """SELECT doc_id AS media_id, CAST('' AS VARCHAR) AS field,
+                CAST(0 AS BIGINT) AS got, CAST(0 AS BIGINT) AS want
+         FROM documents WHERE FALSE""",
+    "x18v_audio_phash_property" ->
       """SELECT doc_id AS media_id, CAST('' AS VARCHAR) AS field,
                 CAST(0 AS BIGINT) AS got, CAST(0 AS BIGINT) AS want
          FROM documents WHERE FALSE""",

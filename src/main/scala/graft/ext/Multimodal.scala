@@ -185,6 +185,31 @@ object Multimodal {
       }
     }
 
+    /** Full 16-bit PCM sample decode (mono; endianness from the WAV's
+      * own format header).
+      */
+    def decodePcm16(payload: Array[Byte]): Array[Short] = {
+      val ais = AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"expected 16-bit mono PCM, got $fmt")
+        val bytes = ais.readAllBytes()
+        val out = new Array[Short](bytes.length / 2)
+        val big = fmt.isBigEndian
+        var i = 0
+        while (i < out.length) {
+          val b0 = bytes(2 * i) & 0xff
+          val b1 = bytes(2 * i + 1) & 0xff
+          out(i) =
+            (if (big) (b0 << 8) | b1 else (b1 << 8) | b0).toShort
+          i += 1
+        }
+        out
+      } finally ais.close()
+    }
+
     def byteEntropy(payload: Array[Byte]): Double = {
       if (payload.isEmpty) return 0.0
       val hist = new Array[Long](256)
@@ -405,6 +430,92 @@ object Multimodal {
       .toDF("media_id", "kind", "phash")
   }
 
+  /** 64-bit audio energy-envelope fingerprint — the audio twin of
+    * [[imagePhash64]] and the envelope half of Shazam-style audio
+    * dedup: split the PCM stream into 64 contiguous windows, set bit b
+    * when window b's mean energy (Σ s², exact Long) exceeds the
+    * stream's mean energy — compared exactly by BigInt
+    * cross-multiplication like the image hash. Exactly invariant under
+    * phase inversion (s → −s leaves every energy unchanged) and under
+    * exact amplitude scaling (energies scale by c² uniformly, so every
+    * comparison is preserved); PhashSpec pins both.
+    */
+  def audioPhash64(pcm: Array[Short]): Long = {
+    val n = pcm.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val w = (i.toLong * 64 / n).toInt
+      val s = pcm(i).toLong
+      sums(w) += s * s
+      counts(w) += 1
+      i += 1
+    }
+    val total = sums.sum
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0 &&
+          BigInt(sums(b)) * n > BigInt(total) * counts(b))
+        hash |= (1L << b)
+      b += 1
+    }
+    hash
+  }
+
+  /** Energy-envelope hash table over the audio media — the sketch side
+    * of audio near-dup mining. Real WAV decode, partition-local.
+    */
+  def audioPhashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    realMedia(s, dir, kinds = Set("audio"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          (r.media_id, r.kind,
+            audioPhash64(Codec.decodePcm16(r.payload)))
+        }
+      }
+      .toDF("media_id", "kind", "phash")
+  }
+
+  /** Audio near-dup pairs through the SAME banded miner as the text
+    * (d8) and image (x17) sketch families.
+    */
+  def audioNearDupPairs(s: SparkSession, dir: String,
+      maxDist: Int = 3): DataFrame =
+    Dedup.simhashPairsOf(
+      audioPhashes(s, dir).select(col("media_id").as("doc_id"),
+        col("phash").as("simhash")), maxDist)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
+
+  /** Shared x17v/x18v violation builder: presence contract + the
+    * impossible-hash property (all 64 bits set would mean every
+    * block/window mean exceeds their own weighted average).
+    */
+  private def sketchInvariantViolations(s: SparkSession, dir: String,
+      kinds: Set[String], wantedKinds: Seq[String],
+      hashes: DataFrame): DataFrame = {
+    val shared = shareSmall(hashes)
+    val bad = shared
+      .filter(bit_count(col("phash")) === 64 ||
+        !col("kind").isin(wantedKinds: _*))
+      .select(col("media_id"),
+        lit("phash_property").as("field"),
+        bit_count(col("phash")).cast("long").as("got"),
+        lit(63L).as("want"))
+    bad.unionByName(missingMediaViolations(s, dir, kinds, shared,
+      "missing_media"))
+  }
+
+  /** x18v violations — the audio-sketch presence + property contract. */
+  def audioPhashInvariantViolations(s: SparkSession, dir: String)
+      : DataFrame =
+    sketchInvariantViolations(s, dir, Set("audio"), Seq("audio"),
+      audioPhashes(s, dir))
+
   /** x17v violations: a silent-empty or row-dropping phash pass must
     * fail the gate, not pass vacuously — one `missing_media` row per
     * expected visual id the pass dropped (the x5v/x6v contract), plus a
@@ -415,18 +526,9 @@ object Multimodal {
     * plan (ReuseExchange can even collapse them to one execution), so
     * it can detect nothing.
     */
-  def phashInvariantViolations(s: SparkSession, dir: String): DataFrame = {
-    val hashes = shareSmall(imagePhashes(s, dir))
-    val bad = hashes
-      .filter(bit_count(col("phash")) === 64 ||
-        !col("kind").isin("image", "video"))
-      .select(col("media_id"),
-        lit("phash_property").as("field"),
-        bit_count(col("phash")).cast("long").as("got"),
-        lit(63L).as("want"))
-    bad.unionByName(missingMediaViolations(s, dir,
-      Set("image", "video"), hashes, "missing_media"))
-  }
+  def phashInvariantViolations(s: SparkSession, dir: String): DataFrame =
+    sketchInvariantViolations(s, dir, Set("image", "video"),
+      Seq("image", "video"), imagePhashes(s, dir))
 
   /** Image near-dup pairs: Hamming ≤ `maxDist` over the aHash sketches,
     * via the SAME banded pair miner the d8 text path uses

@@ -438,6 +438,18 @@ object ExtQueries {
   def x17vPhashRecompute(s: SparkSession, dir: String): DataFrame =
     Multimodal.phashInvariantViolations(s, dir)
 
+  /** Audio energy-envelope fingerprint table (rows-only — real WAV
+    * decode is not SQL-expressible).
+    */
+  def x18AudioPhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioPhashes(s, dir)
+
+  /** x18 invariant (oracle: empty relation): audio-sketch presence +
+    * impossible-hash property.
+    */
+  def x18vAudioPhashProperty(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioPhashInvariantViolations(s, dir)
+
   /** Skew-safe two-phase salted sum — must equal the plain groupBy sum
     * (the oracle computes the plain one).
     */

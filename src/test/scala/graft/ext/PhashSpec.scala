@@ -67,6 +67,54 @@ class PhashSpec extends SparkSpec {
     assert(a.nonEmpty && a.toSeq == b.toSeq)
   }
 
+  test("audioPhash64: exact phase-inversion and amplitude-scaling " +
+      "invariance; envelope structure separates; planted pair mines") {
+    import spark.implicits._
+    // a loudness envelope: quiet first half, loud second half
+    val tone = Array.tabulate[Short](6400)(i =>
+      (math.sin(i * 0.3) * (if (i < 3200) 500 else 8000)).toShort)
+    val inverted = tone.map(s => (-s).toShort)
+    val h = Multimodal.audioPhash64(tone)
+    assert(h == Multimodal.audioPhash64(inverted), "phase inversion moved it")
+    // exact amplitude scaling needs exact halving — use an even-sample
+    // signal (the sin-rounded tone has odd samples)
+    val even = Array.tabulate[Short](6400)(i =>
+      (2 * ((i % 100) - 50 + (if (i < 3200) 0 else 2000))).toShort)
+    assert(Multimodal.audioPhash64(even) ==
+      Multimodal.audioPhash64(even.map(s => (s / 2).toShort)),
+      "exact halving moved the hash")
+    // different envelope (loud-quiet vs quiet-loud) must be far
+    val reversed = tone.reverse
+    val d = java.lang.Long.bitCount(h ^ Multimodal.audioPhash64(reversed))
+    assert(d > 20, s"reversed envelope only $d bits away")
+    // planted near-dup: one window's samples slightly perturbed
+    val near = tone.clone()
+    var i = 0
+    while (i < 50) { near(i) = (near(i) + 3).toShort; i += 1 }
+    val sketches = Seq(
+      (1L, h), (2L, Multimodal.audioPhash64(near)),
+      (3L, Multimodal.audioPhash64(reversed)))
+      .toDF("doc_id", "simhash")
+    val pairs = Dedup.simhashPairsOf(sketches, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
+  test("audioNearDupPairs over the corpus equals the brute-force " +
+      "Hamming<=3 set of its own hash table") {
+    val hashes = graft.queries.ExtQueries.x18AudioPhash(spark, sf("sf0.001"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+    assert(hashes.nonEmpty)
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    val mined = Multimodal.audioNearDupPairs(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mined == brute,
+      s"missing=${brute -- mined} extra=${mined -- brute}")
+  }
+
   test("imageNearDupPairs over the corpus equals the brute-force " +
       "Hamming<=3 set of its own hash table (band completeness, " +
       "composition exercised end-to-end)") {
