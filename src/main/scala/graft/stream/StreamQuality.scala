@@ -1,0 +1,29 @@
+package graft.stream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stateless streaming QUALITY gate — the streaming mirror of the
+  * composed pipeline's stage 1 (Gopher integer rules + char-entropy
+  * floor), sitting in FRONT of the stateful dedup gates
+  * ([[StreamDedup]]/[[StreamNearDup]]/[[StreamSemDedup]]): pure
+  * codegen'd projections, no watermark, no state, so it filters at
+  * scan speed and shrinks everything downstream.
+  *
+  * Both predicates are the SAME SQL expressions the batch operators
+  * evaluate ([[graft.ext.TextAnalysis.gopherKeptSql]] /
+  * [[graft.ext.TextAnalysis.entNanoSql]]) — StreamQualitySpec pins that
+  * a document stream filtered here equals the batch-gated set exactly.
+  */
+object StreamQuality {
+
+  /** Filter a (… text …) stream to quality survivors. */
+  def qualityGate(stream: DataFrame,
+      entropyFloorNano: Long = 1500000000L,
+      textCol: String = "text"): DataFrame =
+    graft.ext.TextAnalysis.withEntNano(stream, textCol, "__q_ent")
+      .filter(
+        expr(graft.ext.TextAnalysis.gopherKeptSql(textCol)) &&
+          col("__q_ent") >= entropyFloorNano)
+      .drop("__q_ent", "__ent_n")
+}
