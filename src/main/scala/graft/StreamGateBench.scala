@@ -116,7 +116,14 @@ object StreamGateBench {
       val admitted = new java.util.concurrent.atomic.AtomicLong
       val inExact = new java.util.concurrent.atomic.AtomicLong
       val afterNear = new java.util.concurrent.atomic.AtomicLong
-      val gated = if (gates) StreamDedup.exactWithinWatermark(df) else df
+      // gate 0 (r10s5): the stateless quality gate in front of the
+      // stateful chain — minWords relaxed to 5 because the synthetic
+      // fixture rows are 7 words (production keeps Gopher's 30); its
+      // cost rides inside the gates-on throughput number
+      val gated = if (gates)
+        StreamDedup.exactWithinWatermark(
+          graft.stream.StreamQuality.qualityGate(df, minWords = 5))
+      else df
       val q = gated.writeStream
         .outputMode("append")
         .option("checkpointLocation",

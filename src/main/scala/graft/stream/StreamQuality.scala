@@ -17,13 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object StreamQuality {
 
-  /** Filter a (… text …) stream to quality survivors. */
+  /** Filter a (… text …) stream to quality survivors. `minWords` is
+    * forwarded to the Gopher rule (benches over short synthetic
+    * fixtures relax it; production keeps the published 30).
+    */
   def qualityGate(stream: DataFrame,
       entropyFloorNano: Long = 1500000000L,
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text", minWords: Int = 30): DataFrame =
     graft.ext.TextAnalysis.withEntNano(stream, textCol, "__q_ent")
       .filter(
-        expr(graft.ext.TextAnalysis.gopherKeptSql(textCol)) &&
+        expr(graft.ext.TextAnalysis.gopherKeptSql(textCol,
+          minWords = minWords)) &&
           col("__q_ent") >= entropyFloorNano)
       .drop("__q_ent", "__ent_n")
 }
