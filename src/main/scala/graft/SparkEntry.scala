@@ -2131,7 +2131,9 @@ object SparkEntry {
            SELECT user_id, event_id, value AS x,
                   row_number() OVER (PARTITION BY user_id
                     ORDER BY epoch_us(ts), event_id) AS rk
-           FROM events),
+           FROM events
+           WHERE user_id IS NOT NULL AND value IS NOT NULL
+             AND ts IS NOT NULL AND event_id IS NOT NULL),
          st AS (
            SELECT user_id, event_id, rk, x AS s FROM ev WHERE rk = 1
            UNION ALL

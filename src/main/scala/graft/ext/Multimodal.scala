@@ -193,8 +193,10 @@ object Multimodal {
         new ByteArrayInputStream(payload))
       try {
         val fmt = ais.getFormat
-        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
-          s"expected 16-bit mono PCM, got $fmt")
+        require(fmt.getEncoding == javax.sound.sampled.AudioFormat
+            .Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"expected 16-bit mono signed PCM, got $fmt")
         val bytes = ais.readAllBytes()
         val out = new Array[Short](bytes.length / 2)
         val big = fmt.isBigEndian
@@ -422,7 +424,9 @@ object Multimodal {
         rows.map { r =>
           val img = r.kind match {
             case "image" => Codec.decodeImage(r.payload)
-            case _       => Codec.decodeImage(Codec.demuxVideo(r.payload).head)
+            case _ => Codec.decodeImage(
+              Codec.demuxVideo(r.payload).headOption.getOrElse(sys.error(
+                s"imagePhashes: video media_id=${r.media_id} has no frames")))
           }
           (r.media_id, r.kind, imagePhash64(img))
         }

@@ -336,12 +336,28 @@ object TextAnalysis {
   def bpeEncode(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
     val merges = bpeMergePairs(s, dir, k).collect()
       .map(r => (r.getString(0), r.getString(1)))
+    // PRECONDITION (fail loudly, never corrupt): the `|tok|` wrapping is
+    // boundary-safe only when no token contains the '|' delimiter — a
+    // pipe inside a corpus token lets a merge rule match across token
+    // boundaries, silently corrupting enc_md5/n_after (and the oracle
+    // would replay the same corruption, hiding it). Both the 50 driver-
+    // side merge tokens and every corpus token are checked; the corpus
+    // check is a codegen'd branch fused into the wrap projection (the
+    // raise_error arm is load-bearing, so Catalyst cannot prune it).
+    merges.foreach { case (w1, w2) =>
+      require(!w1.contains("|") && !w2.contains("|"),
+        s"bpeEncode: merge token contains the '|' delimiter: ($w1, $w2)")
+    }
     val base = docs(s, dir)
       .withColumn("words",
         filter(split(col("text"), " "), w => length(w) > 0))
       .withColumn("n_before", size(col("words")).cast("long"))
       .withColumn("s",
-        concat(lit("|"), array_join(col("words"), "||"), lit("|")))
+        when(exists(col("words"), w => w.contains("|")),
+          raise_error(concat(lit("bpeEncode: doc_id="), col("doc_id"),
+            lit(" has a token containing the '|' delimiter"))))
+        .otherwise(
+          concat(lit("|"), array_join(col("words"), "||"), lit("|"))))
       .withColumn("len0", length(col("s")).cast("long"))
     val encoded = merges.foldLeft(base) { case (df, (w1, w2)) =>
       df.withColumn("s",

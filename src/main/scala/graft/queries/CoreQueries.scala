@@ -985,7 +985,15 @@ object CoreQueries {
     */
   def w15Ewma(s: SparkSession, dir: String, shards: Int = 32): DataFrame = {
     import s.implicits._
+    // Null guard BEFORE the non-nullable typed encoder: a null
+    // user_id/value/ts/event_id row would NPE inside the executor decode
+    // (nulls are in-domain for events — x9 filters them too). The oracle
+    // applies the identical predicate. The fold then tracks first-row
+    // state with an explicit flag — a sentinel Long would silently
+    // mis-seed a user whose id equals the sentinel.
     val e = events(s, dir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull &&
+        col("ts").isNotNull && col("event_id").isNotNull)
       .select(col("user_id").cast("long").as("user_id"),
         expr("unix_micros(ts)").as("tsu"),
         col("event_id").cast("long").as("event_id"),
@@ -994,10 +1002,11 @@ object CoreQueries {
       .sortWithinPartitions("user_id", "tsu", "event_id")
       .as[(Long, Long, Long, Double)]
     e.mapPartitions { it =>
-      var curUser = Long.MinValue
+      var seeded = false
+      var curUser = 0L
       var sAcc = 0.0
       it.map { case (u, _, id, x) =>
-        if (u != curUser) { curUser = u; sAcc = x }
+        if (!seeded || u != curUser) { seeded = true; curUser = u; sAcc = x }
         else sAcc = 0.25 * x + 0.75 * sAcc
         (u, id, math.floor(sAcc * 1000000.0).toLong)
       }
