@@ -1592,6 +1592,56 @@ object SparkEntry {
                 greatest(0, seq * $L - off) AS tok_start,
                 least(n_tokens, (seq + 1) * $L - off) AS tok_end
          FROM e""" },
+    // x7 (flipped from rows-only, r11): the library's own HLL (classic
+    // Flajolet 2007, NOT Spark's table-corrected HLL++) replays exactly —
+    // XXH64 via the shared stage chain, register index/rho by pure
+    // integer arithmetic (bit length from a 54-row powers table, no
+    // float log2), the harmonic sum as an EXACT HUGEINT sum of
+    // 2^(53-M_j) converted to double once, and the same two-branch
+    // estimator with alpha*m^2 interpolated as the identical double
+    // constant. The ln() in the linear-counting branch is libm-safe:
+    // its argument domain is finite (m/V, V in 1..4096) and the
+    // minimum distance of m*ln(m/V)+0.5 from an integer over that whole
+    // domain is ~1e-4 — seven orders above a ulp (HllSketch Scaladoc).
+    "x7_approx_distinct" -> {
+      val amm = graft.functions.HllSketch.alphaMM(12).toString
+      s"""WITH ue AS (SELECT DISTINCT event_type AS grp, user_id AS v
+                      FROM events WHERE user_id IS NOT NULL),
+         ${xxh64LongStagesCte("ue")},
+         pows AS (SELECT b, (CAST(1 AS BIGINT) << b) AS pv
+                  FROM range(0, 54) t(b)),
+         jr AS (SELECT grp, CAST(h AS HUGEINT) // 4503599627370496 AS j,
+                       CAST(h AS HUGEINT) % 4503599627370496 AS v
+                FROM hh),
+         bl AS (SELECT grp, j, v, COALESCE(max(p.b) + 1, 0) AS bits
+                FROM jr LEFT JOIN pows p ON p.pv <= jr.v
+                GROUP BY grp, j, v),
+         regs AS (SELECT grp, j,
+                         max(CASE WHEN v = 0 THEN 53 ELSE 53 - bits END)
+                           AS mj
+                  FROM bl GROUP BY grp, j),
+         st AS (SELECT grp,
+                       sum(CAST(pw.pv AS HUGEINT))
+                         + (4096 - count(*))
+                           * CAST(9007199254740992 AS HUGEINT) AS s,
+                       4096 - count(*) AS zeros
+                FROM regs JOIN pows pw ON pw.b = 53 - regs.mj
+                GROUP BY grp),
+         fin AS (SELECT grp,
+                        CASE WHEN ($amm /
+                               (CAST(s AS DOUBLE) / 9007199254740992.0))
+                                 <= 10240.0 AND zeros > 0
+                             THEN CAST(floor(4096.0 * ln(4096.0 / zeros)
+                                    + 0.5) AS BIGINT)
+                             ELSE CAST(floor(($amm /
+                               (CAST(s AS DOUBLE) / 9007199254740992.0))
+                                    + 0.5) AS BIGINT) END AS approx_users
+                 FROM st)
+         SELECT base.event_type,
+                COALESCE(f.approx_users, 0) AS approx_users, base.n_rows
+         FROM (SELECT event_type, count(*) AS n_rows
+               FROM events GROUP BY event_type) base
+         LEFT JOIN fin f ON f.grp = base.event_type""" },
     // x9 (flipped from rows-only, r10s5): the KMV ESTIMATE is exactly
     // replayable — XXH64-on-long emulated in integer SQL (stage chain
     // above), k smallest DISTINCT hashes per group in unsigned order,

@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.XxHash64
+import org.apache.spark.sql.types._
+
+/** HyperLogLog distinct-count sketch as a TypedImperativeAggregate —
+  * the classic ORIGINAL estimator (Flajolet/Fusy/Gandouet/Meunier 2007),
+  * deliberately WITHOUT the HLL++ empirical bias-correction tables:
+  * every arithmetic step below is either exact integer work or an IEEE
+  * double expression both engines evaluate identically, which is what
+  * makes the x7 gate row SQL-replayable where Spark's built-in
+  * `approx_count_distinct` (HLL++ with interpolated bias tables and
+  * engine-private hashing) is not.
+  *
+  * Estimator, all cross-engine exact:
+  *   - register j = top-p bits of XXH64(value, seed 42); rho = leading
+  *     zeros of the remaining 64−p bits + 1 (pure integer ops).
+  *   - harmonic sum Z: Σ 2^−M_j is a sum of dyadic rationals, computed
+  *     EXACTLY as the integer Σ 2^(Q−M_j) (Q = 64−p+1 caps rho) in
+  *     BigInt/HUGEINT — order-free, so no float summation-order hazard —
+  *     then converted to double once (one deterministic rounding).
+  *   - E_raw = α_m·m² / Z: double constant + one IEEE divide.
+  *   - small-range: E_raw ≤ 2.5m ∧ V>0 → m·ln(m/V) (linear counting).
+  *     ln differs by ≤1 ulp between libms, but its argument domain is
+  *     the FINITE set {m/V : V ∈ 1..m} and the minimum distance of
+  *     m·ln(m/V)+0.5 from an integer over that whole domain is ~1e-4
+  *     (checked exhaustively for p=12) — seven orders of magnitude above
+  *     a ulp, so `floor(E+0.5)` is libm-stable.
+  *   - no large-range correction: it only engages near 2^64/30 distinct
+  *     values, beyond any per-group cardinality this engine targets.
+  *
+  * Buffers merge by elementwise register max — associative, commutative,
+  * idempotent — so partial aggregation, shuffle merging, and retries are
+  * exact; the serialized state is m bytes (4 KB at the default p=12,
+  * relative error 1.04/√m ≈ 1.6%).
+  */
+object HllSketch {
+
+  /** Mutable buffer: the 2^p rho registers. */
+  final class Buffer(val p: Int) {
+    val regs = new Array[Byte](1 << p)
+    def insert(h: Long): Unit = {
+      val j = (h >>> (64 - p)).toInt
+      val v = h & ((1L << (64 - p)) - 1)
+      // rho = leading zeros within the low 64-p bits, + 1
+      val rho =
+        if (v == 0L) (64 - p) + 1
+        else (64 - p) + 1 - (64 - java.lang.Long.numberOfLeadingZeros(v))
+      if (rho > regs(j)) regs(j) = rho.toByte
+    }
+    def mergeFrom(other: Buffer): Unit = {
+      var j = 0
+      while (j < regs.length) {
+        if (other.regs(j) > regs(j)) regs(j) = other.regs(j)
+        j += 1
+      }
+    }
+    def estimate: Long = {
+      val m = 1 << p
+      val q = (64 - p) + 1 // max rho
+      var sInt = BigInt(0)
+      var zeros = 0
+      var j = 0
+      while (j < m) {
+        val mj = regs(j).toInt
+        if (mj == 0) zeros += 1
+        sInt += BigInt(1) << (q - mj)
+        j += 1
+      }
+      val z = sInt.toDouble / math.pow(2.0, q.toDouble)
+      val eRaw = alphaMM(p) / z
+      val e =
+        if (eRaw <= 2.5 * m && zeros > 0)
+          m.toDouble * math.log(m.toDouble / zeros.toDouble)
+        else eRaw
+      math.floor(e + 0.5).toLong
+    }
+  }
+
+  /** α_m·m² as ONE double constant — the oracle SQL interpolates this
+    * exact value (shortest-roundtrip decimal), so both engines divide by
+    * Z from the identical bits.
+    */
+  def alphaMM(p: Int): Double = {
+    val m = (1 << p).toDouble
+    (0.7213 / (1.0 + 1.079 / m)) * m * m
+  }
+
+  case class Agg(child: Expression, p: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Buffer] {
+
+    require(p >= 4 && p <= 18, s"HLL precision p=$p out of [4, 18]")
+
+    private val hasher = XxHash64(Seq(child), 42L)
+
+    override def createAggregationBuffer(): Buffer = new Buffer(p)
+
+    override def update(b: Buffer, input: InternalRow): Buffer = {
+      if (child.eval(input) != null) {
+        b.insert(hasher.eval(input).asInstanceOf[Long])
+      }
+      b
+    }
+
+    override def merge(b: Buffer, o: Buffer): Buffer = { b.mergeFrom(o); b }
+
+    override def eval(b: Buffer): Any = b.estimate
+
+    override def serialize(b: Buffer): Array[Byte] = b.regs.clone()
+
+    override def deserialize(bytes: Array[Byte]): Buffer = {
+      val b = new Buffer(p)
+      System.arraycopy(bytes, 0, b.regs, 0, bytes.length)
+      b
+    }
+
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = false
+    override def children: Seq[Expression] = Seq(child)
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): Agg = copy(child = c.head)
+    override def withNewMutableAggBufferOffset(o: Int): Agg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): Agg =
+      copy(inputAggBufferOffset = o)
+  }
+
+  /** Column API: approximate distinct count via an HLL sketch. */
+  def hllDistinct(c: Column, p: Int = 12): Column =
+    GraftBridge.column(
+      Agg(GraftBridge.expression(c), p).toAggregateExpression())
+}

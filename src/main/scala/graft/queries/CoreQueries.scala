@@ -568,13 +568,18 @@ object CoreQueries {
         count(lit(1)).as("n_orders"))
 
   /** HLL approximate distinct — the sketch the reference's terms-agg would
-    * need at real cardinalities. Sketch values are engine-specific (no SQL
-    * oracle); ScalaTest bounds the relative error instead.
+    * need at real cardinalities. Flipped to a FULL SQL oracle in r11:
+    * the library's own [[graft.functions.HllSketch]] (classic Flajolet
+    * 2007 estimator, integer-exact registers + dyadic harmonic sum)
+    * replays bit-for-bit in DuckDB through the shared XXH64 emulation,
+    * where Spark's built-in `approx_count_distinct` (HLL++ with
+    * engine-private bias tables) could not.
     */
   def x7ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+      .agg(graft.functions.HllSketch.hllDistinct(col("user_id"), 12)
+        .as("approx_users"),
         count(lit(1)).as("n_rows"))
 
   /** Sessionization: gap-based session ids per user (new session when
@@ -691,7 +696,8 @@ object CoreQueries {
   def x7vHllErrorBound(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx"),
+      .agg(graft.functions.HllSketch.hllDistinct(col("user_id"), 12)
+        .as("approx"),
         countDistinct(col("user_id")).as("exact"))
       .select(col("event_type"),
         when(abs(col("approx") - col("exact")) <=
