@@ -95,20 +95,20 @@ object Graph {
     * across rounds by ReuseExchange (lazy, like [[pageRank]] — fixed
     * iteration count, identical subtrees).
     */
-  def labelProp(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+  def labelProp(s: SparkSession, dir: String, iters: Int = 3,
+      managed: Boolean = true): DataFrame = {
     // The edge set is loop-invariant: materialize it ONCE. Lazy
     // unrolling re-runs the 20M-row co-order self-join per round
     // (measured at sf1: 16 parquet scans, ZERO reused exchanges — AQE
     // replans each stage). persist() beats localCheckpoint here (sf1
     // interleaved A/B in tools/G2Plan: ~13-15 s vs ~19 s vs ~15-35 s
-    // lazy) AND keeps the full edge-build plan visible to the plan
-    // guards (InMemoryRelation wraps the child plan; a checkpoint
-    // truncates to an opaque RDD scan). KNOWN COST: the block stays
-    // pinned after the query (the returned lazy frame needs it; d4's
-    // checkpoints behave the same) — Bench drops leaked blocks between
-    // queries, long-lived sessions reclaim it with clearCache(), and
-    // the leak-count specs exclude cached frames for this reason. The
-    // cache is edge-pair-sized (16 B/edge).
+    // lazy) AND keeps the full edge-build plan visible during the loop.
+    // `managed` (default, r11): the function OWNS the one action — the
+    // final node-sized label table is eagerly localCheckpoint'd and the
+    // edge cache is unpersisted before returning, so callers hold one
+    // small self-contained block (the d4/pageRankUntil pattern) instead
+    // of an edge-pair-sized cache pinned past the query. managed=false
+    // keeps the fully-lazy frame (plan-shape inspection, A/B probes).
     val edges = coOrderEdges(s, dir).persist()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
@@ -127,7 +127,13 @@ object Graph {
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).cast("long").as("label"))
     }
-    labels.select(col("node").as("part_key"), col("label"))
+    val out = labels.select(col("node").as("part_key"), col("label"))
+    if (!managed) out
+    else {
+      val pinned = out.localCheckpoint(true)
+      edges.unpersist(false)
+      pinned
+    }
   }
 
   /** Convergence-mode PageRank: iterate until the TOTAL L1 delta of the
