@@ -111,6 +111,7 @@ object SparkEntry {
     "d1_dedup_exact" -> (ExtQueries.d1DedupExact _),
     "d2_fingerprint_md5" -> (ExtQueries.d2FingerprintMd5 _),
     "d3_ngram_jaccard_pairs" -> (ExtQueries.d3NgramJaccardPairs _),
+    "d3c_ngram_jaccard_capped" -> (ExtQueries.d3cNgramJaccardCapped _),
     "d4_dup_clusters" -> ((s, dir) =>
       graft.ext.Dedup.duplicateClusters(s, dir, k = 3, jaccardMin = 0.4)),
     "d9_cluster_keep_best" -> ((s, dir) =>
@@ -188,6 +189,8 @@ object SparkEntry {
     "d13_self_repeat_spans" -> (ExtQueries.d13SelfRepeatSpans _),
     "g1_pagerank" -> (ExtQueries.g1PageRank _),
     "g2_label_prop" -> (ExtQueries.g2LabelProp _),
+    "g3_pagerank_bipartite" -> (ExtQueries.g3PageRankBipartite _),
+    "g4_label_prop_bipartite" -> (ExtQueries.g4LabelPropBipartite _),
     "w15_ewma" -> ((s, dir) => CoreQueries.w15Ewma(s, dir)),
     "p17_pos_tokens" -> (ExtQueries.p17PosTokens _),
     "x3_minhash_lsh_pairs" -> (ExtQueries.x3MinhashLshPairs _),
@@ -1055,6 +1058,12 @@ object SparkEntry {
     "d2_fingerprint_md5" ->
       """SELECT doc_id, md5(text) AS md5_hex FROM documents""",
     "d3_ngram_jaccard_pairs" ->
+      s"""WITH $D3PairsCte
+         SELECT doc_a, doc_b, jaccard FROM pairs""",
+    // d3c: the capped-exchange path — cap=64 exceeds every per-doc
+    // candidate degree on this corpus (Round11Spec pins capped ≡ exact),
+    // so the oracle is the SAME exact pair set
+    "d3c_ngram_jaccard_capped" ->
       s"""WITH $D3PairsCte
          SELECT doc_a, doc_b, jaccard FROM pairs""",
     // connected components over the same pair graph: min reachable doc_id
@@ -2172,6 +2181,97 @@ object SparkEntry {
                   SELECT node, label, row_number() OVER (PARTITION BY node
                     ORDER BY cnt DESC, label) AS rn FROM n3) WHERE rn = 1)
          SELECT node AS part_key, CAST(label AS BIGINT) AS label FROM l3""",
+    // g3: PageRank on the BIPARTITE order↔part incidence — rank flows
+    // part → order → part each iteration (two keyed hops over the
+    // linear-sized inc relation, no clique build). Same integer
+    // micro-unit replay as g1; // on non-negative BIGINTs matches
+    // Spark's div exactly.
+    "g3_pagerank_bipartite" ->
+      """WITH inc AS (SELECT DISTINCT l_orderkey AS ord, l_partkey AS part
+                      FROM lineitem),
+         pdeg AS (SELECT part, count(*) AS pd FROM inc GROUP BY part),
+         odeg AS (SELECT ord, count(*) AS od FROM inc GROUP BY ord),
+         pr0 AS (SELECT part, CAST(1000000 AS BIGINT) AS pr FROM pdeg),
+         om1 AS (SELECT i.ord, sum(p.pr // d.pd) AS om
+                 FROM inc i JOIN pr0 p ON p.part = i.part
+                            JOIN pdeg d ON d.part = i.part
+                 GROUP BY i.ord),
+         pi1 AS (SELECT i.part, sum(o.om // d.od) AS ip
+                 FROM inc i JOIN om1 o ON o.ord = i.ord
+                            JOIN odeg d ON d.ord = i.ord
+                 GROUP BY i.part),
+         pr1 AS (SELECT p.part,
+                        150000 + (coalesce(x.ip, 0) * 85) // 100 AS pr
+                 FROM pdeg p LEFT JOIN pi1 x ON x.part = p.part),
+         om2 AS (SELECT i.ord, sum(p.pr // d.pd) AS om
+                 FROM inc i JOIN pr1 p ON p.part = i.part
+                            JOIN pdeg d ON d.part = i.part
+                 GROUP BY i.ord),
+         pi2 AS (SELECT i.part, sum(o.om // d.od) AS ip
+                 FROM inc i JOIN om2 o ON o.ord = i.ord
+                            JOIN odeg d ON d.ord = i.ord
+                 GROUP BY i.part),
+         pr2 AS (SELECT p.part,
+                        150000 + (coalesce(x.ip, 0) * 85) // 100 AS pr
+                 FROM pdeg p LEFT JOIN pi2 x ON x.part = p.part),
+         om3 AS (SELECT i.ord, sum(p.pr // d.pd) AS om
+                 FROM inc i JOIN pr2 p ON p.part = i.part
+                            JOIN pdeg d ON d.part = i.part
+                 GROUP BY i.ord),
+         pi3 AS (SELECT i.part, sum(o.om // d.od) AS ip
+                 FROM inc i JOIN om3 o ON o.ord = i.ord
+                            JOIN odeg d ON d.ord = i.ord
+                 GROUP BY i.part),
+         pr3 AS (SELECT p.part,
+                        150000 + (coalesce(x.ip, 0) * 85) // 100 AS pr
+                 FROM pdeg p LEFT JOIN pi3 x ON x.part = p.part)
+         SELECT part AS part_key, CAST(pr AS BIGINT) AS pr_micro
+         FROM pr3""",
+    // g4: bipartite label propagation — per round, orders take the
+    // majority label of their parts, then parts the majority label of
+    // their orders; both argmaxes by (count DESC, label ASC) via
+    // row_number, all integer.
+    "g4_label_prop_bipartite" ->
+      """WITH inc AS (SELECT DISTINCT l_orderkey AS ord, l_partkey AS part
+                      FROM lineitem),
+         p0 AS (SELECT DISTINCT part, part AS label FROM inc),
+         oc1 AS (SELECT i.ord, l.label, count(*) AS cnt
+                 FROM inc i JOIN p0 l ON l.part = i.part
+                 GROUP BY i.ord, l.label),
+         o1 AS (SELECT ord, label FROM (
+                  SELECT ord, label, row_number() OVER (PARTITION BY ord
+                    ORDER BY cnt DESC, label) AS rn FROM oc1) WHERE rn = 1),
+         pc1 AS (SELECT i.part, l.label, count(*) AS cnt
+                 FROM inc i JOIN o1 l ON l.ord = i.ord
+                 GROUP BY i.part, l.label),
+         p1 AS (SELECT part, label FROM (
+                  SELECT part, label, row_number() OVER (PARTITION BY part
+                    ORDER BY cnt DESC, label) AS rn FROM pc1) WHERE rn = 1),
+         oc2 AS (SELECT i.ord, l.label, count(*) AS cnt
+                 FROM inc i JOIN p1 l ON l.part = i.part
+                 GROUP BY i.ord, l.label),
+         o2 AS (SELECT ord, label FROM (
+                  SELECT ord, label, row_number() OVER (PARTITION BY ord
+                    ORDER BY cnt DESC, label) AS rn FROM oc2) WHERE rn = 1),
+         pc2 AS (SELECT i.part, l.label, count(*) AS cnt
+                 FROM inc i JOIN o2 l ON l.ord = i.ord
+                 GROUP BY i.part, l.label),
+         p2 AS (SELECT part, label FROM (
+                  SELECT part, label, row_number() OVER (PARTITION BY part
+                    ORDER BY cnt DESC, label) AS rn FROM pc2) WHERE rn = 1),
+         oc3 AS (SELECT i.ord, l.label, count(*) AS cnt
+                 FROM inc i JOIN p2 l ON l.part = i.part
+                 GROUP BY i.ord, l.label),
+         o3 AS (SELECT ord, label FROM (
+                  SELECT ord, label, row_number() OVER (PARTITION BY ord
+                    ORDER BY cnt DESC, label) AS rn FROM oc3) WHERE rn = 1),
+         pc3 AS (SELECT i.part, l.label, count(*) AS cnt
+                 FROM inc i JOIN o3 l ON l.ord = i.ord
+                 GROUP BY i.part, l.label),
+         p3 AS (SELECT part, label FROM (
+                  SELECT part, label, row_number() OVER (PARTITION BY part
+                    ORDER BY cnt DESC, label) AS rn FROM pc3) WHERE rn = 1)
+         SELECT part AS part_key, CAST(label AS BIGINT) AS label FROM p3""",
     // w15: the EWMA recurrence replayed exactly — the recursive CTE
     // advances every user one (ts, event_id)-ranked event per step,
     // executing the identical 0.25·x + 0.75·s double sequence, so the

@@ -14,10 +14,14 @@ import graft.functions.Expressions.simhash64
   *   3. exact dedup     — min-doc_id keeper per redacted text
   *   4. near-dup prune  — SimHash bands → Hamming≤3 pairs → connected
   *                        components → keep-longest per cluster
-  *   5. decontamination — 24-char shingle overlap vs the held-out eval
+  *   5. semantic dedup  — SemDeDup (Abbas et al. 2023): within each
+  *                        k-means cell of the embedding space, drop any
+  *                        survivor cosine-similar (≥ tau) to a lower-id
+  *                        survivor in the same cell
+  *   6. decontamination — 24-char shingle overlap vs the held-out eval
   *                        slice (broadcast semi-join), overlapping docs
   *                        dropped
-  *   6. packing         — greedy per-shard token-budget batches
+  *   7. packing         — greedy per-shard token-budget batches
   *
   * Every stage is the SAME code path its gate query runs (gopherRules /
   * charEntropy / simhashBands / connectedComponents / packByTokenBudget),
@@ -47,7 +51,8 @@ object CuratePipeline {
   def curate(s: SparkSession, dir: String,
       budget: Long = BatchPacking.T6Budget,
       entropyFloorNano: Long = 1500000000L, maxDist: Int = 3,
-      bucketCap: Int = 1024): (DataFrame, Seq[StageCounts]) = {
+      bucketCap: Int = 1024,
+      semTau: Double = 0.35): (DataFrame, Seq[StageCounts]) = {
     val docs = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
 
@@ -92,11 +97,43 @@ object CuratePipeline {
       .unionByName(exactKept.join(clusterKeep, "doc_id")
         .select("doc_id", "clean"))
 
-    // -- 5. decontamination (ct1 rule: any 24-char shingle shared with
+    // -- 5. semantic dedup (SemDeDup, Abbas et al. 2023 — the e5
+    //       operator composed into the run): survivors are assigned to
+    //       the corpus k-means cells (the offline Clustering artifact —
+    //       centroids are an index, built once per corpus like the IVF
+    //       codebooks) and any survivor cosine-similar ≥ semTau to a
+    //       lower-id survivor IN THE SAME CELL is dropped. Pairs are
+    //       computed among SURVIVORS only — a doc the gates or earlier
+    //       dedup removed can no longer cause a semantic drop. The
+    //       within-cell self-join runs through SkewSafe.cappedEquiJoin
+    //       (hot cells spread across tasks, same guard as e5). Docs
+    //       without an embedding row pass through (left-join
+    //       semantics: no evidence, no drop).
+    val semKept = {
+      val a = s.read.parquet(s"${Clustering.clusterDir(s, dir)}/assign")
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val sv = nearKept.select(col("doc_id"))
+        .join(a.select(col("vec_id").as("doc_id"), col("cell")), "doc_id")
+        .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
+          "doc_id")
+      val l = sv.select(col("cell"), col("doc_id").as("l_id"),
+        col("embedding").as("l_emb"))
+      val r = sv.select(col("cell"), col("doc_id").as("r_id"),
+        col("embedding").as("r_emb"))
+      val drops = SkewSafe.cappedEquiJoin(l, r, Seq("cell"),
+          hash(col("r_id")))
+        .filter(col("l_id") < col("r_id") &&
+          graft.functions.Expressions.cosineF(col("l_emb"), col("r_emb"))
+            >= semTau)
+        .select(col("r_id").as("doc_id")).distinct()
+      nearKept.join(drops, Seq("doc_id"), "left_anti").persist()
+    }
+
+    // -- 6. decontamination (ct1 rule: any 24-char shingle shared with
     //       the deterministic eval slice disqualifies the doc).
     //       sh is persisted: three consumers (eval grams, contamination
     //       join, eval-slice anti-join).
-    val sh = nearKept.select(col("doc_id"),
+    val sh = semKept.select(col("doc_id"),
       substring(md5(col("clean")), 1, 2).as("h2"),
       graft.functions.Expressions.shingleHashes(col("clean"), 24).as("g"))
       .persist()
@@ -106,7 +143,7 @@ object CuratePipeline {
       .select(col("doc_id"), explode(col("g")).as("ng"))
       .join(broadcast(evalGrams), "ng")
       .select("doc_id").distinct()
-    val finalDocs = nearKept
+    val finalDocs = semKept
       .join(sh.filter(col("h2") < "10").select("doc_id"),
         Seq("doc_id"), "left_anti")                   // eval slice itself out
       .join(contaminated, Seq("doc_id"), "left_anti")
@@ -126,6 +163,7 @@ object CuratePipeline {
       StageCounts("gated", gated.count(), toks(gated, "text")),
       StageCounts("exact_dedup", exactKept.count(), toks(exactKept, "clean")),
       StageCounts("near_dedup", nearKept.count(), toks(nearKept, "clean")),
+      StageCounts("semantic_dedup", semKept.count(), toks(semKept, "clean")),
       StageCounts("decontaminated", finalDocs.count(),
         finalDocs.agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0)),
       StageCounts("packed_batches",
@@ -136,6 +174,7 @@ object CuratePipeline {
     val out = packed.localCheckpoint(true)
     finalDocs.unpersist(false)
     sh.unpersist(false)
+    semKept.unpersist(false)
     exactKept.unpersist(false)
     (out, metrics)
   }

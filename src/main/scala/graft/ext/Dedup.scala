@@ -468,6 +468,102 @@ object Dedup {
       .withColumn("jaccard", col("common").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("common")))
 
+  /** Bound the exact-verify exchange (the d3/d7 100×-scale wall,
+    * SCALING.md session 3): keep, per document, only its `cap`
+    * closest-size candidates on EACH side (union over both roles), so
+    * the pair volume entering the KB-payload verify join is ≤ 2·n·cap
+    * instead of quadratic in duplication-cluster size. Candidates rank
+    * by shared key-token count DESC (the PPJoin overlap signal, already
+    * emitted by the candidate join's pair-dedup for free), then size
+    * closeness |n_a − n_b| (J(a,b) ≥ t forces t·|a| ≤ |b| ≤ |a|/t),
+    * then partner id — fully deterministic. Runs through
+    * [[graft.plans.TopKPerGroup]], so at most `cap` rows per doc per
+    * partition ever cross the wire — the cap itself costs no KB
+    * payloads.
+    *
+    * Semantics: output ⊆ the exact pair set (sound — every emitted pair
+    * still passes the exact Jaccard verify), and each doc retains its
+    * `cap` highest-overlap candidates per role, so a dup cluster of
+    * size m ≤ cap+1 is kept completely. ABOVE the cap the retained
+    * pairs are the highest-overlap ones per doc — recall on true pairs
+    * is heuristic (a doc whose top-cap candidates all fail the verify
+    * loses its tail partners); Round11Spec measures that coverage and
+    * pins the structural guarantees. cap=0 disables (the exact path,
+    * unchanged).
+    *
+    * Alternative considered and rejected (r11): a gram-level verify
+    * (join pair←tokens, count intersections) never ships arrays but
+    * emits O(|a|) 24-byte rows per pair through the first join's
+    * exchange — ~3× MORE bytes than attaching both arrays once per
+    * capped pair. The cap is what bounds the volume; the array verify
+    * stays the cheaper tail once pairs are bounded.
+    */
+  /** Bounded candidate GENERATION for the capped path — the sorted-
+    * neighborhood window (Hernández/Stolfo 1995, the classic SNM dedup
+    * move) applied per key token: within each token's bucket, docs sort
+    * by (set size, doc_id) and each doc pairs only with the next `cap`
+    * neighbors, so the token join emits ≤ df·cap rows instead of df²/2.
+    * This is what the r11 sf10 probe showed the cap must bound: the
+    * per-pair×per-shared-token enumeration (~10¹⁰ rows on the ×100
+    * corpus) fills the disk long before the pair-dedup or verify can
+    * drop anything — capping AFTER enumeration caps nothing.
+    *
+    * Recall shape: a dup cluster's members share size (near-identical
+    * sets), so they sort ADJACENTLY in every shared token's bucket —
+    * the band graph keeps the cluster connected for downstream CC at
+    * any cluster size; cross-size pairs (J ≥ t forces sizes within
+    * 1/t×) sit near each other by the size-major order. A pair farther
+    * than `cap` apart in EVERY shared token's order is lost — the
+    * documented approximation of the capped mode.
+    *
+    * One window sort per token bucket (the same (key)-hash exchange
+    * the exact self-join shuffles), `collect_list` over a bounded
+    * following frame, explode — no quadratic stage anywhere.
+    */
+  private def snmCandidates(tok: DataFrame, keyCol: String, cap: Int,
+      jaccardMin: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy("n", "doc_id")
+      .rowsBetween(1, cap)
+    tok
+      .withColumn("nbrs",
+        collect_list(struct(col("doc_id"), col("n"))).over(w))
+      .select(col("doc_id"), col("n"), explode(col("nbrs")).as("nb"))
+      .select(
+        least(col("doc_id"), col("nb.doc_id")).as("doc_a"),
+        greatest(col("doc_id"), col("nb.doc_id")).as("doc_b"),
+        when(col("doc_id") < col("nb.doc_id"), col("n"))
+          .otherwise(col("nb.n")).as("n_a"),
+        when(col("doc_id") < col("nb.doc_id"), col("nb.n"))
+          .otherwise(col("n")).as("n_b"))
+      // a doc can meet itself when a key repeats within one doc (winnow
+      // fingerprints are a multiset); the exact joins exclude self-pairs
+      .filter(col("doc_a") =!= col("doc_b"))
+      .filter(col("n_a") * lit(jaccardMin) <= col("n_b") &&
+        col("n_b") * lit(jaccardMin) <= col("n_a"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_keys"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+  }
+
+  private def capCandidates(cand: DataFrame, cap: Int): DataFrame =
+    if (cap <= 0) cand.select("doc_a", "doc_b")
+    else {
+      // rank: shared key-token count DESC (the PPJoin overlap signal —
+      // already produced by the candidate join for free), then size
+      // closeness, then partner id. Negate the count so ONE ascending
+      // sort order serves TopKPerGroup's orderCol+tiebreak contract.
+      val ranked = cand
+        .withColumn("rk", -col("shared_keys"))
+        .withColumn("sz_diff", abs(col("n_a") - col("n_b")))
+      val byA = graft.plans.TopKPerGroup.topK(ranked, Seq("doc_a"),
+        "rk", cap, desc = false, tiebreakCols = Seq("sz_diff", "doc_b"))
+      val byB = graft.plans.TopKPerGroup.topK(ranked, Seq("doc_b"),
+        "rk", cap, desc = false, tiebreakCols = Seq("sz_diff", "doc_a"))
+      byA.select("doc_a", "doc_b").unionByName(byB.select("doc_a", "doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+    }
+
   /** Shared exact-verify tail for every candidate generator (MinHash
     * bands, prefix filter, winnow fingerprints): attach each side's
     * shingle set once to the deduped candidate pairs, compute exact
@@ -507,7 +603,8 @@ object Dedup {
       jaccardMin: Double = 0.2,
       blockCols: Seq[String] = Seq("lang", "source"),
       rarestFirst: Boolean = true,
-      compactKeys: Boolean = true): DataFrame = {
+      compactKeys: Boolean = true,
+      candCap: Int = 0): DataFrame = {
     val sh = shingles(docs(s, dir), k).select(
       (Seq(col("doc_id")) ++ blockCols.map(col) :+ col("shingle_hashes")): _*)
     val plen = (n: org.apache.spark.sql.Column) =>
@@ -574,9 +671,24 @@ object Dedup {
       col("l.n") * lit(jaccardMin) <= col("r.n"),
       col("r.n") * lit(jaccardMin) <= col("l.n")))
       .reduce(_ && _)
-    val cand = ordered.alias("l").join(ordered.alias("r"), joinCond)
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    // the pair-dedup is a groupBy either way; counting the rows it
+    // collapses yields the shared-prefix-token overlap for free — the
+    // cap's primary ranking signal. n_a/n_b (functional on the ids)
+    // ride along for the size-closeness tiebreak. The capped path swaps
+    // the token self-join for the sorted-neighborhood window
+    // ([[snmCandidates]]) — capping must bound GENERATION, not just the
+    // verified set (r11 sf10 probe: the pair×shared-token enumeration
+    // alone fills the disk).
+    require(candCap == 0 || compactKeys,
+      "candCap requires compactKeys (the SNM window keys on the folded " +
+        "block+token hash)")
+    val cand0 =
+      if (candCap > 0) snmCandidates(ordered, "h", candCap, jaccardMin)
+      else ordered.alias("l").join(ordered.alias("r"), joinCond)
+        .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared_keys"),
+          first(col("l.n")).as("n_a"), first(col("r.n")).as("n_b"))
+    val cand = capCandidates(cand0, candCap)
     verifyCandidates(cand, sh.select(col("doc_id"), col("shingle_hashes")),
       jaccardMin)
   }
@@ -594,7 +706,8 @@ object Dedup {
   def winnowPairs(s: SparkSession, dir: String, k: Int = 3, w: Int = 8,
       jaccardMin: Double = 0.4,
       blockCols: Seq[String] = Seq("lang", "source"),
-      compactKeys: Boolean = true): DataFrame = {
+      compactKeys: Boolean = true,
+      candCap: Int = 0): DataFrame = {
     val sh = shingles(docs(s, dir), k).select(
       (Seq(col("doc_id"), col("shingle_hashes")) ++ blockCols.map(col) :+
         graft.functions.Expressions.winnowFingerprints(col("text"), k, w)
@@ -610,11 +723,11 @@ object Dedup {
     // reproduce the literal join's null-FALSE semantics exactly —
     // xxhash64 would otherwise skip the nulls and let them pair.
     val fp0 = sh.select(
-      (Seq(col("doc_id")) ++ blockCols.map(col) :+
-        explode(col("fps")).as("fp")): _*)
+      (Seq(col("doc_id"), size(col("shingle_hashes")).cast("long").as("n"))
+        ++ blockCols.map(col) :+ explode(col("fps")).as("fp")): _*)
     val fp = if (compactKeys)
       fp0.filter(blockCols.map(col(_).isNotNull).foldLeft(lit(true))(_ && _))
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("n"),
           xxhash64((blockCols.map(col) :+ col("fp")): _*).as("fp"))
       else fp0
     val blockEq = if (compactKeys) Nil
@@ -622,9 +735,16 @@ object Dedup {
     val joinCond = (blockEq ++ Seq(
       col("l.fp") === col("r.fp"), col("l.doc_id") < col("r.doc_id")))
       .reduce(_ && _)
-    val cand = fp.alias("l").join(fp.alias("r"), joinCond)
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    require(candCap == 0 || compactKeys,
+      "candCap requires compactKeys (the SNM window keys on the folded " +
+        "block+fingerprint hash)")
+    val cand0 =
+      if (candCap > 0) snmCandidates(fp, "fp", candCap, jaccardMin)
+      else fp.alias("l").join(fp.alias("r"), joinCond)
+        .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared_keys"),
+          first(col("l.n")).as("n_a"), first(col("r.n")).as("n_b"))
+    val cand = capCandidates(cand0, candCap)
     verifyCandidates(cand, sh.select(col("doc_id"), col("shingle_hashes")),
       jaccardMin)
   }

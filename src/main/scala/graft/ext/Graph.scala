@@ -136,6 +136,99 @@ object Graph {
     }
   }
 
+  /** Distinct order↔part incidence — the BIPARTITE edge set. Linear in
+    * lineitem by construction (one row per distinct (order, part)
+    * membership), vs [[coOrderEdges]]' per-order cliques (m²/2 pairs for
+    * an m-part order — the measured g1/g2 100× wall: ~200 M edges and a
+    * 625 s/48 g cold build at sf10). Every walk the clique graph
+    * supports runs as TWO keyed hops over this relation instead.
+    */
+  private[graft] def orderPartEdges(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("ord"), col("l_partkey").as("part"))
+      .distinct()
+
+  /** PageRank computed DIRECTLY on the bipartite order↔part graph — the
+    * standard web-graph formulation of co-occurrence ranking (rank flows
+    * part → order → part), replacing the clique-expanded projection
+    * whose edge build is quadratic per order. Each iteration is two
+    * keyed joins + two keyed aggregates over O(lineitem) incidence rows
+    * with 8-byte keys — linear at any order size; a whale order at
+    * 100 TB is one hot aggregation key (AQE-splittable), not an m²
+    * clique.
+    *
+    * Semantics note (deliberate, spec-pinned): this ranks by WALK
+    * MULTIPLICITY — a part sharing many orders with few partners weighs
+    * those links per shared order, and two-hop mass may return to the
+    * source (p→o→p, the lazy-walk term) — whereas [[pageRank]] walks
+    * the DISTINCT-partner clique graph. Both are legitimate
+    * co-occurrence priors; this one is the shape that scales, and gets
+    * its own unrolled DuckDB oracle (g3).
+    *
+    * Same integer micro-unit discipline as [[pageRank]]: BIGINT masses,
+    * truncating integer division for shares, damping as (x·85) div 100
+    * applied on the part side — bit-identical across partitioning,
+    * retries, and engines.
+    */
+  def pageRankBipartite(s: SparkSession, dir: String,
+      iters: Int = 3): DataFrame = {
+    val inc = orderPartEdges(s, dir)
+    val pdeg = inc.groupBy("part").agg(count(lit(1)).as("pd"))
+    val odeg = inc.groupBy("ord").agg(count(lit(1)).as("od"))
+    var pr = pdeg.select(col("part"), lit(1000000L).as("pr"))
+    for (_ <- 1 to iters) {
+      val orderMass = inc
+        .join(pr.join(pdeg, "part"), "part")
+        .select(col("ord"), expr("pr div pd").as("share"))
+        .groupBy("ord")
+        .agg(sum(col("share")).as("om"))
+      val partIn = inc
+        .join(orderMass.join(odeg, "ord"), "ord")
+        .select(col("part"), expr("om div od").as("share"))
+        .groupBy("part")
+        .agg(sum(col("share")).as("in_pr"))
+      pr = pdeg
+        .join(partIn, Seq("part"), "left")
+        .select(col("part"),
+          (lit(150000L) + expr("(coalesce(in_pr, 0L) * 85) div 100"))
+            .as("pr"))
+    }
+    pr.select(col("part").as("part_key"), col("pr").as("pr_micro"))
+  }
+
+  /** Label propagation on the bipartite order↔part graph — the linear
+    * formulation of [[labelProp]]'s community pass: each round an order
+    * takes the majority label of its parts, then a part takes the
+    * majority label of its orders (ties to the SMALLEST label at both
+    * hops, the g2 argmax trick — fully deterministic, integer-only, so
+    * the unrolled rounds replay in SQL). Two keyed join+aggregate pairs
+    * per round over O(lineitem) incidences; labels stay 8-byte keys.
+    * Like [[labelProp]] the result is eagerly checkpointed and the
+    * incidence cache released before returning.
+    */
+  def labelPropBipartite(s: SparkSession, dir: String,
+      iters: Int = 3): DataFrame = {
+    val inc = orderPartEdges(s, dir).persist()
+    def majority(df: DataFrame, key: String): DataFrame =
+      df.groupBy(col(key), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(key)
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col(key), (-col("m.nl")).cast("long").as("label"))
+    var labels = inc.select(col("part")).distinct()
+      .withColumn("label", col("part"))
+    for (_ <- 1 to iters) {
+      val ordLabels = majority(
+        inc.join(broadcast(labels), "part"), "ord")
+      labels = majority(
+        inc.join(broadcast(ordLabels), "ord"), "part")
+    }
+    val out = labels.select(col("part").as("part_key"), col("label"))
+    val pinned = out.localCheckpoint(true)
+    inc.unpersist(false)
+    pinned
+  }
+
   /** Convergence-mode PageRank: iterate until the TOTAL L1 delta of the
     * micro-PR vector drops below `epsMicro` (or `maxIter` as a backstop).
     * This is the 100 TB formulation the fixed-iteration Scaladoc above

@@ -41,6 +41,18 @@ object ExtQueries {
   def d3NgramJaccardPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.prefixJaccardPairs(s, dir, k = 3, jaccardMin = 0.4)
 
+  /** d3's capped-exchange twin (r11): the identical prefix-filter join
+    * with the per-doc candidate cap engaged — the shape that survives
+    * the 100× scale point where uncapped d3 dies on verify-exchange
+    * scratch (SCALING.md session 3: pair volume quadratic in dup-cluster
+    * size × KB shingle arrays per pair). cap=64 exceeds every per-doc
+    * candidate degree on this corpus (Round11Spec pins capped ≡ exact
+    * row-for-row), so the oracle is d3's exact pair set; at 100× the cap
+    * bounds the KB-payload exchange to ≤ 2·n·cap pairs.
+    */
+  def d3cNgramJaccardCapped(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixJaccardPairs(s, dir, k = 3, jaccardMin = 0.4, candCap = 64)
+
   /** Exact substring-duplication spans (Lee et al. 2022 ExactSubstr). */
   def d11DupSpans(s: SparkSession, dir: String): DataFrame =
     Dedup.dupSpans(s, dir, k = 25)
@@ -70,6 +82,19 @@ object ExtQueries {
     */
   def g2LabelProp(s: SparkSession, dir: String): DataFrame =
     Graph.labelProp(s, dir, iters = 3)
+
+  /** PageRank iterated DIRECTLY on the bipartite order↔part incidence
+    * (two keyed hops per round over O(lineitem) edges) — the linear
+    * formulation that replaces g1's per-order clique build at 100×.
+    */
+  def g3PageRankBipartite(s: SparkSession, dir: String): DataFrame =
+    Graph.pageRankBipartite(s, dir, iters = 3)
+
+  /** Label propagation on the bipartite incidence — g2's community pass
+    * without the clique edge build.
+    */
+  def g4LabelPropBipartite(s: SparkSession, dir: String): DataFrame =
+    Graph.labelPropBipartite(s, dir, iters = 3)
 
   // ---- similarity search -------------------------------------------------
 

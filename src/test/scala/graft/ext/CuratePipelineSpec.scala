@@ -15,7 +15,7 @@ class CuratePipelineSpec extends SparkSpec {
   test("stage counts shrink monotonically and nothing vanishes to zero") {
     val byStage = metrics.map(m => m.stage -> m.docs).toMap
     val order = Seq("raw", "gated", "exact_dedup", "near_dedup",
-      "decontaminated")
+      "semantic_dedup", "decontaminated")
     val counts = order.map(byStage)
     assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
       s"stage counts grew: ${order.zip(counts)}")
@@ -46,6 +46,32 @@ class CuratePipelineSpec extends SparkSpec {
       .agg(sum("n_tokens").as("t"), count(lit(1)).as("n"))
       .filter(col("t") > graft.ext.BatchPacking.T6Budget && col("n") > 1)
     assert(over.count() == 0, "multi-doc batch over budget")
+  }
+
+  test("no surviving within-cluster pair is cosine-similar >= tau " +
+      "(the SemDeDup end-state invariant)") {
+    import graft.functions.Expressions.cosineF
+    val dir = sf("sf0.001")
+    val tau = 0.35
+    val a = spark.read
+      .parquet(s"${Clustering.clusterDir(spark, dir)}/assign")
+    val sv = packed.select("doc_id").distinct()
+      .join(a.select(col("vec_id").as("doc_id"), col("cell")), "doc_id")
+      .join(spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+    val l = sv.select(col("cell"), col("doc_id").as("l_id"),
+      col("embedding").as("l_emb"))
+    val r = sv.select(col("cell"), col("doc_id").as("r_id"),
+      col("embedding").as("r_emb"))
+    val bad = l.join(r, Seq("cell"))
+      .filter(col("l_id") < col("r_id") &&
+        cosineF(col("l_emb"), col("r_emb")) >= tau)
+      .count()
+    assert(bad == 0, s"$bad within-cell pairs >= tau survived")
+    // non-vacuity: the stage dropped at least one doc on this fixture
+    val byStage = metrics.map(m => m.stage -> m.docs).toMap
+    assert(byStage("semantic_dedup") < byStage("near_dedup"),
+      "semantic_dedup dropped nothing — invariant is vacuous")
   }
 
   test("pipeline is deterministic across runs") {

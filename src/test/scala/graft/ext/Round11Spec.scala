@@ -30,6 +30,86 @@ class Round11Spec extends SparkSpec {
       s"$leaked RDDs still pinned after managed labelProp: $names")
   }
 
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("d3/d7 candidate cap: non-binding cap reproduces the exact pair " +
+      "set row-for-row (the d3c gate precondition)") {
+    val dir = sf("sf0.01")
+    val exact = pairSet(Dedup.prefixJaccardPairs(spark, dir,
+      k = 3, jaccardMin = 0.4))
+    val capped = pairSet(Dedup.prefixJaccardPairs(spark, dir,
+      k = 3, jaccardMin = 0.4, candCap = 64))
+    assert(capped == exact,
+      s"cap=64 binds on sf0.01: ${(exact -- capped).size} dropped, " +
+        s"${(capped -- exact).size} spurious")
+    val wExact = pairSet(Dedup.winnowPairs(spark, dir))
+    val wCapped = pairSet(Dedup.winnowPairs(spark, dir, candCap = 64))
+    assert(wCapped == wExact)
+  }
+
+  test("d3 candidate cap, binding: sound subset, unchanged jaccards, " +
+      "and high doc coverage under the overlap ranking") {
+    val dir = sf("sf0.01")
+    val exact = Dedup.prefixJaccardPairs(spark, dir, k = 3,
+      jaccardMin = 0.4)
+    val capped = Dedup.prefixJaccardPairs(spark, dir, k = 3,
+      jaccardMin = 0.4, candCap = 2)
+    val e = pairSet(exact)
+    val c = pairSet(capped)
+    assert(c.subsetOf(e), "capped emitted a pair the exact join does not")
+    assert(c.size < e.size, "cap=2 did not bind — coverage check vacuous")
+    // recall above the cap is heuristic (capCandidates Scaladoc): a doc
+    // whose top-cap candidates all fail the verify loses its partners.
+    // Pin that the overlap ranking keeps that loss rare even at the
+    // aggressive cap=2 — ≥90% of paired docs keep at least one partner.
+    val exactDocs = e.flatMap(p => Seq(p._1, p._2))
+    val cappedDocs = c.flatMap(p => Seq(p._1, p._2))
+    val coverage = cappedDocs.size.toDouble / exactDocs.size
+    assert(cappedDocs.subsetOf(exactDocs))
+    assert(coverage >= 0.9,
+      f"only $coverage%.2f of paired docs kept a partner at cap=2")
+    // jaccard values on surviving pairs are unchanged (same verify tail)
+    val ej = exact.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    capped.collect().foreach { r =>
+      assert(ej((r.getLong(0), r.getLong(1))) == r.getDouble(2))
+    }
+  }
+
+  test("g3: bipartite PageRank on a hand-traced path graph reaches its " +
+      "integer fixpoint after one round") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-g3").toString
+    // orders 10:(1,2), 20:(2,3) — part 2 bridges; traced by hand:
+    // om1 = 1.5e6 both orders; p1/p3 = 150000 + (750000*85)//100,
+    // p2 = 150000 + (1500000*85)//100; round 2 reproduces round 1
+    Seq((10L, 1L), (10L, 2L), (20L, 2L), (20L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Graph.pageRankBipartite(spark, dir, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 787500L, 2L -> 1425000L, 3L -> 787500L), got)
+  }
+
+  test("g4: bipartite label propagation on the hand-traced g2 fixture " +
+      "converges components without oscillation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-g4").toString
+    Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 3L), (20L, 4L),
+      (30L, 5L), (30L, 6L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Graph.labelPropBipartite(spark, dir, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // unlike clique-graph LPA (which oscillates on the {5,6} 2-cycle —
+    // Round10Session5Spec), the two-hop pass is stable: an isolated
+    // pair agrees through its shared order's majority
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L), got)
+  }
+
   test("managed and lazy labelProp agree exactly") {
     val dir = sf("sf0.001")
     val managed = Graph.labelProp(spark, dir, iters = 3)
