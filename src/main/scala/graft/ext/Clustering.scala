@@ -41,14 +41,21 @@ object Clustering {
 
   /** Build (or reuse) the clustering artifact: `assign/` (vec_id, label,
     * cell) and `centroids/` (cell, centroid: array<double>).
+    * `trainBelow` restricts the FIT to vec_id < x — the epoch-aware
+    * index build (centroids are a versioned offline artifact; an
+    * incremental ingest assigns new vectors to the CORPUS epoch's
+    * centroids instead of refitting, [[CuratePipeline]] r11).
     */
   def clusterDir(s: SparkSession, dir: String, k: Int = 10,
-      seed: Long = 42L): String = {
-    val b = built.computeIfAbsent(s"$dir|$k|$seed", _ => {
+      seed: Long = 42L, trainBelow: Option[Long] = None): String = {
+    val b = built.computeIfAbsent(s"$dir|$k|$seed|${trainBelow.getOrElse(-1L)}",
+      _ => {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
-      val e = emb(s, dir).withColumn("fv",
-        array_to_vector(col("embedding").cast("array<double>")))
+      val e0 = emb(s, dir)
+      val e = trainBelow.fold(e0)(x => e0.filter(col("vec_id") < x))
+        .withColumn("fv",
+          array_to_vector(col("embedding").cast("array<double>")))
       val dim = e.select(size(col("embedding"))).head().getInt(0)
       val model = new KMeans().setK(k).setSeed(seed).setMaxIter(5)
         .setFeaturesCol("fv").setPredictionCol("cell")
@@ -119,6 +126,30 @@ object Clustering {
              SELECT r_id AS drop_id, min(l_id) AS rep_id, cell
              FROM pairs WHERE cos >= $tau GROUP BY r_id, cell""")
     }
+
+  /** Assign arbitrary embeddings to the NEAREST centroid of an existing
+    * codebook — the online half of the offline/online split, shared by
+    * every epoch-aware curation path so prev/delta/full runs assign
+    * identically (MLlib's stored assignment is NOT reused here: the
+    * incremental contract needs one deterministic assignment function
+    * applied to all epochs). Distance is the e4v SQL shape
+    * (zip_with + aggregate, sequential left fold — engine-exact);
+    * ties break to the smallest cell via the struct min. The k-row
+    * centroid table broadcasts; the k-way fan-out is map-side.
+    */
+  def assignToCentroids(s: SparkSession, embDf: DataFrame,
+      root: String): DataFrame = {
+    val cents = s.read.parquet(s"$root/centroids")
+    val d2 = expr(
+      """aggregate(zip_with(CAST(embedding AS array<double>), centroid,
+        |                   (x, c) -> (x - c) * (x - c)),
+        |          0D, (acc, v) -> acc + v)""".stripMargin)
+    embDf.crossJoin(broadcast(cents))
+      .withColumn("d2", d2)
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cell"))).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"))
+  }
 
   /** e4: cluster assignment with CANONICAL labels — k-means cell ids are
     * arbitrary (init order), so each cell is relabeled to the minimum

@@ -604,7 +604,8 @@ object Dedup {
       blockCols: Seq[String] = Seq("lang", "source"),
       rarestFirst: Boolean = true,
       compactKeys: Boolean = true,
-      candCap: Int = 0): DataFrame = {
+      candCap: Int = 0,
+      candTokens: Int = 0): DataFrame = {
     val sh = shingles(docs(s, dir), k).select(
       (Seq(col("doc_id")) ++ blockCols.map(col) :+ col("shingle_hashes")): _*)
     val plen = (n: org.apache.spark.sql.Column) =>
@@ -650,8 +651,26 @@ object Dedup {
       val kept = tok.join(dfreq, Seq("h"), "left").na.fill(1L, Seq("df"))
         .withColumn("rn", row_number().over(byDoc.orderBy("df", "h")))
         .filter(col("rn") <= plen(col("n")))
-      if (compactKeys) kept.select("doc_id", "n", "h")
-      else kept.select((Seq(col("doc_id"), col("n")) ++ blockCols.map(col) :+
+      // candTokens (>0, capped mode only): the sf10 probe showed the
+      // wall after the SNM window is pair MULTIPLICITY — every pair
+      // re-generated once per shared prefix token (~0.6·|doc| times),
+      // n·prefixLen·cap rows through the pair-dedup exchange. Two cuts,
+      // one free and one bounded: (a) df=1 prefix tokens generate
+      // nothing (single-row buckets have no window neighbors) — dropped
+      // EXACTLY, zero recall change; (b) of the remaining shared-capable
+      // tokens keep the P rarest per doc (re-ranked among df≥2 — the
+      // small-bucket discriminators), bounding multiplicity to n·P·cap.
+      // A true pair misses only if none of its shared tokens make
+      // either doc's rarest-P (Round11Spec measures the loss).
+      val kept2 =
+        if (candTokens > 0)
+          kept.filter(col("df") >= 2)
+            .withColumn("rn2",
+              row_number().over(byDoc.orderBy("df", "h")))
+            .filter(col("rn2") <= candTokens)
+        else kept
+      if (compactKeys) kept2.select("doc_id", "n", "h")
+      else kept2.select((Seq(col("doc_id"), col("n")) ++ blockCols.map(col) :+
         col("h")): _*)
     } else {
       val pref = sh.withColumn("n", size(col("shingle_hashes")))
@@ -682,6 +701,9 @@ object Dedup {
     require(candCap == 0 || compactKeys,
       "candCap requires compactKeys (the SNM window keys on the folded " +
         "block+token hash)")
+    require(candTokens == 0 || (candCap > 0 && rarestFirst),
+      "candTokens is a capped-mode knob (needs candCap > 0 and the " +
+        "rarest-first prefix order)")
     val cand0 =
       if (candCap > 0) snmCandidates(ordered, "h", candCap, jaccardMin)
       else ordered.alias("l").join(ordered.alias("r"), joinCond)

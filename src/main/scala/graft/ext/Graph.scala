@@ -218,15 +218,29 @@ object Graph {
     var labels = inc.select(col("part")).distinct()
       .withColumn("label", col("part"))
     for (_ <- 1 to iters) {
-      val ordLabels = majority(
-        inc.join(broadcast(labels), "part"), "ord")
-      labels = majority(
-        inc.join(broadcast(ordLabels), "ord"), "part")
+      // each round's label table is node-sized — localCheckpoint it so
+      // round r never re-executes rounds 1..r−1 (the d4 supersession
+      // pattern) and release the superseded round's blocks. sf10 cost
+      // is dominated by the per-round majority aggregations themselves
+      // (~31 s/round over 60M incidences — linear, the point vs g2's
+      // quadratic clique build), not by plan growth.
+      // NO broadcast hint (unlike clique-graph labelProp): the label
+      // tables here are part-/order-sized (2M/1.5M rows at sf10) and a
+      // driver-built broadcast map per round dominated the runtime
+      // (measured ~138 s). Keyed shuffle joins on the 8-byte keys let
+      // AQE broadcast only when a side is genuinely small.
+      val prev = labels
+      val ordLabels = majority(inc.join(labels, "part"), "ord")
+      labels = majority(inc.join(ordLabels, "ord"), "part")
+        .localCheckpoint(true)
+      Dedup.unpersistCheckpoint(prev)
     }
-    val out = labels.select(col("part").as("part_key"), col("label"))
-    val pinned = out.localCheckpoint(true)
+    val out = labels
+      .select(col("part").as("part_key"), col("label"))
+      .localCheckpoint(true)
+    Dedup.unpersistCheckpoint(labels)
     inc.unpersist(false)
-    pinned
+    out
   }
 
   /** Convergence-mode PageRank: iterate until the TOTAL L1 delta of the

@@ -42,12 +42,13 @@ object R11Probe {
           s"maxdeg=${wdeg.agg(max("count")).head.getLong(0)}")
       case "d3" =>
         val cap = args(2).toInt
+        val toks = args.lift(3).map(_.toInt).getOrElse(0)
         val t0 = System.nanoTime()
         val n = graft.ext.Dedup
           .prefixJaccardPairs(spark, dir, k = 3, jaccardMin = 0.4,
-            candCap = cap)
+            candCap = cap, candTokens = toks)
           .count()
-        println(s"[probe] d3 cap=$cap pairs=$n " +
+        println(s"[probe] d3 cap=$cap tokens=$toks pairs=$n " +
           f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
       case "d7" =>
         val cap = args(2).toInt
@@ -56,6 +57,65 @@ object R11Probe {
           .count()
         println(s"[probe] d7 cap=$cap pairs=$n " +
           f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      case "g3" =>
+        val t0 = System.nanoTime()
+        val n = graft.ext.Graph.pageRankBipartite(spark, dir).count()
+        println(s"[probe] g3 rows=$n " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      case "g4" =>
+        val t0 = System.nanoTime()
+        val n = graft.ext.Graph.labelPropBipartite(spark, dir).count()
+        println(s"[probe] g4 rows=$n " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      case "g1" =>
+        val t0 = System.nanoTime()
+        val n = graft.ext.Graph.pageRank(spark, dir).count()
+        println(s"[probe] g1 rows=$n " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      case "curate" =>
+        val splitId = args(2).toLong
+        val t0 = System.nanoTime()
+        val st = graft.ext.CuratePipeline.corpusState(spark, dir, splitId)
+        val t1 = System.nanoTime()
+        val (delta, dc) = graft.ext.CuratePipeline.curateDelta(spark, dir, st)
+        val t2 = System.nanoTime()
+        val (full, _) = graft.ext.CuratePipeline.curateFrozen(spark, dir,
+          splitId)
+        val t3 = System.nanoTime()
+        println(s"[probe] curate split=$splitId " +
+          s"prev=${st.prevFinal.count()} delta=${delta.count()} " +
+          s"full=${full.count()} " +
+          f"stateSec=${(t1 - t0) / 1e9}%.1f deltaSec=${(t2 - t1) / 1e9}%.1f " +
+          f"fullSec=${(t3 - t2) / 1e9}%.1f " +
+          s"deltaCounts=${dc.map(c => c.stage + ":" + c.docs).mkString(",")}")
+      case "g4x" =>
+        def t[A](tag: String)(f: => A): A = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"[probe] g4x $tag ${(System.nanoTime() - t0) / 1e9}%.1f")
+          r
+        }
+        val inc = spark.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey").as("ord"), col("l_partkey").as("part"))
+          .distinct().persist()
+        t("inc")(inc.count())
+        val labels0 = inc.select(col("part")).distinct()
+          .withColumn("label", col("part"))
+        val j = inc.join(labels0, "part")
+        t("join")(j.count())
+        val oc = j.groupBy(col("ord"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+        t("oc")(oc.count())
+        val o1 = oc.groupBy("ord")
+          .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+          .select(col("ord"), (-col("m.nl")).cast("long").as("label"))
+        t("o1")(o1.count())
+        val pc = inc.join(o1, "ord").groupBy(col("part"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+        val p1 = pc.groupBy("part")
+          .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+          .select(col("part"), (-col("m.nl")).cast("long").as("label"))
+        t("p1")(p1.count())
+        t("p1-checkpoint")(p1.localCheckpoint(true).count())
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

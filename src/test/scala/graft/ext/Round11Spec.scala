@@ -78,6 +78,28 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("d3 candTokens truncation: sound subset, unchanged jaccards, " +
+      "and bounded loss at the gate scale") {
+    val dir = sf("sf0.01")
+    val exact = Dedup.prefixJaccardPairs(spark, dir, k = 3,
+      jaccardMin = 0.4)
+    val trunc = Dedup.prefixJaccardPairs(spark, dir, k = 3,
+      jaccardMin = 0.4, candCap = 64, candTokens = 16)
+    val e = pairSet(exact)
+    val t = pairSet(trunc)
+    assert(t.subsetOf(e), "truncated path emitted a non-pair")
+    // the P rarest df>=2 tokens retain the well-shared pairs; the loss
+    // is the weak tail (pairs sharing only common tokens). Pin the
+    // retention floor so a regression in the ranking shows up here.
+    assert(t.size >= (e.size * 0.8).toInt,
+      s"retention ${t.size}/${e.size} below 80%")
+    val ej = exact.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    trunc.collect().foreach { r =>
+      assert(ej((r.getLong(0), r.getLong(1))) == r.getDouble(2))
+    }
+  }
+
   test("g3: bipartite PageRank on a hand-traced path graph reaches its " +
       "integer fixpoint after one round") {
     import spark.implicits._
