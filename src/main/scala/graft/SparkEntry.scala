@@ -149,6 +149,9 @@ object SparkEntry {
     "v1_vocab_topk" -> (ExtQueries.v1VocabTopk _),
     "t5_tfidf_top_terms" -> (ExtQueries.t5TfidfTopTerms _),
     "bm1_bm25_topk" -> (ExtQueries.bm1Bm25Topk _),
+    "rrf1_hybrid_topk" -> (ExtQueries.rrf1HybridTopk _),
+    "ds1_dsir_weights" -> (ExtQueries.ds1DsirWeights _),
+    "ct2_semantic_contamination" -> (ExtQueries.ct2SemanticContamination(_, _)),
     "t14_char_entropy" -> (ExtQueries.t14CharEntropy _),
     "v3_bpe_encode" -> (ExtQueries.v3BpeEncode _),
     "e6_random_projection" -> (ExtQueries.e6RandomProjection _),
@@ -1398,6 +1401,33 @@ object SparkEntry {
          SELECT tr.doc_id, count(DISTINCT tr.ng) AS n_hits
          FROM tr JOIN ev USING (ng)
          GROUP BY tr.doc_id""",
+    // ct2: embedding-space contamination — e1's cosine expression per
+    // (train, eval) pair, floor-rounded to 1e-6 BEFORE the threshold
+    // and max aggregates, so no raw double crosses engines.
+    "ct2_semantic_contamination" ->
+      """WITH d AS (SELECT doc_id, substr(md5(text), 1, 2) AS h2
+                    FROM documents),
+         we AS (SELECT d.doc_id, h2, embedding
+                FROM d JOIN embeddings ON embeddings.vec_id = d.doc_id),
+         ev AS (SELECT embedding AS qe FROM we WHERE h2 < '10'),
+         p AS (
+           SELECT t.doc_id,
+                  floor(
+                    list_aggregate(list_transform(list_zip(t.embedding, qe),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                    / (sqrt(list_aggregate(list_transform(
+                         list_zip(t.embedding, t.embedding),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'))
+                     * sqrt(list_aggregate(list_transform(list_zip(qe, qe),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')))
+                    * 1000000 + 0.5) / 1000000 AS c_r6
+           FROM we t CROSS JOIN ev WHERE t.h2 >= '10')
+         SELECT doc_id,
+                CAST(sum(CASE WHEN c_r6 >= 0.32 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hits,
+                max(c_r6) AS max_cos_r6
+         FROM p GROUP BY doc_id
+         HAVING sum(CASE WHEN c_r6 >= 0.32 THEN 1 ELSE 0 END) >= 1""",
     "t7_repetition_ratio" ->
       """SELECT doc_id, distinct_ngrams, total_ngrams,
                 floor((1.0 - CAST(distinct_ngrams AS DOUBLE) / total_ngrams)
@@ -1467,6 +1497,70 @@ object SparkEntry {
          SELECT doc_id, CAST(sum(c) AS DOUBLE) / 1000000.0 AS bm25_r6
          FROM contrib GROUP BY doc_id
          ORDER BY bm25_r6 DESC, doc_id LIMIT 50""",
+    // rrf1: bm1's lexical CTE chain + e1's cosine chain, each truncated
+    // to its top-100, ranked over the ROUNDED r6 keys (total order on
+    // both engines), fused as integer nano-units 1e9 // (60 + rank) —
+    // truncating division on BIGINT, so the fusion replays exactly.
+    "rrf1_hybrid_topk" ->
+      """WITH stats AS (
+           SELECT CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+                    / count(*) AS avgdl,
+                  count(*) AS n
+           FROM documents),
+         toks AS (
+           SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                  unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         tf AS (
+           SELECT doc_id, dl, token, count(*) AS tf FROM toks
+           WHERE token IN ('hash', 'join', 'scan')
+           GROUP BY doc_id, dl, token),
+         df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         contrib AS (
+           SELECT tf.doc_id,
+                  CAST(floor(
+                    ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                      * (tf * (CAST(1.2 AS DOUBLE) + 1.0))
+                      / (tf + CAST(1.2 AS DOUBLE)
+                          * (1.0 - CAST(0.75 AS DOUBLE)
+                             + CAST(0.75 AS DOUBLE) * dl / avgdl))
+                    * 1000000 + 0.5) AS BIGINT) AS c
+           FROM tf JOIN df USING (token) CROSS JOIN stats),
+         lextop AS (
+           SELECT doc_id, CAST(sum(c) AS DOUBLE) / 1000000.0 AS bm25_r6
+           FROM contrib GROUP BY doc_id
+           ORDER BY bm25_r6 DESC, doc_id LIMIT 100),
+         lex AS (
+           SELECT doc_id,
+                  row_number() OVER (ORDER BY bm25_r6 DESC, doc_id)
+                    AS lex_rank
+           FROM lextop),
+         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         scored AS (
+           SELECT vec_id,
+             list_aggregate(list_transform(list_zip(embedding, qe),
+               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+             / (sqrt(list_aggregate(list_transform(list_zip(embedding, embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'))
+              * sqrt(list_aggregate(list_transform(list_zip(qe, qe),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')))
+             AS cosine
+           FROM embeddings, q WHERE vec_id <> 0),
+         semtop AS (
+           SELECT vec_id, floor(cosine * 1000000 + 0.5) / 1000000
+                    AS cosine_r6
+           FROM scored ORDER BY cosine DESC, vec_id LIMIT 100),
+         sem AS (
+           SELECT vec_id AS doc_id,
+                  row_number() OVER (ORDER BY cosine_r6 DESC, vec_id)
+                    AS sem_rank
+           FROM semtop)
+         SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+                CAST(COALESCE(CAST(1000000000 AS BIGINT) // (60 + lex_rank), 0)
+                   + COALESCE(CAST(1000000000 AS BIGINT) // (60 + sem_rank), 0)
+                  AS BIGINT) AS rrf_nano
+         FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+         ORDER BY rrf_nano DESC, doc_id LIMIT 20""",
     // t14: per-class entropy contributions from exact integer counts,
     // floor-quantized to nano-units per class and integer-summed — the
     // t10/bm1 order-independence pattern. Alphabet mirrors the Spark
@@ -2436,6 +2530,27 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_words,
                 CAST(sum(CAST(floor(ln(CAST(c AS DOUBLE) / t) * 1000000)
                   AS BIGINT)) AS BIGINT) AS lm_micro_sum
+         FROM words JOIN freq USING (w), tot
+         GROUP BY doc_id""",
+    // ds1: t10's two-model extension — per-token Laplace-smoothed
+    // log-ratio ln p_target − ln p_raw, floor-quantized to 1e-6 as a
+    // pure function of the exact integers (tc, qc, nt, nq, v), summed
+    // as BIGINT per doc over occurrences. Expression association
+    // mirrors the Spark side exactly.
+    "ds1_dsir_weights" ->
+      """WITH words AS (SELECT doc_id, lang = 'en' AS is_t,
+                               unnest(string_split(text, ' ')) AS w
+                        FROM documents),
+           freq AS (SELECT w, count(*) AS qc,
+                           sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tc
+                    FROM words GROUP BY w),
+           tot AS (SELECT sum(qc) AS nq, sum(tc) AS nt, count(*) AS v
+                   FROM freq)
+         SELECT doc_id, count(*) AS n_tokens,
+                CAST(sum(CAST(floor(
+                  (ln(CAST(tc + 1 AS DOUBLE) / (nt + v))
+                   - ln(CAST(qc + 1 AS DOUBLE) / (nq + v))) * 1000000)
+                  AS BIGINT)) AS BIGINT) AS dsir_micro
          FROM words JOIN freq USING (w), tot
          GROUP BY doc_id""",
   )

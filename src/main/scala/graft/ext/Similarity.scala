@@ -548,4 +548,46 @@ object Similarity {
       .orderBy(desc("cosine"), col("vec_id"))
       .limit(k)
   }
+
+  /** Hybrid retrieval: Reciprocal Rank Fusion (Cormack et al., SIGIR
+    * 2009) of a lexical BM25 list and a semantic cosine list — the
+    * standard two-tower fusion behind RAG retrieval and search-based
+    * corpus audits. Each list contributes 1/(rrfK + rank) for its top
+    * `n`; docs appearing in only one list get the other term as 0. The
+    * doc↔embedding correspondence is the corpus convention doc_id ≡
+    * vec_id (the CuratePipeline linkage).
+    *
+    * Oracle-exactness: ranks are integers (row_number over the rounded
+    * r6 scores with id tie-breaks — the rounded keys make the rank
+    * total-ordered identically on both engines), and each RRF term is
+    * the truncating integer division 1e9 div (rrfK + rank), summed as
+    * BIGINT — order-independent, no float anywhere in the fusion.
+    *
+    * Plan shape at 100 TB: both source lists end in
+    * TakeOrderedAndProject (bm25TopK filters query terms inside the
+    * token array before explode; cosineTopK is a broadcast-query scan),
+    * so the fusion's full-outer join sees 2×n rows total — driver-scale
+    * regardless of corpus size. Swap cosineTopK for [[annTopK]]/IVF to
+    * make the semantic leg sub-linear; the fusion is unchanged.
+    */
+  def hybridRrfTopK(s: SparkSession, dir: String, terms: Seq[String],
+      queryId: Long = 0L, n: Int = 100, k: Int = 20,
+      rrfK: Int = 60): DataFrame = {
+    val lex = graft.ext.TextAnalysis.bm25TopK(s, dir, terms, k = n)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("bm25_r6").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lex_rank"))
+    val sem = cosineTopK(s, dir, queryId, n)
+      .withColumn("sem_rank", row_number().over(
+        Window.orderBy(col("cosine_r6").desc, col("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("sem_rank"))
+    val rrfTerm = (rank: String) => coalesce(
+      expr(s"CAST(1000000000 AS BIGINT) div (CAST($rrfK AS BIGINT) + $rank)"),
+      lit(0L))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (rrfTerm("lex_rank") + rrfTerm("sem_rank")).as("rrf_nano"))
+      .orderBy(col("rrf_nano").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Expressions.fnv1a64
@@ -79,6 +79,55 @@ object TextAnalysis {
       .agg(
         count(lit(1)).as("n_words"),
         sum(col("lp_micro")).as("lm_micro_sum"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every corpus doc
+    * by how target-like its token stream is — log w(d) = Σ_tokens
+    * [ln p_target(tok) − ln p_raw(tok)] with Laplace-smoothed unigram
+    * models over a shared vocabulary. High-weight docs are the
+    * importance-resampling pool for targeted pre-training mixes; this is
+    * [[unigramLmScore]]'s two-model extension (the t11 relative-gate
+    * idea applied between DISTRIBUTIONS rather than within one).
+    *
+    * `targetFilter` picks the target slice (here: a per-doc content
+    * rule, the frozen-eval-slice discipline from CuratePipeline); the
+    * raw model is the full corpus, which smooths every in-corpus token.
+    *
+    * Oracle-exactness: the per-token log-ratio is floor-quantized to
+    * 1e-6 as a pure function of the exact integers (tc, qc, Nt, Nq, V)
+    * and summed per doc as BIGINT over occurrences — order-independent,
+    * the t10 micro-unit pattern. DSIR's hashed-feature variant (mod-B
+    * buckets instead of exact vocab) changes only the token→feature
+    * key; the exact-vocab form keeps the oracle replayable and the agg
+    * keys are compact either way.
+    *
+    * Plan shape at 100 TB: explode to (doc_id, token); TWO compact-key
+    * frequency aggregates (target slice, full corpus) from the same
+    * exploded stream; one token-keyed join back (broadcast while the
+    * vocab fits, hash join beyond); one groupBy(doc_id) integer sum.
+    * Scalar totals ride a broadcast crossJoin. No driver-side vocab.
+    */
+  def dsirWeights(s: SparkSession, dir: String,
+      targetFilter: Column): DataFrame = {
+    val words = docs(s, dir)
+      .select(col("doc_id"), targetFilter.as("is_t"),
+        explode(split(col("text"), " ")).as("w"))
+    val freq = words.groupBy("w").agg(
+      count(lit(1)).as("qc"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("tc"))
+    val totals = freq.agg(
+      sum("qc").as("nq"), sum("tc").as("nt"),
+      count(lit(1)).as("v"))
+    val lr = log((col("tc") + lit(1)).cast("double") /
+        (col("nt") + col("v"))) -
+      log((col("qc") + lit(1)).cast("double") / (col("nq") + col("v")))
+    words.join(freq, "w")
+      .crossJoin(broadcast(totals))
+      .withColumn("lr_micro", floor(lr * 1000000).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("lr_micro")).as("dsir_micro"))
   }
 
   /** Language ID by stopword-hit heuristic: count hits from tiny per-

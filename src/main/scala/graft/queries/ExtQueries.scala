@@ -284,6 +284,46 @@ object ExtQueries {
       .agg(count_distinct(col("ng")).as("n_hits"))
   }
 
+  /** Semantic contamination — ct1's embedding-space sibling (the check
+    * n-gram overlap cannot do: a paraphrased eval item shares no
+    * 24-gram but sits next to its source in embedding space). Same
+    * frozen eval slice as ct1 (md5-prefix content rule, doc_id ≡
+    * vec_id); a train doc is flagged when any eval embedding's cosine
+    * reaches `tau` (corpus-calibrated here; against real benchmarks
+    * this is the SemDeDup-style near-duplicate bar).
+    *
+    * Determinism: cosines are floor-rounded to 1e-6 PER PAIR (the
+    * e1-established cross-engine-exact expression), and both the hit
+    * count and the max aggregate the rounded values — no raw-double
+    * threshold or max crosses engines.
+    *
+    * Plan shape at 100 TB: eval benchmarks are tiny vs the train
+    * corpus → broadcast the eval embeddings; the train side is one
+    * map-only scan + per-doc aggregate, never shuffled (the ct1
+    * broadcast-semi-join argument, embedding edition).
+    */
+  def ct2SemanticContamination(s: SparkSession, dir: String,
+      tau: Double = 0.32): DataFrame = {
+    val ids = docs(s, dir).select(col("doc_id"),
+      substring(md5(col("text")), 1, 2).as("h2"))
+    val withEmb = ids.join(
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("doc_id"), col("embedding")),
+      "doc_id")
+    val evals = withEmb.filter(col("h2") < "10")
+      .select(col("embedding").as("q_embedding"))
+    val pairR6 = floor(
+      graft.functions.Expressions.cosineF(col("embedding"),
+        col("q_embedding")) * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    withEmb.filter(col("h2") >= "10")
+      .crossJoin(broadcast(evals))
+      .select(col("doc_id"), pairR6.as("c_r6"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("c_r6") >= tau, 1L).otherwise(0L)).as("n_hits"),
+        max(col("c_r6")).as("max_cos_r6"))
+      .filter(col("n_hits") >= 1)
+  }
+
   /** Within-document repetition ratio (Gopher quality rule: fraction of
     * duplicate character n-grams). One scan, no shuffle — the shingle
     * distinct-count is a native single-pass expression.
@@ -425,6 +465,19 @@ object ExtQueries {
     */
   def bm1Bm25Topk(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bm25TopK(s, dir, terms = Seq("hash", "join", "scan"))
+
+  /** Hybrid retrieval — RRF fusion of the bm1 lexical list and the e1
+    * semantic list, integer nano-unit scores (no float in the fusion).
+    */
+  def rrf1HybridTopk(s: SparkSession, dir: String): DataFrame =
+    Similarity.hybridRrfTopK(s, dir, terms = Seq("hash", "join", "scan"),
+      queryId = 0L, n = 100, k = 20)
+
+  /** DSIR importance weights: target = the English slice, raw = full
+    * corpus; integer micro-unit log-ratio sums per doc.
+    */
+  def ds1DsirWeights(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dsirWeights(s, dir, col("lang") === "en")
 
   /** Shannon char entropy (nano-unit exact) — compression-proxy quality
     * signal; zero-shuffle map pass.

@@ -1,8 +1,55 @@
 package graft.ext
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 class Round11Spec extends SparkSpec {
+
+  test("ds1: dsir weights replay driver-side, no log-ratio sits on a " +
+      "floor boundary, and the target slice self-scores higher") {
+    val dir = sf("sf0.01")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // exact integer frequency tables, as the operator builds them
+    val occs = docs.flatMap { case (id, lang, text) =>
+      text.split(" ", -1).map(w => (id, lang == "en", w))
+    }
+    val freq = occs.groupBy(_._3).map { case (w, os) =>
+      w -> (os.length.toLong, os.count(_._2).toLong)
+    }
+    val nq = freq.valuesIterator.map(_._1).sum
+    val nt = freq.valuesIterator.map(_._2).sum
+    val v = freq.size.toLong
+    def lrMicro(qc: Long, tc: Long): Long = {
+      val x = (math.log((tc + 1).toDouble / (nt + v)) -
+        math.log((qc + 1).toDouble / (nq + v))) * 1000000
+      // margin guard: the floor must not sit within 1e-6 of an integer
+      // (500x a double ulp at this magnitude) — the t10 boundary risk
+      assert(math.abs(x - math.rint(x)) > 1e-6 || x == math.rint(x),
+        f"(qc=$qc, tc=$tc): $x%.9f on a floor boundary")
+      math.floor(x).toLong
+    }
+    val expected = occs.groupBy(_._1).map { case (id, os) =>
+      id -> ((os.length.toLong,
+        os.map(o => { val (qc, tc) = freq(o._3); lrMicro(qc, tc) }).sum))
+    }
+    val got = TextAnalysis.dsirWeights(spark, dir, col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == expected)
+    // semantic sanity: the English slice should self-score higher on
+    // average than the rest (it defines the target distribution)
+    val byLang = docs.map { case (id, lang, _) =>
+      (lang == "en", got(id)._2.toDouble) }
+    val enMean = byLang.filter(_._1).map(_._2).sum /
+      byLang.count(_._1)
+    val restMean = byLang.filterNot(_._1).map(_._2).sum /
+      byLang.count(p => !p._1)
+    assert(enMean > restMean,
+      s"target slice does not self-score higher: $enMean <= $restMean")
+  }
 
   test("g2/labelProp is self-managing: edge cache released, at most the " +
       "result checkpoint stays pinned — WITHOUT a clearCache fallback") {
@@ -130,6 +177,71 @@ class Round11Spec extends SparkSpec {
     // pair agrees through its shared order's majority
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       5L -> 5L, 6L -> 5L), got)
+  }
+
+  test("rrf1: hybrid fusion equals a driver-side replay of the two " +
+      "ranked lists (integer RRF, full-outer semantics)") {
+    val dir = sf("sf0.01")
+    val lex = TextAnalysis.bm25TopK(spark, dir,
+      terms = Seq("hash", "join", "scan"), k = 100).collect()
+      .sortBy(r => (-r.getDouble(1), r.getLong(0)))
+      .zipWithIndex.map { case (r, i) => r.getLong(0) -> (i + 1) }.toMap
+    val sem = Similarity.cosineTopK(spark, dir, queryId = 0L, k = 100)
+      .collect()
+      .sortBy(r => (-r.getDouble(2), r.getLong(0)))
+      .zipWithIndex.map { case (r, i) => r.getLong(0) -> (i + 1) }.toMap
+    def term(r: Option[Int]): Long =
+      r.map(x => 1000000000L / (60L + x)).getOrElse(0L)
+    val expected = (lex.keySet ++ sem.keySet).toSeq
+      .map(d => d -> (term(lex.get(d)) + term(sem.get(d))))
+      .sortBy { case (d, s) => (-s, d) }
+      .take(20)
+    val got = Similarity.hybridRrfTopK(spark, dir,
+      terms = Seq("hash", "join", "scan")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got == expected, s"got=$got expected=$expected")
+    // at least one doc must appear in both lists for the fusion to be
+    // non-vacuous on this fixture
+    assert((lex.keySet intersect sem.keySet).nonEmpty)
+  }
+
+  test("ct2: semantic contamination equals a driver-side brute force " +
+      "over the frozen eval slice") {
+    val dir = sf("sf0.01")
+    val h2 = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        substring(md5(col("text")), 1, 2).as("h2")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double = math.floor(x * 1000000 + 0.5) / 1000000
+    val evals = embs.keys.filter(id => h2(id) < "10").toSeq.sorted
+      .map(embs)
+    val expected = embs.keys.filter(id => h2(id) >= "10").toSeq.flatMap {
+      id =>
+        val r6s = evals.map(q => r6(cos(embs(id), q)))
+        val hits = r6s.count(_ >= 0.32).toLong
+        if (hits >= 1) Some(id -> ((hits, r6s.max))) else None
+    }.toMap
+    val got = graft.queries.ExtQueries.ct2SemanticContamination(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "threshold flags nothing — spec vacuous")
+    // no eval doc leaks into the flagged set
+    assert(got.keys.forall(id => h2(id) >= "10"))
   }
 
   test("managed and lazy labelProp agree exactly") {

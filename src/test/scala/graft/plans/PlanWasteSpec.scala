@@ -36,6 +36,11 @@ class PlanWasteSpec extends SparkSpec {
     "q22_idle_customers" -> Set("BroadcastNestedLoopJoin"),
     "rd1_rolling_distinct" -> Set("BroadcastNestedLoopJoin"),
     "t10_unigram_lm_score" -> Set("BroadcastNestedLoopJoin"),
+    "ds1_dsir_weights" -> Set("BroadcastNestedLoopJoin"),
+    "rrf1_hybrid_topk" -> Set("BroadcastNestedLoopJoin"),
+    // eval-embedding broadcast (benchmarks ≪ train corpus): the
+    // all-pairs scan against a tiny broadcast side IS the plan
+    "ct2_semantic_contamination" -> Set("BroadcastNestedLoopJoin"),
     "t6v_packing_invariants" -> Set("BroadcastNestedLoopJoin"),
     // IVF probe: nearest-cells-per-query vs (nlist ≤ 32)-row centroid
     // table; bounded by construction
