@@ -152,6 +152,8 @@ object SparkEntry {
     "rrf1_hybrid_topk" -> (ExtQueries.rrf1HybridTopk _),
     "ds1_dsir_weights" -> (ExtQueries.ds1DsirWeights _),
     "ct2_semantic_contamination" -> (ExtQueries.ct2SemanticContamination(_, _)),
+    "mmr1_diversified_topk" -> (ExtQueries.mmr1DiversifiedTopk _),
+    "ds2_dsir_hashed" -> (ExtQueries.ds2DsirHashed _),
     "t14_char_entropy" -> (ExtQueries.t14CharEntropy _),
     "v3_bpe_encode" -> (ExtQueries.v3BpeEncode _),
     "e6_random_projection" -> (ExtQueries.e6RandomProjection _),
@@ -1428,6 +1430,65 @@ object SparkEntry {
                 max(c_r6) AS max_cos_r6
          FROM p GROUP BY doc_id
          HAVING sum(CASE WHEN c_r6 >= 0.32 THEN 1 ELSE 0 END) >= 1""",
+    // mmr1: the greedy MMR selection replays as a recursive CTE —
+    // relevance and pairwise similarity are integer micro-units, so
+    // each step's argmax (7·rel − 3·maxSimToPicked, ties to smallest
+    // id) is exact BIGINT arithmetic on both engines.
+    "mmr1_diversified_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         cands AS (
+           SELECT vec_id AS doc_id, embedding,
+                  CAST(floor(
+                    list_aggregate(list_transform(list_zip(embedding, qe),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                    / (sqrt(list_aggregate(list_transform(
+                         list_zip(embedding, embedding),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'))
+                     * sqrt(list_aggregate(list_transform(list_zip(qe, qe),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')))
+                    * 1000000 + 0.5) AS BIGINT) AS rel_micro,
+                  list_aggregate(list_transform(list_zip(embedding, qe),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                    / (sqrt(list_aggregate(list_transform(
+                         list_zip(embedding, embedding),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'))
+                     * sqrt(list_aggregate(list_transform(list_zip(qe, qe),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')))
+                    AS cosraw
+           FROM embeddings, q WHERE vec_id <> 0
+           ORDER BY cosraw DESC, vec_id LIMIT 50),
+         pairs AS (
+           SELECT a.doc_id AS a, b.doc_id AS b,
+                  CAST(floor(
+                    list_aggregate(list_transform(
+                      list_zip(a.embedding, b.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')
+                    / (sqrt(list_aggregate(list_transform(
+                         list_zip(a.embedding, a.embedding),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum'))
+                     * sqrt(list_aggregate(list_transform(
+                         list_zip(b.embedding, b.embedding),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')))
+                    * 1000000 + 0.5) AS BIGINT) AS sim_micro
+           FROM cands a JOIN cands b ON a.doc_id <> b.doc_id),
+         sel AS (
+           WITH RECURSIVE st(step, picked) AS (
+             SELECT 0, CAST([] AS BIGINT[])
+             UNION ALL
+             SELECT step + 1, list_append(picked, (
+               SELECT c.doc_id FROM cands c
+               WHERE NOT list_contains(st.picked, c.doc_id)
+               ORDER BY 7 * c.rel_micro - 3 * COALESCE(
+                   (SELECT max(p.sim_micro) FROM pairs p
+                    WHERE p.a = c.doc_id AND list_contains(st.picked, p.b)),
+                   0) DESC,
+                 c.doc_id
+               LIMIT 1))
+             FROM st WHERE step < 10)
+           SELECT picked FROM st WHERE step = 10)
+         SELECT CAST(u.r AS BIGINT) AS rank, picked[u.r] AS doc_id
+         FROM sel, (SELECT unnest(generate_series(1, 10)) AS r) u
+         ORDER BY rank""",
     "t7_repetition_ratio" ->
       """SELECT doc_id, distinct_ngrams, total_ngrams,
                 floor((1.0 - CAST(distinct_ngrams AS DOUBLE) / total_ngrams)
@@ -2553,5 +2614,28 @@ object SparkEntry {
                   AS BIGINT)) AS BIGINT) AS dsir_micro
          FROM words JOIN freq USING (w), tot
          GROUP BY doc_id""",
+    // ds2: the hashed-feature DSIR variant — token → FNV bucket
+    // (unsigned mod 1024 ≡ the Spark side's signed pmod because 1024
+    // divides 2^64), per-bucket micro-quantized log-ratio, BIGINT sum
+    // per doc. The fnv fold is the same emulation the x1/d6 oracles
+    // validated bit-identical.
+    "ds2_dsir_hashed" -> {
+      val bucket = s"CAST((${fnvTokenSqlU("w")}) % 1024 AS BIGINT)"
+      s"""WITH words AS (SELECT doc_id, lang = 'en' AS is_t,
+                                unnest(string_split(text, ' ')) AS w
+                         FROM documents),
+           wb AS (SELECT doc_id, is_t, $bucket AS b FROM words),
+           bf AS (SELECT b, count(*) AS qc,
+                         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tc
+                  FROM wb GROUP BY b),
+           tot AS (SELECT sum(qc) AS nq, sum(tc) AS nt FROM bf),
+           model AS (SELECT b, CAST(floor(
+               (ln(CAST(tc + 1 AS DOUBLE) / (nt + 1024))
+                - ln(CAST(qc + 1 AS DOUBLE) / (nq + 1024))) * 1000000)
+             AS BIGINT) AS lr FROM bf, tot)
+         SELECT doc_id, count(*) AS n_tokens,
+                CAST(sum(lr) AS BIGINT) AS dsir_micro
+         FROM wb JOIN model USING (b)
+         GROUP BY doc_id""" },
   )
 }

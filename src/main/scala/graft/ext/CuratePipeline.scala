@@ -385,8 +385,8 @@ object CuratePipeline {
     */
   def curateDelta(s: SparkSession, dir: String, state: CorpusState,
       entropyFloorNano: Long = 1500000000L, maxDist: Int = 3,
-      bucketCap: Int = 1024,
-      semTau: Double = 0.35): (DataFrame, Seq[StageCounts]) = {
+      bucketCap: Int = 1024, semTau: Double = 0.35,
+      decontamBroadcast: Boolean = false): (DataFrame, Seq[StageCounts]) = {
     val splitId = state.split
     val (docs, redacted) =
       gatedClean(s, dir, entropyFloorNano, col("doc_id") >= splitId)
@@ -445,12 +445,23 @@ object CuratePipeline {
       .select(col("r_id").as("doc_id")).distinct()
     val semKept = nearKept.join(drops, Seq("doc_id"), "left_anti").persist()
     // decontamination vs the FROZEN eval gram set (shard docs are never
-    // eval — the benchmark does not grow with ingest)
+    // eval — the benchmark does not grow with ingest). Default: NO
+    // broadcast hint — the artifact is a checkpointed frame whose
+    // compile-time size estimate is unusable, and the forced hint
+    // shipped the whole gram set to every task (at sf10 the probe's
+    // 1/16-of-corpus eval slice is 24M grams — the measured dominant
+    // delta cost; same-JVM A/B in SCALING.md). Letting AQE decide from
+    // the RUNTIME shuffle size broadcasts a real (small, fixed)
+    // benchmark set and falls back to a keyed semi-join when the
+    // artifact is corpus-sized. `decontamBroadcast` re-applies the
+    // hint (small-benchmark deployments; the A/B toggle).
+    val evalSide =
+      if (decontamBroadcast) broadcast(state.evalGrams) else state.evalGrams
     val contaminated = semKept
       .select(col("doc_id"), explode(
         graft.functions.Expressions.shingleHashes(col("clean"), 24))
         .as("ng"))
-      .join(broadcast(state.evalGrams), "ng")
+      .join(evalSide, "ng")
       .select("doc_id").distinct()
     val finalDocs = semKept
       .join(contaminated, Seq("doc_id"), "left_anti")

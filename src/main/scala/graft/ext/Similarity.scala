@@ -590,4 +590,67 @@ object Similarity {
       .orderBy(col("rrf_nano").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998): greedily pick `k` of the top-`n` cosine candidates,
+    * each step maximizing wRel·relevance − wDiv·(max similarity to the
+    * already-picked set) — the diversity-aware final stage of a
+    * retrieval pipeline (RAG context selection, dedup'd search pages).
+    * λ = wRel/(wRel+wDiv); the default 7/3 split is λ = 0.7.
+    *
+    * Determinism: relevance and pairwise similarity are floor-rounded
+    * to integer micro-units up front, so every greedy comparison is
+    * pure BIGINT arithmetic (7·rel − 3·maxSim), ties to the smallest
+    * doc_id — the unrolled rounds replay exactly in a recursive SQL
+    * CTE, no float anywhere in the selection.
+    *
+    * Plan shape at 100 TB: only the candidate generation touches the
+    * corpus (broadcast-query scan + TakeOrderedAndProject, the e1
+    * shape). Everything after runs on two checkpointed frames bounded
+    * by construction (n rows, n·(n−1) pairs — n is a page size, not a
+    * corpus size); each of the k rounds is one tiny keyed aggregate,
+    * checkpointed so the loop's plan stays flat (the d4 pattern).
+    */
+  def mmrTopK(s: SparkSession, dir: String, queryId: Long = 0L,
+      n: Int = 50, k: Int = 10, wRel: Int = 7, wDiv: Int = 3): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    val cands = e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cosraw", cosineF(col("embedding"), col("q_embedding")))
+      .orderBy(desc("cosraw"), col("vec_id"))
+      .limit(n)
+      .select(col("vec_id").as("doc_id"), col("embedding"),
+        floor(col("cosraw") * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("rel_micro"))
+      .localCheckpoint(true)
+    val pairs = cands.select(col("doc_id").as("a"), col("embedding").as("ea"))
+      .join(cands.select(col("doc_id").as("b"), col("embedding").as("eb")),
+        col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        floor(cosineF(col("ea"), col("eb")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("sim_micro"))
+      .localCheckpoint(true)
+    import s.implicits._
+    var sel = Seq.empty[(Long, Long, Long)]
+      .toDF("rank", "doc_id", "mmr_micro")
+    for (r <- 1 to k) {
+      val maxSim = pairs
+        .join(sel.select(col("doc_id").as("b")), "b")
+        .groupBy(col("a").as("doc_id")).agg(max("sim_micro").as("ms"))
+      val pick = cands.select("doc_id", "rel_micro")
+        .join(sel.select("doc_id"), Seq("doc_id"), "left_anti")
+        .join(maxSim, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(wRel.toLong) * col("rel_micro") -
+            lit(wDiv.toLong) * coalesce(col("ms"), lit(0L)))
+            .as("mmr_micro"))
+        .orderBy(col("mmr_micro").desc, col("doc_id"))
+        .limit(1)
+        .select(lit(r.toLong).as("rank"), col("doc_id"), col("mmr_micro"))
+      sel = sel.unionByName(pick).localCheckpoint(true)
+    }
+    sel.select(col("rank"), col("doc_id"))
+  }
 }

@@ -130,6 +130,69 @@ object TextAnalysis {
         sum(col("lr_micro")).as("dsir_micro"))
   }
 
+  /** Hashed-feature DSIR model (the variant the paper actually deploys:
+    * token→bucket hashing bounds the model at `buckets` entries no
+    * matter how the vocabulary grows): per bucket, the Laplace-smoothed
+    * log-ratio ln p_target − ln p_raw, floor-quantized to micro-units.
+    * The result is a ≤`buckets`-row ARTIFACT — freeze it at the corpus
+    * epoch and score any stream/shard against it without re-reading the
+    * corpus (the CuratePipeline frozen-artifact discipline).
+    *
+    * `buckets` must divide 2^64 (be a power of two) so the bucket of
+    * the signed FNV hash equals the unsigned mod — the property that
+    * keeps the DuckDB oracle exact.
+    */
+  def dsirModelHashed(s: SparkSession, dir: String, targetFilter: Column,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    val bf = docs(s, dir)
+      .select(targetFilter.as("is_t"),
+        explode(split(col("text"), " ")).as("w"))
+      .select(pmod(fnv1a64(col("w")), lit(buckets.toLong)).as("b"),
+        col("is_t"))
+      .groupBy("b").agg(count(lit(1)).as("qc"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("tc"))
+    val full = s.range(buckets).select(col("id").as("b"))
+      .join(bf, Seq("b"), "left")
+      .select(col("b"), coalesce(col("qc"), lit(0L)).as("qc"),
+        coalesce(col("tc"), lit(0L)).as("tc"))
+    val lr = log((col("tc") + lit(1)).cast("double") /
+        (col("nt") + lit(buckets))) -
+      log((col("qc") + lit(1)).cast("double") / (col("nq") + lit(buckets)))
+    full.crossJoin(broadcast(bf.agg(sum("qc").as("nq"), sum("tc").as("nt"))))
+      .select(col("b"), floor(lr * 1000000).cast("long").as("lr_micro"))
+  }
+
+  /** The per-ROW DSIR score: one `aggregate` fold over the token array
+    * through a bucket→lr_micro map column — stateless, no explode, no
+    * per-doc shuffle. This is the ONE scoring expression the batch
+    * operator and the streaming gate share (the qualityGate/withEntNano
+    * pattern); only the map's delivery differs (broadcast frame vs
+    * frozen literal).
+    */
+  def dsirScoreCol(modelMap: Column, buckets: Int,
+      textCol: String): Column =
+    aggregate(split(col(textCol), " "), lit(0L),
+      (acc, w) => acc +
+        element_at(modelMap, pmod(fnv1a64(w), lit(buckets.toLong))))
+
+  /** Score a batch frame against a hashed DSIR model frame: the model
+    * collapses to a 1-row broadcast map, then [[dsirScoreCol]] folds
+    * per row — the scored side never shuffles.
+    */
+  def withDsirHashed(df: DataFrame, model: DataFrame, buckets: Int,
+      textCol: String, out: String): DataFrame = {
+    require(!df.columns.contains("__dsir_m"),
+      "withDsirHashed: input column __dsir_m collides with the scorer's " +
+        "reserved temp column — rename it before scoring")
+    val m = model.agg(map_from_arrays(collect_list(col("b")),
+      collect_list(col("lr_micro"))).as("__dsir_m"))
+    df.crossJoin(broadcast(m))
+      .withColumn(out, dsirScoreCol(col("__dsir_m"), buckets, textCol))
+      .drop("__dsir_m")
+  }
+
   /** Language ID by stopword-hit heuristic: count hits from tiny per-
     * language function-word lists over the token stream; argmax wins, ties
     * broken by list order. (N-gram profiles are the classic method —

@@ -479,6 +479,27 @@ object ExtQueries {
   def ds1DsirWeights(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.dsirWeights(s, dir, col("lang") === "en")
 
+  /** MMR diversified re-rank of e1's candidates — integer greedy,
+    * λ = 0.7 as the 7/3 weight split.
+    */
+  def mmr1DiversifiedTopk(s: SparkSession, dir: String): DataFrame =
+    Similarity.mmrTopK(s, dir, queryId = 0L, n = 50, k = 10)
+
+  /** Hashed-feature DSIR (the fixed-size-model deployment variant):
+    * fit the 1024-bucket log-ratio model, score every doc with the
+    * per-row fold — no explode on the scoring side.
+    */
+  def ds2DsirHashed(s: SparkSession, dir: String): DataFrame = {
+    val model = TextAnalysis.dsirModelHashed(s, dir,
+      col("lang") === "en", 1024)
+    TextAnalysis.withDsirHashed(
+      docs(s, dir).select(col("doc_id"), col("text")),
+      model, 1024, "text", "dsir_micro")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        col("dsir_micro"))
+  }
+
   /** Shannon char entropy (nano-unit exact) — compression-proxy quality
     * signal; zero-shuffle map pass.
     */

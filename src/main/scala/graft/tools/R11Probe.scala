@@ -72,6 +72,19 @@ object R11Probe {
         val n = graft.ext.Graph.pageRank(spark, dir).count()
         println(s"[probe] g1 rows=$n " +
           f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      case "curateab" =>
+        // same-JVM interleaved A/B: delta with vs without the forced
+        // decontamination broadcast, two rounds each, alternating
+        val splitId = args(2).toLong
+        val st = graft.ext.CuratePipeline.corpusState(spark, dir, splitId)
+        for (round <- 1 to 2; bcast <- Seq(true, false)) {
+          val t0 = System.nanoTime()
+          val (delta, _) = graft.ext.CuratePipeline.curateDelta(spark, dir,
+            st, decontamBroadcast = bcast)
+          val n = delta.count()
+          println(f"[probe] curateab round=$round bcast=$bcast rows=$n " +
+            f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+        }
       case "curate" =>
         val splitId = args(2).toLong
         val t0 = System.nanoTime()

@@ -244,6 +244,45 @@ class Round11Spec extends SparkSpec {
     assert(got.keys.forall(id => h2(id) >= "10"))
   }
 
+  test("mmr1: unrolled greedy equals a driver-side integer MMR replay " +
+      "and actually diversifies vs pure relevance") {
+    val dir = sf("sf0.01")
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def micro(x: Double): Long = math.floor(x * 1000000 + 0.5).toLong
+    val q = embs(0L)
+    val cands = embs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(v, q)) }
+      .sortBy { case (id, c) => (-c, id) }.take(50).map(_._1)
+    val rel = cands.map(id => id -> micro(cos(embs(id), q))).toMap
+    var picked = Vector.empty[Long]
+    while (picked.size < 10) {
+      val best = cands.filterNot(picked.contains).map { c =>
+        val sims = picked.map(p => micro(cos(embs(c), embs(p))))
+        val ms = if (sims.isEmpty) 0L else sims.max
+        (7L * rel(c) - 3L * ms, c)
+      }.minBy { case (s, id) => (-s, id) }
+      picked :+= best._2
+    }
+    val got = Similarity.mmrTopK(spark, dir).collect()
+      .sortBy(_.getLong(0)).map(_.getLong(1)).toVector
+    assert(got == picked, s"got=$got expected=$picked")
+    // diversity is non-vacuous on this fixture: the MMR order must
+    // differ from the pure-relevance prefix
+    assert(got != cands.take(10).toVector)
+  }
+
   test("managed and lazy labelProp agree exactly") {
     val dir = sf("sf0.001")
     val managed = Graph.labelProp(spark, dir, iters = 3)

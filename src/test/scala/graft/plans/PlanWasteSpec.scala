@@ -37,10 +37,13 @@ class PlanWasteSpec extends SparkSpec {
     "rd1_rolling_distinct" -> Set("BroadcastNestedLoopJoin"),
     "t10_unigram_lm_score" -> Set("BroadcastNestedLoopJoin"),
     "ds1_dsir_weights" -> Set("BroadcastNestedLoopJoin"),
+    "ds2_dsir_hashed" -> Set("BroadcastNestedLoopJoin"),
     "rrf1_hybrid_topk" -> Set("BroadcastNestedLoopJoin"),
     // eval-embedding broadcast (benchmarks ≪ train corpus): the
     // all-pairs scan against a tiny broadcast side IS the plan
     "ct2_semantic_contamination" -> Set("BroadcastNestedLoopJoin"),
+    // (mmr1 needs no entry: its candidate/pair BNLJs run eagerly inside
+    // bounded localCheckpoints — the returned plan is checkpoint scans)
     "t6v_packing_invariants" -> Set("BroadcastNestedLoopJoin"),
     // IVF probe: nearest-cells-per-query vs (nlist ≤ 32)-row centroid
     // table; bounded by construction
