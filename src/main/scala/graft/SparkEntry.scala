@@ -154,6 +154,7 @@ object SparkEntry {
     "ct2_semantic_contamination" -> (ExtQueries.ct2SemanticContamination(_, _)),
     "mmr1_diversified_topk" -> (ExtQueries.mmr1DiversifiedTopk _),
     "ds2_dsir_hashed" -> (ExtQueries.ds2DsirHashed _),
+    "ds3_dsir_resample" -> (ExtQueries.ds3DsirResample _),
     "t14_char_entropy" -> (ExtQueries.t14CharEntropy _),
     "v3_bpe_encode" -> (ExtQueries.v3BpeEncode _),
     "e6_random_projection" -> (ExtQueries.e6RandomProjection _),
@@ -2614,6 +2615,38 @@ object SparkEntry {
                   AS BIGINT)) AS BIGINT) AS dsir_micro
          FROM words JOIN freq USING (w), tot
          GROUP BY doc_id""",
+    // ds3: the Gumbel-top-k resampling draw — ds1's per-doc micro
+    // log-weights + a deterministic inverse-Gumbel of xxhash64(doc_id)
+    // (the validated x9 emulation), BIGINT key sum, top-64. u is
+    // IEEE-exact by construction (53-bit integer + 0.5, power-of-two
+    // divide), so both engines transform the same double.
+    "ds3_dsir_resample" -> {
+      s"""WITH words AS (SELECT doc_id, lang = 'en' AS is_t,
+                                unnest(string_split(text, ' ')) AS w
+                         FROM documents),
+           freq AS (SELECT w, count(*) AS qc,
+                           sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tc
+                    FROM words GROUP BY w),
+           tot AS (SELECT sum(qc) AS nq, sum(tc) AS nt, count(*) AS v
+                   FROM freq),
+           wt AS (SELECT doc_id,
+                  CAST(sum(CAST(floor(
+                    (ln(CAST(tc + 1 AS DOUBLE) / (nt + v))
+                     - ln(CAST(qc + 1 AS DOUBLE) / (nq + v))) * 1000000)
+                    AS BIGINT)) AS BIGINT) AS dsir_micro
+                  FROM words JOIN freq USING (w), tot
+                  GROUP BY doc_id),
+           src AS (SELECT 'd' AS grp, doc_id AS v FROM documents),
+           ${xxh64LongStagesCte("src")},
+           gmb AS (SELECT v AS doc_id,
+                    CAST(floor((- ln(- ln(
+                      (CAST(h >> 11 AS DOUBLE) + 0.5)
+                        / 9007199254740992.0))) * 1000000) AS BIGINT)
+                      AS g_micro
+                   FROM hh)
+         SELECT wt.doc_id, wt.dsir_micro + gmb.g_micro AS key_micro
+         FROM wt JOIN gmb ON wt.doc_id = gmb.doc_id
+         ORDER BY key_micro DESC, wt.doc_id LIMIT 64""" },
     // ds2: the hashed-feature DSIR variant — token → FNV bucket
     // (unsigned mod 1024 ≡ the Spark side's signed pmod because 1024
     // divides 2^64), per-bucket micro-quantized log-ratio, BIGINT sum

@@ -109,6 +109,20 @@ object StreamGateBench {
     }
     semArt.corpus.count()
 
+    // gate 0.5 (r11): the stateless DSIR target-likeness gate, frozen
+    // from the corpus once (the production epoch-artifact layout). The
+    // floor is the 10th percentile of the generated mix's own scores so
+    // the gate exercises real per-row work without starving the
+    // stateful gates downstream (the synthetic texts are out-of-corpus,
+    // so a corpus-percentile floor would drop nearly everything).
+    val dsirBuckets = 1024
+    val dsirModel = graft.stream.StreamDsir.freezeModel(spark, dir,
+      col("lang") === "en", dsirBuckets)
+    val dsirFloor = spark.createDataset(rows.map(_._2)).toDF("text")
+      .select(graft.ext.TextAnalysis.dsirScoreCol(
+        typedLit(dsirModel), dsirBuckets, "text").cast("double").as("sc"))
+      .stat.approxQuantile("sc", Array(0.1), 0.0).head.toLong
+
     def run(gates: Boolean): (Double, Long, Long, Long, Long) = {
       val mem = MemoryStream[(Long, String, Array[Float], java.sql.Timestamp)](
         1)(implicitly, spark.sqlContext)
@@ -122,7 +136,9 @@ object StreamGateBench {
       // cost rides inside the gates-on throughput number
       val gated = if (gates)
         StreamDedup.exactWithinWatermark(
-          graft.stream.StreamQuality.qualityGate(df, minWords = 5))
+          graft.stream.StreamDsir.dsirGate(
+            graft.stream.StreamQuality.qualityGate(df, minWords = 5),
+            dsirModel, dsirBuckets, dsirFloor))
       else df
       val q = gated.writeStream
         .outputMode("append")
@@ -204,6 +220,7 @@ object StreamGateBench {
       s""""exact_admitted":$exactOut,"neardup_admitted":$nearOut,""" +
       s""""fully_admitted":$onAdmitted,"ungated_admitted":$offAdmitted,""" +
       s""""sem_probe_tau":$sweepTau,"sem_probe_truth_pairs":$truth,""" +
+      s""""dsir_floor_micro":$dsirFloor,""" +
       s"""$probeJson,"sf_dir":"$dir"}""")
     spark.stop()
   }

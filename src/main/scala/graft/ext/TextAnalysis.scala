@@ -164,6 +164,39 @@ object TextAnalysis {
       .select(col("b"), floor(lr * 1000000).cast("long").as("lr_micro"))
   }
 
+  /** DSIR importance RESAMPLING — the selection step that makes the
+    * weights a training set: sampling k docs without replacement with
+    * probability ∝ w(d) is exactly the top-k of log w(d) + Gumbel
+    * noise (the Gumbel-top-k trick, Vieira 2014 / Kool et al. 2019 —
+    * the method the DSIR paper's resampling stage uses). The "noise"
+    * here is a deterministic function of doc_id — xxhash64(doc_id)'s
+    * top 53 bits through the inverse-Gumbel transform — so the sample
+    * is reproducible across runs, partitionings, and engines (seeded
+    * sampling is what a production curation run wants anyway: the
+    * selection must be auditable).
+    *
+    * Exactness: u = (h >>> 11 + 0.5)/2^53 is IEEE-exact (integer cast
+    * below 2^53, power-of-two divide); g = −ln(−ln u) floor-quantized
+    * to micro-units pairs with ds1's micro log-weights, and the key is
+    * their BIGINT sum — ties to smallest doc_id. xxhash64-of-LONG has
+    * the validated SQL emulation (x9), so the whole draw replays in
+    * the oracle.
+    *
+    * Plan shape at 100 TB: ds1's aggregates + one map-side key
+    * expression + TakeOrderedAndProject — nothing new shuffles.
+    */
+  def dsirResample(s: SparkSession, dir: String, targetFilter: Column,
+      k: Int = 64): DataFrame = {
+    val v = shiftrightunsigned(xxhash64(col("doc_id")), 11)
+    val u = (v.cast("double") + lit(0.5)) / lit(9007199254740992.0)
+    val gMicro = floor(-log(-log(u)) * 1000000).cast("long")
+    dsirWeights(s, dir, targetFilter)
+      .select(col("doc_id"),
+        (col("dsir_micro") + gMicro).as("key_micro"))
+      .orderBy(col("key_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** The per-ROW DSIR score: one `aggregate` fold over the token array
     * through a bucket→lr_micro map column — stateless, no explode, no
     * per-doc shuffle. This is the ONE scoring expression the batch

@@ -485,6 +485,12 @@ object ExtQueries {
   def mmr1DiversifiedTopk(s: SparkSession, dir: String): DataFrame =
     Similarity.mmrTopK(s, dir, queryId = 0L, n = 50, k = 10)
 
+  /** DSIR importance resampling: deterministic Gumbel-top-64 over the
+    * ds1 weights — the selection step, reproducible by construction.
+    */
+  def ds3DsirResample(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dsirResample(s, dir, col("lang") === "en", k = 64)
+
   /** Hashed-feature DSIR (the fixed-size-model deployment variant):
     * fit the 1024-bucket log-ratio model, score every doc with the
     * per-row fold — no explode on the scoring side.

@@ -205,6 +205,37 @@ class Round11Spec extends SparkSpec {
     assert((lex.keySet intersect sem.keySet).nonEmpty)
   }
 
+  test("ds3: the Gumbel-top-k draw replays driver-side, sits off the " +
+      "floor boundaries, and actually perturbs the pure-weight order") {
+    val dir = sf("sf0.01")
+    val w = TextAnalysis.dsirWeights(spark, dir, col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), xxhash64(col("doc_id")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def gMicro(h: Long): Long = {
+      val u = ((h >>> 11).toDouble + 0.5) / 9007199254740992.0
+      val x = -math.log(-math.log(u)) * 1000000
+      // floor-boundary margin (the t10 discipline): a draw within 1e-6
+      // of an integer micro boundary could floor differently across
+      // engines' ln implementations
+      assert(math.abs(x - math.rint(x)) > 1e-6,
+        f"doc hash $h: gumbel micro $x%.9f on a floor boundary")
+      math.floor(x).toLong
+    }
+    val expected = w.toSeq
+      .map { case (id, wm) => (id, wm + gMicro(hs(id))) }
+      .sortBy { case (id, key) => (-key, id) }.take(64)
+    val got = graft.queries.ExtQueries.ds3DsirResample(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    // the noise is live: the draw must differ from pure-weight top-64
+    val pure = w.toSeq.sortBy { case (id, wm) => (-wm, id) }
+      .take(64).map(_._1)
+    assert(got.map(_._1) != pure,
+      "gumbel draw degenerated to the deterministic weight order")
+  }
+
   test("ct2: semantic contamination equals a driver-side brute force " +
       "over the frozen eval slice") {
     val dir = sf("sf0.01")

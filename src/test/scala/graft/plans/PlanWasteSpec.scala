@@ -38,6 +38,7 @@ class PlanWasteSpec extends SparkSpec {
     "t10_unigram_lm_score" -> Set("BroadcastNestedLoopJoin"),
     "ds1_dsir_weights" -> Set("BroadcastNestedLoopJoin"),
     "ds2_dsir_hashed" -> Set("BroadcastNestedLoopJoin"),
+    "ds3_dsir_resample" -> Set("BroadcastNestedLoopJoin"),
     "rrf1_hybrid_topk" -> Set("BroadcastNestedLoopJoin"),
     // eval-embedding broadcast (benchmarks ≪ train corpus): the
     // all-pairs scan against a tiny broadcast side IS the plan
