@@ -72,6 +72,47 @@ object R11Probe {
         val n = graft.ext.Graph.pageRank(spark, dir).count()
         println(s"[probe] g1 rows=$n " +
           f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      case "g4p" =>
+        // interleaved A/B: stock labelPropBipartite vs a variant whose
+        // incidence is hash-pre-partitioned on each hop's join key ONCE
+        // (cached partitioning satisfies the join's distribution, so the
+        // 60M-row side never re-exchanges; only the node-sized label
+        // table shuffles per hop)
+        import org.apache.spark.sql.DataFrame
+        def majority(df: DataFrame, key: String): DataFrame =
+          df.groupBy(col(key), col("label"))
+            .agg(count(lit(1)).as("cnt"))
+            .groupBy(key)
+            .agg(max(struct(col("cnt"),
+              (-col("label")).as("nl"))).as("m"))
+            .select(col(key), (-col("m.nl")).cast("long").as("label"))
+        def prepart(): Long = {
+          val base = graft.ext.Graph.orderPartEdges(spark, dir)
+          val incByPart = base.repartition(col("part")).persist()
+          val incByOrd = base.repartition(col("ord")).persist()
+          incByPart.count(); incByOrd.count()
+          var labels = incByPart.select(col("part")).distinct()
+            .withColumn("label", col("part"))
+          for (_ <- 1 to 3) {
+            val prev = labels
+            val ordLabels = majority(incByPart.join(labels, "part"), "ord")
+            labels = majority(incByOrd.join(ordLabels, "ord"), "part")
+              .localCheckpoint(true)
+            prev.unpersist(false)
+          }
+          val n = labels.count()
+          incByPart.unpersist(false); incByOrd.unpersist(false)
+          n
+        }
+        for (round <- 1 to 2) {
+          val t0 = System.nanoTime()
+          val a = graft.ext.Graph.labelPropBipartite(spark, dir).count()
+          val t1 = System.nanoTime()
+          val b = prepart()
+          val t2 = System.nanoTime()
+          println(f"[probe] g4p round=$round stock=${(t1 - t0) / 1e9}%.1f " +
+            f"prepart=${(t2 - t1) / 1e9}%.1f rowsA=$a rowsB=$b")
+        }
       case "curateab" =>
         // same-JVM interleaved A/B: delta with vs without the forced
         // decontamination broadcast, two rounds each, alternating
