@@ -635,6 +635,7 @@ object Similarity {
     import s.implicits._
     var sel = Seq.empty[(Long, Long, Long)]
       .toDF("rank", "doc_id", "mmr_micro")
+    var prevSel: DataFrame = null
     for (r <- 1 to k) {
       val maxSim = pairs
         .join(sel.select(col("doc_id").as("b")), "b")
@@ -650,7 +651,17 @@ object Similarity {
         .limit(1)
         .select(lit(r.toLong).as("rank"), col("doc_id"), col("mmr_micro"))
       sel = sel.unionByName(pick).localCheckpoint(true)
+      // Release the superseded round's checkpoint (the labelPropBipartite
+      // supersession discipline): round r's union materializes everything
+      // round r-1 held, so the old RDD is dead weight — k-1 pinned RDDs
+      // per call otherwise.
+      if (prevSel != null) Dedup.unpersistCheckpoint(prevSel)
+      prevSel = sel
     }
+    // The returned frame derives only from the FINAL sel checkpoint
+    // (eagerly materialized), so the candidate/pair scaffolding can go.
+    Dedup.unpersistCheckpoint(cands)
+    Dedup.unpersistCheckpoint(pairs)
     sel.select(col("rank"), col("doc_id"))
   }
 }

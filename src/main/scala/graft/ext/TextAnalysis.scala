@@ -16,6 +16,34 @@ object TextAnalysis {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** floor(x·1e6) with a LOUD boundary guard: the DSIR log-ratios
+    * floor-quantize a difference of libm ln() results, and a 1-ulp ln
+    * divergence between the JVM and the oracle engine can flip the floor
+    * when the scaled value sits within ~1e-8 of an integer. Unlike the
+    * HLL estimator (whose domain was exhaustively analyzed), the DSIR
+    * inputs are open-ended corpora — so instead of a probabilistic
+    * fixture-scoped margin, every floored value asserts at RUNTIME that
+    * it is ≥1e-7 micro-units from the nearest boundary (30× the worst
+    * accumulated ulp noise of two ln calls + subtract + scale). A
+    * boundary-adjacent ratio fails with the offending value instead of
+    * silently hash-mismatching on a new corpus. Exact integers (e.g.
+    * lr = 0.0 when target ≡ corpus) pass: both engines floor exact
+    * doubles identically. The raise_error arm is load-bearing, so
+    * Catalyst cannot prune it (the bpeEncode pattern).
+    */
+  private[ext] def floorMicroGuarded(x: Column): Column = {
+    val scaled = x * lit(1000000)
+    val fr = scaled - floor(scaled)
+    when(fr =!= lit(0.0) &&
+        (fr < lit(1e-7) || fr > lit(1.0) - lit(1e-7)),
+      raise_error(concat(
+        lit("dsir: micro-unit value within 1e-7 of a floor boundary ("),
+        scaled.cast("string"),
+        lit(") - a 1-ulp ln divergence could flip the floor cross-engine"))))
+      .otherwise(floor(scaled))
+      .cast("long")
+  }
+
   /** Token counts: whitespace tokens + a BPE-ish regex token stream
     * (words / numbers / punctuation runs — the pre-tokenizer shape used by
     * GPT-style byte-pair encoders).
@@ -124,7 +152,7 @@ object TextAnalysis {
       log((col("qc") + lit(1)).cast("double") / (col("nq") + col("v")))
     words.join(freq, "w")
       .crossJoin(broadcast(totals))
-      .withColumn("lr_micro", floor(lr * 1000000).cast("long"))
+      .withColumn("lr_micro", floorMicroGuarded(lr))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("lr_micro")).as("dsir_micro"))
@@ -161,7 +189,7 @@ object TextAnalysis {
         (col("nt") + lit(buckets))) -
       log((col("qc") + lit(1)).cast("double") / (col("nq") + lit(buckets)))
     full.crossJoin(broadcast(bf.agg(sum("qc").as("nq"), sum("tc").as("nt"))))
-      .select(col("b"), floor(lr * 1000000).cast("long").as("lr_micro"))
+      .select(col("b"), floorMicroGuarded(lr).as("lr_micro"))
   }
 
   /** DSIR importance RESAMPLING — the selection step that makes the
@@ -189,7 +217,7 @@ object TextAnalysis {
       k: Int = 64): DataFrame = {
     val v = shiftrightunsigned(xxhash64(col("doc_id")), 11)
     val u = (v.cast("double") + lit(0.5)) / lit(9007199254740992.0)
-    val gMicro = floor(-log(-log(u)) * 1000000).cast("long")
+    val gMicro = floorMicroGuarded(-log(-log(u)))
     dsirWeights(s, dir, targetFilter)
       .select(col("doc_id"),
         (col("dsir_micro") + gMicro).as("key_micro"))
@@ -219,6 +247,16 @@ object TextAnalysis {
     require(!df.columns.contains("__dsir_m"),
       "withDsirHashed: input column __dsir_m collides with the scorer's " +
         "reserved temp column — rename it before scoring")
+    // Model completeness: dsirScoreCol's element_at yields NULL for a
+    // bucket missing from the map, and a NULL nulls the WHOLE fold — a
+    // partial model frame would silently produce NULL scores. dsirGate
+    // checks this on the streaming side; the batch scorer must too. The
+    // model is ≤buckets rows by construction, so the count is cheap.
+    val nBuckets = model.select(countDistinct(col("b"))).head().getLong(0)
+    require(nBuckets == buckets.toLong,
+      s"withDsirHashed: model covers $nBuckets of $buckets buckets - a " +
+        "missing bucket would NULL the whole per-row score fold; build " +
+        "the model with dsirModelHashed (which densifies all buckets)")
     val m = model.agg(map_from_arrays(collect_list(col("b")),
       collect_list(col("lr_micro"))).as("__dsir_m"))
     df.crossJoin(broadcast(m))

@@ -97,13 +97,26 @@ object HllSketch {
 
     require(p >= 4 && p <= 18, s"HLL precision p=$p out of [4, 18]")
 
-    private val hasher = XxHash64(Seq(child), 42L)
+    // The hasher reads the ALREADY-EVALUATED child value from a reusable
+    // one-slot scratch row: child.eval runs exactly once per input row
+    // (the previous shape evaluated it twice — once for the null check,
+    // once inside XxHash64(child).eval — wasted work, and a
+    // nondeterministic child would null-check one value and hash
+    // another). Scratch reuse is safe: update() is single-threaded per
+    // task and hasher.eval consumes the slot synchronously.
+    private lazy val hasher = XxHash64(Seq(org.apache.spark.sql.catalyst
+      .expressions.BoundReference(0, child.dataType, nullable = false)),
+      42L)
+    private lazy val scratch =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
 
     override def createAggregationBuffer(): Buffer = new Buffer(p)
 
     override def update(b: Buffer, input: InternalRow): Buffer = {
-      if (child.eval(input) != null) {
-        b.insert(hasher.eval(input).asInstanceOf[Long])
+      val v = child.eval(input)
+      if (v != null) {
+        scratch.update(0, v)
+        b.insert(hasher.eval(scratch).asInstanceOf[Long])
       }
       b
     }

@@ -62,13 +62,22 @@ object KmvSketch {
       mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Buffer] {
 
-    private val hasher = XxHash64(Seq(child), 42L)
+    // Single child.eval per row via a reusable scratch row (the
+    // HllSketch.Agg pattern — see the comment there): the previous shape
+    // re-evaluated the child inside the hasher after the null check.
+    private lazy val hasher = XxHash64(Seq(org.apache.spark.sql.catalyst
+      .expressions.BoundReference(0, child.dataType, nullable = false)),
+      42L)
+    private lazy val scratch =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
 
     override def createAggregationBuffer(): Buffer = new Buffer(k)
 
     override def update(b: Buffer, input: InternalRow): Buffer = {
-      if (child.eval(input) != null) {
-        b.insert(hasher.eval(input).asInstanceOf[Long])
+      val v = child.eval(input)
+      if (v != null) {
+        scratch.update(0, v)
+        b.insert(hasher.eval(scratch).asInstanceOf[Long])
       }
       b
     }

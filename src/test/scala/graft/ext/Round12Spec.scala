@@ -1,0 +1,107 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-12 hardening specs: pins the four ADVICE-r11 fixes (mmrTopK
+  * checkpoint supersession, the DSIR floor-boundary runtime guard, the
+  * withDsirHashed model-completeness require, single child.eval in the
+  * sketch aggregates).
+  */
+class Round12Spec extends SparkSpec {
+
+  test("mmrTopK is self-managing: superseded round checkpoints and the " +
+      "cands/pairs scaffolding are released; at most the final selection " +
+      "stays pinned") {
+    val dir = sf("sf0.001")
+    def pinnedIds() = spark.sparkContext.getPersistentRDDs.keySet
+    val before = pinnedIds()
+    val got = Similarity.mmrTopK(spark, dir, queryId = 0L, n = 20, k = 5)
+      .collect()
+    assert(got.length == 5)
+    // unpersist is async; bounded wait, NO clearCache (the labelProp
+    // leak-spec discipline). Without supersession this call pins
+    // k-1 + 2 = 6 extra RDDs; with it, at most the final sel survives.
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    def leakedNow(): Int = (pinnedIds() -- before).size
+    var leaked = leakedNow()
+    while (leaked > 1 && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      leaked = leakedNow()
+    }
+    val names = (pinnedIds() -- before).flatMap(id =>
+      spark.sparkContext.getPersistentRDDs.get(id).map(r =>
+        s"$id:${r.name}"))
+    assert(leaked <= 1,
+      s"$leaked RDDs still pinned after mmrTopK: $names")
+  }
+
+  test("floorMicroGuarded: boundary-adjacent values fail LOUDLY, exact " +
+      "integers and clear-of-boundary values floor normally") {
+    import spark.implicits._
+    val ok = Seq(0.0, 1.5e-6, -3.7e-6, 12.345678e-6)
+      .toDF("x")
+      .select(TextAnalysis.floorMicroGuarded(col("x")).as("m"))
+      .collect().map(_.getLong(0))
+    // 0.0 is EXACTLY on a boundary but exact → passes (both engines
+    // floor exact doubles identically); the rest are mid-interval
+    assert(ok.toSeq == Seq(0L, 1L, -4L, 12L))
+    val boundary = Seq(2.0000000099e-6).toDF("x") // 9.9e-9 above 2 micro
+      .select(TextAnalysis.floorMicroGuarded(col("x")).as("m"))
+    val e = intercept[Exception](boundary.collect())
+    assert(e.getMessage != null &&
+      e.getMessage.contains("floor boundary"),
+      s"wrong failure: ${e.getMessage}")
+  }
+
+  test("withDsirHashed rejects a partial model frame instead of " +
+      "silently NULLing the score fold") {
+    val dir = sf("sf0.001")
+    val buckets = 64
+    val model = TextAnalysis.dsirModelHashed(spark, dir,
+      col("lang") === "en", buckets)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    // complete model scores fine, zero NULLs
+    val scored = TextAnalysis.withDsirHashed(docs, model, buckets,
+      "text", "dsir")
+    assert(scored.filter(col("dsir").isNull).count() == 0L)
+    // a model missing buckets must fail loudly at call time
+    val partial = model.filter(col("b") < buckets / 2)
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.withDsirHashed(docs, partial, buckets, "text", "d"))
+    assert(e.getMessage.contains("buckets"))
+  }
+
+  test("sketch aggregates evaluate the child expression exactly once " +
+      "per input row (null-check and hash see the SAME value)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, If,
+      IsNull, LeafExpression, Literal}
+    import org.apache.spark.sql.types.LongType
+    val calls = new java.util.concurrent.atomic.AtomicLong(0)
+    // a deliberately side-effecting child: each eval bumps the counter
+    case class Counting() extends LeafExpression {
+      override def dataType = LongType
+      override def nullable = false
+      override def eval(input: InternalRow): Any = { calls.incrementAndGet() }
+      override protected def doGenCode(
+          ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+          ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+        throw new UnsupportedOperationException("interpreted-only test expr")
+    }
+    val row = InternalRow.empty
+    val hll = graft.functions.HllSketch.Agg(Counting(), p = 8)
+    val hb = hll.createAggregationBuffer()
+    hll.update(hb, row)
+    assert(calls.get() == 1L,
+      s"HllSketch.update evaluated the child ${calls.get()} times")
+    calls.set(0)
+    val kmv = graft.functions.KmvSketch.Agg(Counting(), k = 16)
+    val kb = kmv.createAggregationBuffer()
+    kmv.update(kb, row)
+    assert(calls.get() == 1L,
+      s"KmvSketch.update evaluated the child ${calls.get()} times")
+  }
+}
