@@ -27,6 +27,44 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** Sentinel: let the miner choose exact vs capped candidate generation
+    * from corpus statistics (the DEFAULT for [[prefixJaccardPairs]] /
+    * [[winnowPairs]] — the data decides, a caller no longer has to know
+    * the capped path exists to survive 100×).
+    */
+  val AutoCap: Int = -1
+
+  /** The settings the auto router engages above the wall: cap=64 with
+    * the 16 rarest df≥2 prefix tokens per doc — the (64,16) point the
+    * sf10 probes measured (completes everywhere the exact join dies;
+    * ~87% pair recall with the loss in the weak tail, Round11Spec).
+    */
+  val AutoCandCap: Int = 64
+  val AutoCandTokens: Int = 16
+
+  /** Enumeration-volume threshold (rows) above which the auto router
+    * abandons the exact self-join. Grounding (tools/AutoRouteStats,
+    * SCALING.md r12): the exact path emits Σ df·(df−1)/2 candidate-
+    * enumeration rows through its first exchange — ~24 bytes each, so
+    * 2e9 rows ≈ 48 GB of shuffle scratch BEFORE pair-dedup. Measured
+    * d3 volumes: 6.4e6 at sf0.1, 6.7e8 at sf1 (completes comfortably),
+    * 6.8e10 at sf10 (the measured death: ~76 GB scratch filled before
+    * any output). 2e9 sits 3× above sf1's volume and 34× under the
+    * death point — a single-box number; a multi-executor cluster scales
+    * it by aggregate scratch, a scratch-poor one tunes it down.
+    */
+  val AutoEnumRowsMax: Long = 2000000000L
+
+  /** Σ_key df·(df−1)/2 over a token table — the exact candidate join's
+    * output volume upper bound, as ONE compact-key aggregate (double
+    * arithmetic: the estimate needs magnitude, not exactness, and df²
+    * sums overflow BIGINT on pathological corpora).
+    */
+  private[graft] def enumRowsEstimate(tok: DataFrame, keyCol: String): Double =
+    tok.groupBy(keyCol).agg(count(lit(1)).cast("double").as("df"))
+      .agg(coalesce(sum(col("df") * (col("df") - 1) / 2), lit(0.0)).as("e"))
+      .head().getDouble(0)
+
   /** Exact dedup: one row per distinct text, keeping the smallest doc_id
     * (deterministic — dropDuplicates keeps an arbitrary row).
     */
@@ -604,8 +642,9 @@ object Dedup {
       blockCols: Seq[String] = Seq("lang", "source"),
       rarestFirst: Boolean = true,
       compactKeys: Boolean = true,
-      candCap: Int = 0,
-      candTokens: Int = 0): DataFrame = {
+      candCap: Int = AutoCap,
+      candTokens: Int = 0,
+      autoEnumRowsMax: Long = AutoEnumRowsMax): DataFrame = {
     val sh = shingles(docs(s, dir), k).select(
       (Seq(col("doc_id")) ++ blockCols.map(col) :+ col("shingle_hashes")): _*)
     val plen = (n: org.apache.spark.sql.Column) =>
@@ -632,7 +671,7 @@ object Dedup {
     val jkey = xxhash64((blockCols.map(col) :+ col("h")): _*)
     val blockNotNull = blockCols.map(col(_).isNotNull)
       .foldLeft(lit(true))(_ && _)
-    val ordered = if (rarestFirst) {
+    def tokenTable(candTok: Int): DataFrame = if (rarestFirst) {
       val tok0 = sh.select(
         (Seq(col("doc_id"), size(col("shingle_hashes")).cast("long").as("n")) ++
           blockCols.map(col) :+ explode(col("shingle_hashes")).as("h")): _*)
@@ -663,11 +702,11 @@ object Dedup {
       // A true pair misses only if none of its shared tokens make
       // either doc's rarest-P (Round11Spec measures the loss).
       val kept2 =
-        if (candTokens > 0)
+        if (candTok > 0)
           kept.filter(col("df") >= 2)
             .withColumn("rn2",
               row_number().over(byDoc.orderBy("df", "h")))
-            .filter(col("rn2") <= candTokens)
+            .filter(col("rn2") <= candTok)
         else kept
       if (compactKeys) kept2.select("doc_id", "n", "h")
       else kept2.select((Seq(col("doc_id"), col("n")) ++ blockCols.map(col) :+
@@ -681,6 +720,33 @@ object Dedup {
         .select(col("doc_id"), col("n"), jkey.as("h"))
       else pref
     }
+    // AutoCap sentinel (the DEFAULT): estimate the exact path's
+    // candidate-ENUMERATION volume — Σ_token df·(df−1)/2 over the
+    // prefix-kept token table, the rows the token self-join emits before
+    // any dedup can drop one — with one compact-key aggregate, and
+    // engage the capped generation only above `autoEnumRowsMax` (the
+    // Similarity.autoPlanes pattern: data decides, not a knob a caller
+    // must know about). Below the wall the result is the EXACT pair set;
+    // above it the capped path is what completes at all (r11 sf10 probe:
+    // the enumeration fills the disk at ~10¹⁰ rows). The estimate is an
+    // upper bound of the join output (size-ratio and doc_id< pruning
+    // only shrink it), so routing errs toward survival.
+    val (cap, candTok) =
+      if (candCap == AutoCap) {
+        require(candTokens == 0,
+          "candTokens is chosen by the auto router; pass candCap " +
+            "explicitly to control it")
+        // the literal/unordered paths (compactKeys=false /
+        // rarestFirst=false) are equivalence-spec baselines — the SNM
+        // cap doesn't apply to them, so auto resolves to exact there
+        if (!compactKeys || !rarestFirst) (0, 0)
+        else {
+          val est = enumRowsEstimate(tokenTable(0), "h")
+          if (est > autoEnumRowsMax.toDouble) (AutoCandCap, AutoCandTokens)
+          else (0, 0)
+        }
+      } else (candCap, candTokens)
+    val ordered = tokenTable(candTok)
     // size filter: J(a,b) >= t forces t·|a| <= |b| <= |a|/t — prunes
     // candidate pairs between very different-sized sets in the join itself
     val blockEq = if (compactKeys) Nil
@@ -698,19 +764,19 @@ object Dedup {
     // ([[snmCandidates]]) — capping must bound GENERATION, not just the
     // verified set (r11 sf10 probe: the pair×shared-token enumeration
     // alone fills the disk).
-    require(candCap == 0 || compactKeys,
+    require(cap == 0 || compactKeys,
       "candCap requires compactKeys (the SNM window keys on the folded " +
         "block+token hash)")
-    require(candTokens == 0 || (candCap > 0 && rarestFirst),
+    require(candTok == 0 || (cap > 0 && rarestFirst),
       "candTokens is a capped-mode knob (needs candCap > 0 and the " +
         "rarest-first prefix order)")
     val cand0 =
-      if (candCap > 0) snmCandidates(ordered, "h", candCap, jaccardMin)
+      if (cap > 0) snmCandidates(ordered, "h", cap, jaccardMin)
       else ordered.alias("l").join(ordered.alias("r"), joinCond)
         .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("shared_keys"),
           first(col("l.n")).as("n_a"), first(col("r.n")).as("n_b"))
-    val cand = capCandidates(cand0, candCap)
+    val cand = capCandidates(cand0, cap)
     verifyCandidates(cand, sh.select(col("doc_id"), col("shingle_hashes")),
       jaccardMin)
   }
@@ -729,7 +795,8 @@ object Dedup {
       jaccardMin: Double = 0.4,
       blockCols: Seq[String] = Seq("lang", "source"),
       compactKeys: Boolean = true,
-      candCap: Int = 0): DataFrame = {
+      candCap: Int = AutoCap,
+      autoEnumRowsMax: Long = AutoEnumRowsMax): DataFrame = {
     val sh = shingles(docs(s, dir), k).select(
       (Seq(col("doc_id"), col("shingle_hashes")) ++ blockCols.map(col) :+
         graft.functions.Expressions.winnowFingerprints(col("text"), k, w)
@@ -757,16 +824,30 @@ object Dedup {
     val joinCond = (blockEq ++ Seq(
       col("l.fp") === col("r.fp"), col("l.doc_id") < col("r.doc_id")))
       .reduce(_ && _)
-    require(candCap == 0 || compactKeys,
+    // AutoCap sentinel: same data-driven routing as prefixJaccardPairs,
+    // over the (smaller) fingerprint table — winnow fingerprints are
+    // ~2/(w+1) of the shingles, so this trips later, but a boilerplate-
+    // heavy corpus (one hot fingerprint shared by millions of docs) is
+    // exactly the df² blow-up the estimate catches.
+    val cap =
+      if (candCap == AutoCap) {
+        // the literal path (compactKeys=false) is the equivalence-spec
+        // baseline — auto resolves to exact there (see prefixJaccardPairs)
+        if (!compactKeys) 0
+        else if (enumRowsEstimate(fp, "fp") > autoEnumRowsMax.toDouble)
+          AutoCandCap
+        else 0
+      } else candCap
+    require(cap == 0 || compactKeys,
       "candCap requires compactKeys (the SNM window keys on the folded " +
         "block+fingerprint hash)")
     val cand0 =
-      if (candCap > 0) snmCandidates(fp, "fp", candCap, jaccardMin)
+      if (cap > 0) snmCandidates(fp, "fp", cap, jaccardMin)
       else fp.alias("l").join(fp.alias("r"), joinCond)
         .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("shared_keys"),
           first(col("l.n")).as("n_a"), first(col("r.n")).as("n_b"))
-    val cand = capCandidates(cand0, candCap)
+    val cand = capCandidates(cand0, cap)
     verifyCandidates(cand, sh.select(col("doc_id"), col("shingle_hashes")),
       jaccardMin)
   }

@@ -243,6 +243,78 @@ object Graph {
     out
   }
 
+  /** Clique-edge volume threshold for the auto front doors: above this
+    * many estimated half-edges (Σ m·(m−1)/2 over orders, m = distinct
+    * parts per order) the per-order clique expansion is routed to the
+    * bipartite formulation. Grounding (tools/AutoRouteStats, SCALING.md
+    * r12): measured half-edge estimates are 1.2e6 at sf0.1, 1.2e7 at
+    * sf1 (clique completes in ~21 s), 1.2e8 at sf10 — the measured wall
+    * (a 625 s / 48 GB-driver cold build that OOMs below 32 GB). 3e7
+    * sits 2.5× above sf1's volume and 4× under the wall.
+    */
+  val AutoCliqueEdgesMax: Long = 30000000L
+
+  /** Whale-order guard: ONE order with m parts contributes m·(m−1)/2
+    * clique edges on its own and lands them in one join bucket — route
+    * to bipartite when any order exceeds this many distinct parts even
+    * if the aggregate volume looks benign (10k parts → 5e7 pairs in one
+    * task).
+    */
+  val AutoOrderPartsMax: Long = 10000L
+
+  /** The two routing statistics as ONE cheap aggregate over lineitem
+    * (compact 8-byte keys, linear): estimated clique half-edge count and
+    * the maximum per-order distinct part count.
+    */
+  private[graft] def cliqueStats(s: SparkSession, dir: String): (Double, Long) = {
+    val r = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(countDistinct(col("l_partkey")).cast("double").as("m"))
+      .agg(coalesce(sum(col("m") * (col("m") - 1) / 2), lit(0.0)).as("e"),
+        coalesce(max(col("m")), lit(0.0)).as("mx"))
+      .head()
+    (r.getDouble(0), r.getDouble(1).toLong)
+  }
+
+  /** The PageRank FRONT DOOR — the entry point to call when the caller
+    * has not already chosen a formulation: one cheap aggregate over
+    * lineitem estimates the clique-expansion volume, and the walk runs
+    * on the distinct-partner clique graph ([[pageRank]]) below the wall
+    * or directly on the bipartite incidence ([[pageRankBipartite]])
+    * above it (the Similarity.autoPlanes pattern — data picks the shape,
+    * not a knob).
+    *
+    * The two formulations are BOTH legitimate co-occurrence priors but
+    * NOT numerically interchangeable (distinct-partner walk vs walk
+    * multiplicity — see [[pageRankBipartite]]'s semantics note); what
+    * the front door guarantees is a part-keyed integer micro-PR ranking
+    * that completes at any scale. Callers that need one specific
+    * formulation call it explicitly — both remain public and oracle-
+    * gated (g1/g3).
+    */
+  def pageRankAuto(s: SparkSession, dir: String, iters: Int = 3,
+      maxCliqueEdges: Long = AutoCliqueEdgesMax,
+      maxOrderParts: Long = AutoOrderPartsMax): DataFrame = {
+    val (est, mx) = cliqueStats(s, dir)
+    if (est > maxCliqueEdges.toDouble || mx > maxOrderParts)
+      pageRankBipartite(s, dir, iters)
+    else pageRank(s, dir, iters)
+  }
+
+  /** Label-propagation front door — same routing statistic and contract
+    * as [[pageRankAuto]]: clique communities ([[labelProp]]) below the
+    * wall, bipartite majority rounds ([[labelPropBipartite]]) above.
+    */
+  def labelPropAuto(s: SparkSession, dir: String, iters: Int = 3,
+      maxCliqueEdges: Long = AutoCliqueEdgesMax,
+      maxOrderParts: Long = AutoOrderPartsMax): DataFrame = {
+    val (est, mx) = cliqueStats(s, dir)
+    if (est > maxCliqueEdges.toDouble || mx > maxOrderParts)
+      labelPropBipartite(s, dir, iters)
+    else labelProp(s, dir, iters)
+  }
+
   /** Convergence-mode PageRank: iterate until the TOTAL L1 delta of the
     * micro-PR vector drops below `epsMicro` (or `maxIter` as a backstop).
     * This is the 100 TB formulation the fixed-iteration Scaladoc above

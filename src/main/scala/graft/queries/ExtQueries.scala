@@ -73,15 +73,21 @@ object ExtQueries {
 
   /** Integer-micros PageRank over the co-order part graph (3 unrolled
     * power iterations — bit-identical across engines by construction).
+    * Routes through the auto front door (r12): at gate scale the clique
+    * stats sit below [[Graph.AutoCliqueEdgesMax]] so this IS the clique
+    * formulation the g1 oracle replays; at 100× the same call survives
+    * by routing to the bipartite walk (no oracle at that scale — the
+    * sweep measures completion, g3 pins the bipartite numbers).
     */
   def g1PageRank(s: SparkSession, dir: String): DataFrame =
-    Graph.pageRank(s, dir, iters = 3)
+    Graph.pageRankAuto(s, dir, iters = 3)
 
   /** Label-propagation communities, 3 synchronous integer-exact rounds
-    * over the co-order graph.
+    * over the co-order graph — via the auto front door (see
+    * [[g1PageRank]]'s routing note).
     */
   def g2LabelProp(s: SparkSession, dir: String): DataFrame =
-    Graph.labelProp(s, dir, iters = 3)
+    Graph.labelPropAuto(s, dir, iters = 3)
 
   /** PageRank iterated DIRECTLY on the bipartite order↔part incidence
     * (two keyed hops per round over O(lineitem) edges) — the linear

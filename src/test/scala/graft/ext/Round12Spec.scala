@@ -74,6 +74,58 @@ class Round12Spec extends SparkSpec {
     assert(e.getMessage.contains("buckets"))
   }
 
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("d3/d7 auto routing: the DEFAULT call equals the explicit exact " +
+      "path below the threshold and the explicit capped settings above " +
+      "it (the autoPlanes spec pattern)") {
+    val dir = sf("sf0.01")
+    // below the wall (sf0.01 enum volume ≪ 2e9): auto == exact
+    val auto = pairSet(Dedup.prefixJaccardPairs(spark, dir,
+      k = 3, jaccardMin = 0.4))
+    val exact = pairSet(Dedup.prefixJaccardPairs(spark, dir,
+      k = 3, jaccardMin = 0.4, candCap = 0))
+    assert(auto == exact, "auto default diverged from the exact path")
+    // forced above the wall (threshold 0): auto == the capped settings
+    val autoCapped = pairSet(Dedup.prefixJaccardPairs(spark, dir,
+      k = 3, jaccardMin = 0.4, autoEnumRowsMax = 0L))
+    val capped = pairSet(Dedup.prefixJaccardPairs(spark, dir,
+      k = 3, jaccardMin = 0.4, candCap = Dedup.AutoCandCap,
+      candTokens = Dedup.AutoCandTokens))
+    assert(autoCapped == capped,
+      "forced-auto diverged from the explicit capped call")
+    // winnow: same sentinel contract
+    val wAuto = pairSet(Dedup.winnowPairs(spark, dir))
+    val wExact = pairSet(Dedup.winnowPairs(spark, dir, candCap = 0))
+    assert(wAuto == wExact)
+    val wForced = pairSet(Dedup.winnowPairs(spark, dir,
+      autoEnumRowsMax = 0L))
+    val wCapped = pairSet(Dedup.winnowPairs(spark, dir,
+      candCap = Dedup.AutoCandCap))
+    assert(wForced == wCapped)
+  }
+
+  test("graph auto front doors: route to the clique formulation below " +
+      "the thresholds (bit-exact) and to the bipartite formulation when " +
+      "forced above them") {
+    val dir = sf("sf0.001")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(Graph.pageRankAuto(spark, dir)) ==
+      m(Graph.pageRank(spark, dir, iters = 3)))
+    assert(m(Graph.pageRankAuto(spark, dir, maxCliqueEdges = 0L)) ==
+      m(Graph.pageRankBipartite(spark, dir, iters = 3)))
+    assert(m(Graph.labelPropAuto(spark, dir)) ==
+      m(Graph.labelProp(spark, dir, iters = 3)))
+    assert(m(Graph.labelPropAuto(spark, dir, maxCliqueEdges = 0L)) ==
+      m(Graph.labelPropBipartite(spark, dir, iters = 3)))
+    // the whale guard routes on max per-order part count alone
+    assert(m(Graph.pageRankAuto(spark, dir, maxOrderParts = 1L)) ==
+      m(Graph.pageRankBipartite(spark, dir, iters = 3)))
+  }
+
   test("sketch aggregates evaluate the child expression exactly once " +
       "per input row (null-check and hash see the SAME value)") {
     import org.apache.spark.sql.catalyst.InternalRow
