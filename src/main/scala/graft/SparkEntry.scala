@@ -134,6 +134,8 @@ object SparkEntry {
     "t12_pii_redact" -> (ExtQueries.t12PiiRedact _),
     "t13_gopher_rules" -> (ExtQueries.t13GopherRules _),
     "v2_bpe_merge_pairs" -> (ExtQueries.v2BpeMergePairs _),
+    "v4_bpe_train" -> (ExtQueries.v4BpeTrain _),
+    "v5_bpe_train_encode" -> (ExtQueries.v5BpeTrainEncode _),
     "x16_cms_counts" -> (ExtQueries.x16CmsTokens _),
     "x16v_cms_lower_bound" -> (ExtQueries.x16vCmsLowerBound _),
     "z1_zorder_key" -> (ExtQueries.z1ZorderKey _),
@@ -553,6 +555,45 @@ object SparkEntry {
            SELECT token, cnt, est FROM est
            ORDER BY cnt DESC, token LIMIT 100"""
     }
+
+  /** Unrolled iterative-BPE-trainer rounds (the g2 unroll pattern —
+    * standard SQL forbids aggregating over a recursive CTE's evolving
+    * state): st{r} is the corpus after r merges, m{r} is round r's
+    * argmax pair counted over st{r-1}. LEFT JOIN ON TRUE keeps the
+    * corpus unchanged when a round finds no pair (drained corpus),
+    * matching the Spark loop's early stop.
+    */
+  private def bpeTrainCtes(rounds: Int): String = {
+    val base =
+      """st0 AS (
+         SELECT doc_id, CAST(len(words) AS BIGINT) AS n_before,
+                CAST(length('|' || array_to_string(words, '||') || '|')
+                  AS BIGINT) AS len0,
+                '|' || array_to_string(words, '||') || '|' AS s
+         FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+                        x -> len(x) > 0) AS words FROM documents))"""
+    val perRound = (1 to rounds).map { r =>
+      s"""p$r AS (
+           SELECT t[i] AS w1, t[i + 1] AS w2 FROM (
+             SELECT t, unnest(range(1, len(t))) AS i FROM (
+               SELECT string_split(substr(s, 2,
+                        CAST(length(s) - 2 AS INT)), '||') AS t
+               FROM st${r - 1})
+             WHERE len(t) >= 2)),
+         m$r AS (
+           SELECT $r AS rk, w1, w2, count(*) AS n_pair FROM p$r
+           GROUP BY w1, w2 ORDER BY n_pair DESC, w1, w2 LIMIT 1),
+         st$r AS (
+           SELECT st.doc_id, st.n_before, st.len0,
+                  CASE WHEN m.w1 IS NULL THEN st.s
+                       ELSE replace(st.s,
+                              '|' || m.w1 || '||' || m.w2 || '|',
+                              '|' || m.w1 || '+' || m.w2 || '|')
+                  END AS s
+           FROM st${r - 1} st LEFT JOIN m$r m ON TRUE)"""
+    }
+    (base +: perRound).mkString(",\n")
+  }
 
   /** Positional gram hashes + sliding-window minima for winnowing
     * (k-gram, w=8): yields one row per gram position with the window min
@@ -1684,6 +1725,25 @@ object SparkEntry {
                 n_before - (len0 - CAST(length(s) AS BIGINT)) AS n_after,
                 md5(s) AS enc_md5
          FROM step WHERE rk = (SELECT count(*) FROM m)""",
+    // v4: the ITERATIVE trainer — 8 unrolled count→argmax→merge→recount
+    // rounds (the g2 unroll pattern; a recursive CTE cannot aggregate
+    // over its own evolving state). Each m{r} is counted over the
+    // corpus AFTER r−1 merges — the frequencies v2's one-shot count
+    // cannot see.
+    "v4_bpe_train" -> {
+      s"""WITH ${bpeTrainCtes(8)}
+         SELECT rk, w1, w2, n_pair FROM (
+           ${(1 to 8).map(r => s"SELECT rk, w1, w2, n_pair FROM m$r")
+             .mkString(" UNION ALL ")})""" },
+    // v5: the trainer's final corpus state IS the encode with the
+    // learned merges (each round applied its merge everywhere); same
+    // output contract as v3.
+    "v5_bpe_train_encode" -> {
+      s"""WITH ${bpeTrainCtes(8)}
+         SELECT doc_id, n_before,
+                n_before - (len0 - CAST(length(s) AS BIGINT)) AS n_after,
+                md5(s) AS enc_md5
+         FROM st8""" },
     // x4 (flipped from rows-only, r10s5): the whole ANN probe replays —
     // literal planes → exact bucket bits → candidate set (bucket match
     // or Hamming-1 probe against the query's signature, any of the 8

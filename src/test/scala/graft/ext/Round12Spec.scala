@@ -126,6 +126,60 @@ class Round12Spec extends SparkSpec {
       m(Graph.pageRankBipartite(spark, dir, iters = 3)))
   }
 
+  test("v4/v5 iterative BPE trainer: a driver-side replay of " +
+      "count->argmax->merge->recount agrees exactly, the final state " +
+      "is the encode, and recounting diverges from the one-shot rank") {
+    val dir = sf("sf0.001")
+    val rounds = 6
+    // driver-side reference trainer over the same corpus
+    var corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ", -1).filter(_.nonEmpty).toSeq)
+      .toMap
+    def wrap(ts: Seq[String]) = ts.mkString("|", "||", "|")
+    var state = corpus.map { case (id, ts) => id -> wrap(ts) }
+    val expected =
+      scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (r <- 1 to rounds) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      state.values.foreach { s =>
+        val ts = s.drop(1).dropRight(1).split("\\|\\|", -1)
+        if (ts.length >= 2)
+          ts.sliding(2).foreach { p =>
+            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + 1
+          }
+      }
+      if (counts.nonEmpty) {
+        val ((w1, w2), n) = counts.toSeq.minBy { case ((a, b), n) =>
+          (-n, a, b) }
+        expected += ((r, w1, w2, n))
+        state = state.map { case (id, s) =>
+          id -> s.replace(s"|$w1||$w2|", s"|$w1+$w2|") }
+      }
+    }
+    val got = TextAnalysis.bpeTrainMerges(spark, dir, rounds)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got == expected.toSeq,
+      s"trainer diverged from driver replay:\n got=$got\n exp=$expected")
+    // the encode IS the final loop state
+    val enc = TextAnalysis.bpeTrainEncode(spark, dir, rounds)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val expMd5 = state.map { case (id, s) =>
+      id -> java.security.MessageDigest.getInstance("MD5").digest(
+        s.getBytes("UTF-8")).map("%02x".format(_)).mkString }
+    assert(enc == expMd5)
+    // recounting matters: past round 1 the trained sequence must diverge
+    // from the one-shot top-N ranking on this corpus (if it never did,
+    // v4 would be v2 with extra steps)
+    val oneShot = TextAnalysis.bpeMergePairs(spark, dir, rounds)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got.map(m => (m._2, m._3)) != oneShot,
+      "iterative merges identical to the one-shot top-k on this corpus " +
+        "- the divergence property is vacuous here, pick a bigger fixture")
+  }
+
   test("sketch aggregates evaluate the child expression exactly once " +
       "per input row (null-check and hash see the SAME value)") {
     import org.apache.spark.sql.catalyst.InternalRow
