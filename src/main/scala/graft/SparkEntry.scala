@@ -177,6 +177,10 @@ object SparkEntry {
       graft.ext.ProductQuant.x14vPqReconstruction(s, dir)),
     "x15_pq_adc_topk" -> ((s, dir) =>
       graft.ext.ProductQuant.x15PqAdcTopK(s, dir)),
+    "x19_ivfpq_topk" -> ((s, dir) =>
+      graft.ext.ProductQuant.ivfPqTopK(s, dir)),
+    "x19r_ivfpq_recall" -> ((s, dir) =>
+      graft.ext.ProductQuant.x19rIvfPqRecall(s, dir)),
     "x15r_pq_recall" -> ((s, dir) =>
       graft.ext.ProductQuant.x15rPqRecall(s, dir)),
     // semantic clustering + SemDeDup (Clustering.scala)
@@ -234,7 +238,7 @@ object SparkEntry {
   val invariantQueries: Set[String] = Set(
     "d8v_simhash_band_complete", "e3r_knn_recall", "e3v_knn_scores_match",
     "e4v_kmeans_nearest", "e5v_semdedup_subset",
-    "x14v_pq_reconstruction", "x15r_pq_recall",
+    "x14v_pq_reconstruction", "x15r_pq_recall", "x19r_ivfpq_recall",
     "kq1v_kll_rank_bound", "t6v_packing_invariants",
     "wv1_winnow_subset_shingles", "wv2_winnow_pairs_subset_exact",
     "x10v_percentile_bound", "x11v_quant_cosine_bound",
@@ -263,6 +267,7 @@ object SparkEntry {
     // before dumping oracle_sql.json, so they are always present on the
     // gate path.
     m ++ graft.ext.ProductQuant.x14OracleEntry ++
+      graft.ext.ProductQuant.x19OracleEntry ++
       graft.ext.Clustering.oracleEntries() ++ x16OracleEntry ++
       x8OracleEntry
   }
@@ -2061,6 +2066,9 @@ object SparkEntry {
                 CAST(0.0 AS DOUBLE) AS delta
          FROM embeddings WHERE FALSE""",
     "x15r_pq_recall" ->
+      """SELECT CAST('' AS VARCHAR) AS metric, CAST(0.0 AS DOUBLE) AS recall
+         FROM embeddings WHERE FALSE""",
+    "x19r_ivfpq_recall" ->
       """SELECT CAST('' AS VARCHAR) AS metric, CAST(0.0 AS DOUBLE) AS recall
          FROM embeddings WHERE FALSE""",
     "e5v_semdedup_subset" ->

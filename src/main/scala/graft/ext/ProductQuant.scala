@@ -336,6 +336,171 @@ object ProductQuant {
       .orderBy(desc("cosine"), col("vec_id")).limit(k)
   }
 
+  /** x19: the COMPOSED IVF-PQ search — the production billion-vector
+    * ANN shape (Jégou et al. 2011 §IV, the IVFADC system): probe the
+    * `nprobe` nearest IVF cells (driver-ranked centroid table, the x8
+    * step), ADC-score ONLY the codes of vectors living in probed cells
+    * (the x15 step restricted by the cell semi-join), then exact-cosine
+    * re-rank the shortlist. Composes the two gate-proven halves with
+    * one extra compact-key join.
+    *
+    * Plan shape at 100 TB: the cell-membership scan is partition-pruned
+    * to `nprobe` hive partitions and reads ONLY (vec_id, cell) — the
+    * float embedding column never leaves parquet there; the code table
+    * join carries 8-byte ids + 8-byte codes; the ADC is m table lookups
+    * per member (driver-precomputed distance table, no shuffle); exact
+    * cosine touches ≤ `shortlist` float vectors. Total float I/O is
+    * O(shortlist), independent of corpus size — the IVF-PQ promise.
+    *
+    * Exactness: same element-ordered double folds as x8/x15, so the
+    * artifact-derived DuckDB oracle replays the whole search hash-exact
+    * (probe ranking ties to the lower cell; ADC summed in subspace
+    * order; shortlist and final ties to the lower vec_id).
+    */
+  def ivfPqTopK(s: SparkSession, dir: String, queryId: Long = 0L,
+      k: Int = 20, nlist: Int = 8, nprobe: Int = 3,
+      shortlist: Int = 100): DataFrame = {
+    val root = pqDir(s, dir)
+    val idx = Similarity.ivfIndexDir(s, dir, nlist)
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") === queryId)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val dsub = q.length / M
+    val cells = s.read.parquet(s"$idx/centroids").collect()
+      .map { r =>
+        val c = r.getSeq[Double](1)
+        (r.getInt(0), c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+      .sortBy { case (cell, d) => (d, cell) }.take(nprobe).map(_._1)
+    val members = s.read.option("basePath", s"$idx/cells")
+      .parquet(s"$idx/cells")
+      .filter(col("cell").isin(cells.toIndexedSeq.map(Integer.valueOf): _*)
+        && col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("cell"))
+    val books = s.read.parquet(s"$root/codebooks").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      .toMap
+    val dt: IndexedSeq[Column] = (0 until M).map { j =>
+      val qj = q.slice(j * dsub, (j + 1) * dsub)
+      array((0 until KSub).map { code =>
+        lit(qj.zip(books((j, code)))
+          .map { case (a, b) => (a - b) * (a - b) }.sum)
+      }: _*)
+    }
+    val adc = (0 until M).map(j =>
+      element_at(dt(j), col("codes").getItem(j) + 1)).reduce(_ + _)
+    val short = s.read.parquet(s"$root/codes")
+      .join(members, Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), adc.as("adc_d2"))
+      .orderBy(col("adc_d2"), col("vec_id")).limit(shortlist)
+    val qSide = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    short.join(e, Seq("vec_id")).crossJoin(broadcast(qSide))
+      .select(col("vec_id"), col("label"), col("cell"),
+        cosineF(col("embedding"), col("q_emb")).as("cosine"))
+      .orderBy(desc("cosine"), col("vec_id")).limit(k)
+  }
+
+  /** x19r violation oracle: pooled recall@k of the composed IVF-PQ
+    * search vs the exact cosine top-k (the x15r harness with cell
+    * pruning in the loop). Cell pruning can drop true neighbors that
+    * ADC alone would keep, so the floor sits below x15r's (fixture
+    * recall ≈ 0.7-0.9 at nprobe=3 of 8 cells). Fails loudly on an
+    * empty exact side. Oracle: the empty relation.
+    */
+  def x19rIvfPqRecall(s: SparkSession, dir: String, nQueries: Int = 10,
+      k: Int = 10, shortlist: Int = 100,
+      floor: Double = 0.4): DataFrame = {
+    val e = emb(s, dir)
+    val qs = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("src_id"), col("embedding").as("q_emb"))
+    val exactCand = e.select(col("vec_id").as("nb_id"), col("embedding"))
+      .join(broadcast(qs), col("nb_id") =!= col("src_id"))
+      .select(col("src_id"), col("nb_id"),
+        cosineF(col("embedding"), col("q_emb")).as("cosine"))
+    val exact = graft.plans.TopKPerGroup.topK(exactCand, Seq("src_id"),
+      "cosine", k, desc = true, tiebreakCols = Seq("nb_id"))
+    val got = (0L until nQueries.toLong).map { qid =>
+      ivfPqTopK(s, dir, qid, k, shortlist = shortlist)
+        .select(lit(qid).as("src_id"), col("vec_id").as("nb_id"))
+    }.reduce(_ unionAll _).withColumn("hit", lit(1L))
+    exact.select("src_id", "nb_id")
+      .join(got, Seq("src_id", "nb_id"), "left")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+        count(lit(1)).as("total"))
+      .filter(col("total") === 0 ||
+        col("hits").cast("double") / col("total") < floor)
+      .select(lit("ivfpq_recall_at_k").as("metric"),
+        (col("hits").cast("double") / col("total")).as("recall"))
+  }
+
+  /** x19 oracle (artifact-derived, the x8/x15 technique composed):
+    * replays probe → members → ADC → re-rank from the SAME index and
+    * codebook parquet this JVM built. Present once both artifacts exist
+    * (Verify runs every query before dumping oracle_sql.json).
+    */
+  def x19OracleEntry: Seq[(String, String)] =
+    (Option(lastBuilt), Similarity.builtIvfIndexDir) match {
+      case (Some(b), Some(idx)) => Seq(
+        "x19_ivfpq_topk" ->
+          s"""WITH q AS (SELECT embedding AS qe FROM embeddings
+                         WHERE vec_id = 0),
+             probe AS (
+               SELECT c.cell
+               FROM read_parquet('$idx/centroids/*.parquet') c, q
+               ORDER BY list_sum(list_transform(list_zip(c.centroid, q.qe),
+                          p -> (p[1] - CAST(p[2] AS DOUBLE))
+                             * (p[1] - CAST(p[2] AS DOUBLE)))), c.cell
+               LIMIT 3),
+             members AS (
+               SELECT e.vec_id, CAST(e.cell AS INT) AS cell
+               FROM read_parquet('$idx/cells/**/*.parquet',
+                                 hive_partitioning = true) e
+               WHERE CAST(e.cell AS INT) IN (SELECT cell FROM probe)
+                 AND e.vec_id <> 0),
+             books AS (
+               SELECT subspace, code, centroid
+               FROM read_parquet('${b.path}/codebooks/*.parquet')),
+             dt AS (
+               SELECT b.subspace, b.code,
+                      list_sum(list_transform(range(1, ${b.dsub + 1}),
+                        i -> (CAST(q.qe[b.subspace * ${b.dsub} + i]
+                                AS DOUBLE) - b.centroid[i])
+                           * (CAST(q.qe[b.subspace * ${b.dsub} + i]
+                                AS DOUBLE) - b.centroid[i]))) AS d
+               FROM books b, q),
+             codes AS (
+               SELECT c.vec_id, CAST(t.j AS INT) AS subspace,
+                      c.codes[CAST(t.j + 1 AS INT)] AS code
+               FROM read_parquet('${b.path}/codes/*.parquet') c
+               CROSS JOIN range($M) t(j)),
+             adc AS (
+               SELECT c.vec_id, any_value(m.cell) AS cell,
+                      list_sum(list(dt.d ORDER BY c.subspace)) AS adc_d2
+               FROM codes c
+               JOIN members m USING (vec_id)
+               JOIN dt ON dt.subspace = c.subspace AND dt.code = c.code
+               GROUP BY c.vec_id),
+             short AS (
+               SELECT vec_id, cell FROM adc
+               ORDER BY adc_d2, vec_id LIMIT 100)
+             SELECT s.vec_id, e.label, s.cell,
+                    (list_sum(list_transform(range(1, len(q.qe) + 1),
+                       i -> CAST(e.embedding[i] AS DOUBLE)
+                          * CAST(q.qe[i] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(
+                          range(1, len(e.embedding) + 1),
+                          i -> CAST(e.embedding[i] AS DOUBLE)
+                             * CAST(e.embedding[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(range(1, len(q.qe) + 1),
+                          i -> CAST(q.qe[i] AS DOUBLE)
+                             * CAST(q.qe[i] AS DOUBLE))))))
+                      AS cosine
+             FROM short s JOIN embeddings e USING (vec_id), q
+             ORDER BY cosine DESC, s.vec_id LIMIT 20""")
+      case _ => Seq.empty
+    }
+
   /** x15r violation oracle: pooled recall@k of the ADC+re-rank search
     * vs the exact cosine top-k over `nQueries` query vectors must meet
     * `floor` (empirical fixture recall ≈ 0.8-1.0 with shortlist 100 over

@@ -180,6 +180,40 @@ class Round12Spec extends SparkSpec {
         "- the divergence property is vacuous here, pick a bigger fixture")
   }
 
+  test("x19 IVF-PQ composition: member/code scans read no floats, the " +
+      "cell scan is partition-pruned, output is ordered and excludes " +
+      "the query, and recall holds above the contract floor") {
+    val dir = sf("sf0.001")
+    val t = ProductQuant.ivfPqTopK(spark, dir, queryId = 0L, k = 10)
+    val rows = t.collect()
+    assert(rows.length == 10)
+    assert(!rows.map(_.getLong(0)).contains(0L), "query in its own top-k")
+    val cos = rows.map(_.getDouble(3))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    // plan guard (the IVF-PQ promise): neither the cell-membership scan
+    // (graft-ivf) nor the code scan (graft-pq) may read the float
+    // embedding column — float I/O is confined to the O(shortlist)
+    // re-rank against embeddings.parquet; and the cells scan must be
+    // partition-pruned to the probed cells.
+    val plan = t.queryExecution.executedPlan.toString
+    val artifactScans = plan.linesIterator.filter(l =>
+      l.contains("FileScan") &&
+        (l.contains("graft-ivf") || l.contains("graft-pq"))).toSeq
+    assert(artifactScans.nonEmpty, "expected artifact FileScans in plan")
+    artifactScans.foreach { l =>
+      assert(!l.contains("embedding"),
+        s"artifact scan reads the float column:\n$l")
+    }
+    val ivfScan = artifactScans.filter(_.contains("graft-ivf"))
+    assert(ivfScan.exists(l => l.contains("PartitionFilters: [") &&
+      !l.contains("PartitionFilters: []")),
+      s"cells scan not partition-pruned:\n${ivfScan.mkString("\n")}")
+    // recall floor with margin over the x19r contract (0.4)
+    assert(ProductQuant.x19rIvfPqRecall(spark, dir, floor = 0.6)
+      .count() == 0L,
+      "pooled IVF-PQ recall@10 below 0.6 on the fixture")
+  }
+
   test("sketch aggregates evaluate the child expression exactly once " +
       "per input row (null-check and hash see the SAME value)") {
     import org.apache.spark.sql.catalyst.InternalRow
