@@ -67,6 +67,40 @@ object Bucketing {
     })
   }
 
+  /** Write an arbitrary frame as a bucketed + per-file-sorted catalog
+    * table on ONE key (the generic offline layout job behind
+    * [[ensureBucketed]], reused by CuratePipeline's eval-gram
+    * decontamination artifact): repartitioned to `buckets` on the key
+    * first, so each write task holds exactly one bucket (Spark's
+    * repartition hash IS the bucket hash) → one sorted file per bucket
+    * and the bucketed side of a later sort-merge join needs neither
+    * exchange NOR sort. Drops any stale same-name table (catalog and
+    * warehouse dir) before writing — the ensureBucketed discipline.
+    */
+  def writeBucketedTable(s: SparkSession, name: String, df: DataFrame,
+      keyCol: String, buckets: Int = 8): String = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = new java.net.URI(
+      s.conf.get("spark.sql.warehouse.dir")).getPath
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(wh, name))
+    df.repartition(buckets, col(keyCol))
+      .write.mode("overwrite")
+      .bucketBy(buckets, keyCol).sortBy(keyCol)
+      .format("parquet").saveAsTable(name)
+    name
+  }
+
+  /** Deterministic catalog-safe table name for a per-corpus artifact
+    * (sanitized path, not a hashCode — see [[ensureBucketed]]).
+    */
+  def tableName(prefix: String, key: String): String =
+    s"${prefix}_${key.replaceAll("[^A-Za-z0-9]+", "_")
+      .replaceAll("^_+", "").toLowerCase}"
+
   /** j2's join/agg over the bucketed layout — row-identical to
     * `j2_shuffle_join_agg` (same oracle SQL), but the join itself is
     * exchange-free: the only shuffle left in the plan is the final

@@ -211,7 +211,8 @@ object CuratePipeline {
       evalDocs: DataFrame,     // (doc_id) the frozen eval slice
       evalGrams: DataFrame,    // (ng) distinct 24-gram hashes of the slice
       centroidsRoot: String,
-      prevFinal: DataFrame)    // (doc_id, clean, n_tokens) corpus admits
+      prevFinal: DataFrame,    // (doc_id, clean, n_tokens) corpus admits
+      evalGramsTable: String)  // bucketed-on-ng catalog twin of evalGrams
 
   private final case class FrozenRun(
       nDocs: Long, gated: DataFrame, exactKept: DataFrame,
@@ -374,8 +375,44 @@ object CuratePipeline {
     val evalGrams = pin(eg)
     val prevFinal = pin(r.finalDocs)
     release(r)
+    // The decontamination artifact at 100 TB scale: the eval-gram set
+    // written ONCE as a bucketed + per-file-sorted catalog table on the
+    // gram hash (the Bucketing layout-job discipline), so every ingest
+    // epoch's decontam semi-join reads the artifact side exchange-free
+    // — only the O(shard) gram stream shuffles, never the corpus-scale
+    // artifact (the r11 sf10 probe's dominant delta cost).
+    val gramsTable = Bucketing.writeBucketedTable(s,
+      Bucketing.tableName("graft_evalgrams", s"${dir}_$splitId"),
+      evalGrams, "ng")
     CorpusState(splitId, exactKeys, sketches, nearCells, evalDocs,
-      evalGrams, r.centroidsRoot, prevFinal)
+      evalGrams, r.centroidsRoot, prevFinal, gramsTable)
+  }
+
+  /** The delta decontamination stage against the FROZEN eval gram set
+    * (shard docs are never eval — the benchmark does not grow with
+    * ingest). Default (r12): a LEFT-SEMI sort-merge join against the
+    * BUCKETED eval-gram catalog table — the artifact side needs neither
+    * exchange nor sort (one sorted file per bucket, written once at the
+    * corpus epoch), so each ingest epoch shuffles only its own O(shard)
+    * gram stream; at sf10 the probe's 1/16-of-corpus eval slice is 24M
+    * grams, the r11 measured dominant delta cost when it re-exchanged
+    * per epoch. `decontamBroadcast` swaps in the broadcast-hinted frame
+    * (small-benchmark deployments; the A/B toggle — measured 10-20%
+    * faster locally when the gram set genuinely fits, SCALING.md).
+    */
+  private[ext] def deltaContaminated(s: SparkSession, state: CorpusState,
+      cleanDocs: DataFrame, decontamBroadcast: Boolean): DataFrame = {
+    val grams = cleanDocs
+      .select(col("doc_id"), explode(
+        graft.functions.Expressions.shingleHashes(col("clean"), 24))
+        .as("ng"))
+    val joined =
+      if (decontamBroadcast)
+        grams.join(broadcast(state.evalGrams), Seq("ng"), "left_semi")
+      else
+        grams.hint("merge")
+          .join(s.table(state.evalGramsTable), Seq("ng"), "left_semi")
+    joined.select("doc_id").distinct()
   }
 
   /** Admit one ingest shard (docs with doc_id ≥ state.split) against
@@ -444,25 +481,8 @@ object CuratePipeline {
           >= semTau)
       .select(col("r_id").as("doc_id")).distinct()
     val semKept = nearKept.join(drops, Seq("doc_id"), "left_anti").persist()
-    // decontamination vs the FROZEN eval gram set (shard docs are never
-    // eval — the benchmark does not grow with ingest). Default: NO
-    // broadcast hint — the artifact is a checkpointed frame whose
-    // compile-time size estimate is unusable, and the forced hint
-    // shipped the whole gram set to every task (at sf10 the probe's
-    // 1/16-of-corpus eval slice is 24M grams — the measured dominant
-    // delta cost; same-JVM A/B in SCALING.md). Letting AQE decide from
-    // the RUNTIME shuffle size broadcasts a real (small, fixed)
-    // benchmark set and falls back to a keyed semi-join when the
-    // artifact is corpus-sized. `decontamBroadcast` re-applies the
-    // hint (small-benchmark deployments; the A/B toggle).
-    val evalSide =
-      if (decontamBroadcast) broadcast(state.evalGrams) else state.evalGrams
-    val contaminated = semKept
-      .select(col("doc_id"), explode(
-        graft.functions.Expressions.shingleHashes(col("clean"), 24))
-        .as("ng"))
-      .join(evalSide, "ng")
-      .select("doc_id").distinct()
+    val contaminated = deltaContaminated(s, state, semKept,
+      decontamBroadcast)
     val finalDocs = semKept
       .join(contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("clean"),

@@ -214,6 +214,37 @@ class Round12Spec extends SparkSpec {
       "pooled IVF-PQ recall@10 below 0.6 on the fixture")
   }
 
+  test("curateDelta decontamination: the bucketed eval-gram artifact " +
+      "side joins with NO exchange (only the shard gram stream " +
+      "shuffles) and the semi-join result matches the broadcast twin") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val dir = sf("sf0.001")
+    val state = CuratePipeline.corpusState(spark, dir, splitId = 400L)
+    val shard = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") >= 400L)
+      .select(col("doc_id"), TextAnalysis.redact(col("text")).as("clean"))
+    val bucketed = CuratePipeline.deltaContaminated(spark, state, shard,
+      decontamBroadcast = false)
+    val bc = CuratePipeline.deltaContaminated(spark, state, shard,
+      decontamBroadcast = true)
+    // identical contaminated sets either route
+    assert(bucketed.collect().map(_.getLong(0)).toSet ==
+      bc.collect().map(_.getLong(0)).toSet)
+    // plan pin (pre-AQE, the b2 technique): SMJ with at most ONE
+    // shuffle — the shard gram stream; the bucketed artifact side reads
+    // its sorted bucket files directly
+    val plan = bucketed.queryExecution.sparkPlan
+    assert(plan.toString.contains("SortMergeJoin"),
+      s"expected a sort-merge semi-join:\n$plan")
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+    assert(joins.nonEmpty)
+    val shuffles = joins.head.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size <= 1,
+      s"artifact side re-exchanged; ${shuffles.size} shuffles under the " +
+        s"join:\n$plan")
+  }
+
   test("sketch aggregates evaluate the child expression exactly once " +
       "per input row (null-check and hash see the SAME value)") {
     import org.apache.spark.sql.catalyst.InternalRow
