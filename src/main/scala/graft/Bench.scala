@@ -24,9 +24,13 @@ object Bench {
     val skipInvariants = sys.env.get("SPARK_GRAFT_SKIP_INVARIANTS")
       .exists(v => v == "1" || v.equalsIgnoreCase("true"))
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // shuffle partitions = cpus at gate scale; scale sweeps (sf10) pass
+    // SPARK_GRAFT_SHUFFLE so partitions stay within executor memory
+    // (the SCALING.md probes ran 256-1024 there)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

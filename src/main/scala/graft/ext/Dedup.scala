@@ -65,6 +65,21 @@ object Dedup {
       .agg(coalesce(sum(col("df") * (col("df") - 1) / 2), lit(0.0)).as("e"))
       .head().getDouble(0)
 
+  /** Routing statistics are FROZEN corpus properties (a production
+    * pipeline computes them once at ingest alongside table stats), so
+    * the auto router memoizes per (corpus, shape) in this JVM — d3,
+    * d3's artifact consumers (d4/d9) and d7 each pay the estimate
+    * aggregate once, not per query (the ivfIndexDir pattern; measured
+    * +1.3 s/call on d3 at sf0.1 unmemoized).
+    */
+  private val enumEstCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+  private def enumRowsEstimateCached(key: String, tok: => DataFrame,
+      keyCol: String): Double =
+    enumEstCache.computeIfAbsent(key,
+      _ => Double.box(enumRowsEstimate(tok, keyCol))).doubleValue()
+
   /** Exact dedup: one row per distinct text, keeping the smallest doc_id
     * (deterministic — dropDuplicates keeps an arbitrary row).
     */
@@ -741,7 +756,9 @@ object Dedup {
         // cap doesn't apply to them, so auto resolves to exact there
         if (!compactKeys || !rarestFirst) (0, 0)
         else {
-          val est = enumRowsEstimate(tokenTable(0), "h")
+          val est = enumRowsEstimateCached(
+            s"pj|$dir|$k|$jaccardMin|${blockCols.mkString(",")}",
+            tokenTable(0), "h")
           if (est > autoEnumRowsMax.toDouble) (AutoCandCap, AutoCandTokens)
           else (0, 0)
         }
@@ -834,8 +851,9 @@ object Dedup {
         // the literal path (compactKeys=false) is the equivalence-spec
         // baseline — auto resolves to exact there (see prefixJaccardPairs)
         if (!compactKeys) 0
-        else if (enumRowsEstimate(fp, "fp") > autoEnumRowsMax.toDouble)
-          AutoCandCap
+        else if (enumRowsEstimateCached(
+            s"wp|$dir|$k|$w|${blockCols.mkString(",")}", fp, "fp")
+          > autoEnumRowsMax.toDouble) AutoCandCap
         else 0
       } else candCap
     require(cap == 0 || compactKeys,
