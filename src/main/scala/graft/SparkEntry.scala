@@ -269,7 +269,39 @@ object SparkEntry {
     m ++ graft.ext.ProductQuant.x14OracleEntry ++
       graft.ext.ProductQuant.x19OracleEntry ++
       graft.ext.Clustering.oracleEntries() ++ x16OracleEntry ++
-      x8OracleEntry
+      x8OracleEntry ++ e3OracleEntry
+  }
+
+  /** e3 oracle (r12, derived): the same 4-table Hamming-1-probed kNN
+    * replay as always, parameterized by the plane count the engine
+    * RESOLVED for the corpus (auto-sized since r12 — a fixed count made
+    * candidates quadratic in the corpus; Verify runs the queries before
+    * dumping oracle_sql.json, so the recorded count is e3's own).
+    */
+  private def e3OracleEntry: Seq[(String, String)] = {
+    val p = graft.ext.Similarity.resolvedKnnPlanes
+    Seq("e3_knn_join" ->
+      s"""WITH ${lshSigCte(nTables = 4, nPlanes = p)},
+         probes AS (
+           SELECT vec_id AS src_id, t,
+                  unnest([bucket] || list_transform(range(0, $p),
+                    i -> xor(bucket, CAST(1 AS BIGINT) << CAST(i AS INT))))
+                    AS pb
+           FROM sig),
+         cand AS (
+           SELECT DISTINCT p.src_id, s.vec_id AS nb_id
+           FROM probes p JOIN sig s ON s.t = p.t AND s.bucket = p.pb
+           WHERE s.vec_id <> p.src_id),
+         scored AS (
+           SELECT c.src_id, c.nb_id,
+                  ${cosSql("a.embedding", "b.embedding")} AS cosine
+           FROM cand c JOIN embeddings a ON a.vec_id = c.src_id
+                       JOIN embeddings b ON b.vec_id = c.nb_id),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY src_id
+                       ORDER BY cosine DESC, nb_id) AS rn
+           FROM scored)
+         SELECT src_id, nb_id, cosine FROM ranked WHERE rn <= 3""")
   }
 
   /** x8 oracle (r10, artifact-derived): replays the whole IVF probe from
@@ -1775,28 +1807,11 @@ object SparkEntry {
     // of 4 tables; candidates scored with the element-ordered cosine,
     // top-3 per source by (cosine DESC, nb_id) exactly like the
     // TopKPerGroup operator ranks.
-    "e3_knn_join" -> {
-      s"""WITH ${lshSigCte(nTables = 4, nPlanes = 8)},
-         probes AS (
-           SELECT vec_id AS src_id, t,
-                  unnest([bucket] || list_transform(range(0, 8),
-                    i -> xor(bucket, CAST(1 AS BIGINT) << CAST(i AS INT))))
-                    AS pb
-           FROM sig),
-         cand AS (
-           SELECT DISTINCT p.src_id, s.vec_id AS nb_id
-           FROM probes p JOIN sig s ON s.t = p.t AND s.bucket = p.pb
-           WHERE s.vec_id <> p.src_id),
-         scored AS (
-           SELECT c.src_id, c.nb_id,
-                  ${cosSql("a.embedding", "b.embedding")} AS cosine
-           FROM cand c JOIN embeddings a ON a.vec_id = c.src_id
-                       JOIN embeddings b ON b.vec_id = c.nb_id),
-         ranked AS (
-           SELECT *, row_number() OVER (PARTITION BY src_id
-                       ORDER BY cosine DESC, nb_id) AS rn
-           FROM scored)
-         SELECT src_id, nb_id, cosine FROM ranked WHERE rn <= 3""" },
+    // e3's oracle moved to the derived e3OracleEntry (r12): the kNN
+    // join auto-sizes its plane count to the corpus (the fixed count
+    // was the measured sf10 death), so the oracle interpolates the
+    // RESOLVED count the engine recorded — the builtIvfIndexDir
+    // last-used pattern.
     // t15: the sequence-construction step — window cumsum gives each
     // doc its shard-stream offset, generate_series fans it to every
     // sequence it overlaps; identical integer arithmetic both engines.

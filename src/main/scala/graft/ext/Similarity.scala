@@ -377,16 +377,42 @@ object Similarity {
     * second independent execution of the same plan.
     */
   def knnJoinArtifact(s: SparkSession, dir: String, k: Int = 3,
-      nPlanes: Int = 8): DataFrame =
-    ArtifactCache.frame(s, s"knn|$dir|$k|$nPlanes")(
-      knnJoin(s, dir, k, nPlanes))
+      nPlanes: Int = 0): DataFrame = {
+    // resolve the auto sentinel BEFORE keying, so the operator (e3) and
+    // its verifiers (e3r/e3v) share one artifact regardless of which
+    // spelled the plane count out
+    val planes = resolveKnnPlanes(s, dir, nPlanes)
+    ArtifactCache.frame(s, s"knn|$dir|$k|$planes")(
+      knnJoin(s, dir, k, planes))
+  }
 
-  def knnJoin(s: SparkSession, dir: String, k: Int = 3,
-      nPlanes: Int = 8, hamming1Probes: Boolean = true,
-      nTables: Int = 4): DataFrame = {
-    // nPlanes = 0 → auto-size to the corpus (see autoPlanes)
+  /** nPlanes = 0 → auto-size to the corpus (see [[autoPlanes]]) — the
+    * DEFAULT since r12: a fixed plane count makes kNN-join candidates
+    * quadratic in the corpus (the measured sf10 death: 8 planes over
+    * 200k vectors ≈ 5.6B pairs), so the survival shape must be what a
+    * caller gets without knowing the knob exists (the d3/graph auto-
+    * routing principle). The resolved count is recorded for the
+    * artifact-derived e3 oracle.
+    */
+  private[graft] def resolveKnnPlanes(s: SparkSession, dir: String,
+      nPlanes: Int): Int = {
     val planes = if (nPlanes > 0) nPlanes
       else autoPlanes(emb(s, dir).count())
+    lastKnnPlanes = planes
+    planes
+  }
+
+  @volatile private var lastKnnPlanes: Int = 8
+
+  /** The plane count the engine most recently RESOLVED — consumed by the
+    * SparkEntry e3 oracle (the builtIvfIndexDir last-used pattern).
+    */
+  def resolvedKnnPlanes: Int = lastKnnPlanes
+
+  def knnJoin(s: SparkSession, dir: String, k: Int = 3,
+      nPlanes: Int = 0, hamming1Probes: Boolean = true,
+      nTables: Int = 4): DataFrame = {
+    val planes = resolveKnnPlanes(s, dir, nPlanes)
     // LATE MATERIALIZATION (r10 session 3, A/B-proven in tools/E3Probe):
     // the candidate join shuffles IDs only. The old shape carried the
     // 256-byte embedding on both sides of the (table_id, bucket)
@@ -443,7 +469,7 @@ object Similarity {
     * cosine ties resolve identically and don't inflate the miss count.
     */
   def knnRecallViolations(s: SparkSession, dir: String, k: Int = 3,
-      nPlanes: Int = 8, floor: Double = 0.30, blocks: Int = 8): DataFrame = {
+      nPlanes: Int = 0, floor: Double = 0.30, blocks: Int = 8): DataFrame = {
     import s.implicits._
     val ann = knnJoinArtifact(s, dir, k, nPlanes)
       .select(col("src_id"), col("nb_id")).withColumn("hit", lit(1L))

@@ -973,7 +973,7 @@ object ExtQueries {
     * independent recomputation and ExtSpec checks neighbor quality.
     */
   def e3KnnJoin(s: SparkSession, dir: String): DataFrame =
-    Similarity.knnJoin(s, dir, k = 3, nPlanes = 8)
+    Similarity.knnJoin(s, dir, k = 3)
 
   /** e3 invariant (recall direction): corpus-level recall@3 of the LSH
     * kNN join vs the exact blocked all-pairs top-3 must clear the pinned
@@ -981,7 +981,7 @@ object ExtQueries {
     * quadratic ground truth → lives in the invariant query set.
     */
   def e3rKnnRecall(s: SparkSession, dir: String): DataFrame =
-    Similarity.knnRecallViolations(s, dir, k = 3, nPlanes = 8)
+    Similarity.knnRecallViolations(s, dir, k = 3)
 
   /** e3 invariant (score direction): every (src, neighbor, cosine) the
     * kNN join emits must carry EXACTLY the cosine an independent
@@ -996,7 +996,7 @@ object ExtQueries {
     def hofDot(a: String, b: String) =
       expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) *" +
         s" CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
-    Similarity.knnJoinArtifact(s, dir, k = 3, nPlanes = 8)
+    Similarity.knnJoinArtifact(s, dir, k = 3)
       .join(e.select(col("vec_id").as("src_id"),
         col("embedding").as("a_emb")), "src_id")
       .join(e.select(col("vec_id").as("nb_id"),

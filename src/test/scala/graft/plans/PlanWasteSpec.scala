@@ -51,6 +51,10 @@ class PlanWasteSpec extends SparkSpec {
     "x8_ivf_topk" -> Set("BroadcastNestedLoopJoin"),
     "x8v_ivf_subset_exact" -> Set("BroadcastNestedLoopJoin"),
     "x15_pq_adc_topk" -> Set("BroadcastNestedLoopJoin"),
+    // composed IVF-PQ: same 1-row query-vector broadcast as x8/x15 in
+    // the final O(shortlist) re-rank; the ADC/member stages are keyed
+    "x19_ivfpq_topk" -> Set("BroadcastNestedLoopJoin"),
+    "x19r_ivfpq_recall" -> Set("BroadcastNestedLoopJoin"),
     // deliberately brute-force verifiers (ground truth for the
     // approximate operators; Bench reports them outside the operator set)
     "d8v_simhash_band_complete" -> Set("BroadcastNestedLoopJoin"),
