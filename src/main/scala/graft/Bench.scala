@@ -26,8 +26,14 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     // shuffle partitions = cpus at gate scale; scale sweeps (sf10) pass
     // SPARK_GRAFT_SHUFFLE so partitions stay within executor memory
-    // (the SCALING.md probes ran 256-1024 there)
+    // (the SCALING.md probes ran 1024 there — 256 was measured to OOM
+    // d3's verify stage at sf10: 4x the validated per-partition volume)
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // min-of-2 is the gate-scale noise hygiene; a 100x completion sweep
+    // sets SPARK_GRAFT_ONE_RUN=1 — doubling hour-scale queries buys no
+    // signal there
+    val oneRun = sys.env.get("SPARK_GRAFT_ONE_RUN")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
@@ -76,7 +82,7 @@ object Bench {
       // re-run once and keep the min. Bounded: only the slow tail pays
       // a second pass. A re-run FAILURE must surface, not read as a
       // fast success.
-      val (t, err) = if (err1.isEmpty && t1 > 1.0) {
+      val (t, err) = if (err1.isEmpty && t1 > 1.0 && !oneRun) {
         val (t2, err2) = once(fn)
         if (err2.isEmpty) (math.min(t1, t2), None) else (t2, err2)
       } else (t1, err1)
