@@ -55,6 +55,17 @@ object Dedup {
     */
   val AutoEnumRowsMax: Long = 2000000000L
 
+  /** Verify-exchange byte budget for the MinHash-LSH router: the band
+    * join's deduped pairs each carry two KB-scale shingle arrays into
+    * the exact verify, so the wall arrives in BYTES long before the
+    * d3 row threshold (measured r12: sf10's 1.8e8 enumeration rows sat
+    * 10× under AutoEnumRowsMax yet the verify spilled past the 76 GB
+    * disk). 16 GB is single-box scratch headroom; a cluster scales it
+    * by aggregate scratch. sf1 measures ~MB, sf10 ~230 GB — the
+    * threshold sits orders of magnitude from both.
+    */
+  val AutoVerifyBytesMax: Long = 16L << 30
+
   /** Σ_key df·(df−1)/2 over a token table — the exact candidate join's
     * output volume upper bound, as ONE compact-key aggregate (double
     * arithmetic: the estimate needs magnitude, not exactness, and df²
@@ -291,7 +302,8 @@ object Dedup {
     */
   def minhashLshPairs(s: SparkSession, dir: String, k: Int = 5,
       numHashes: Int = 32, bands: Int = 8, jaccardMin: Double = 0.5,
-      bucketCap: Int = 1024): DataFrame = {
+      bucketCap: Int = 1024, candCap: Int = AutoCap,
+      autoEnumRowsMax: Long = AutoEnumRowsMax): DataFrame = {
     val perBand = numHashes / bands
     val sig = minhashSignatures(shingles(docs(s, dir), k), numHashes)
     // Band join carries ONLY (doc_id, band, key) — shipping the shingle
@@ -305,18 +317,57 @@ object Dedup {
     // Buckets above bucketCap are sub-split (skew guard, completeness
     // preserved — see SkewSafe.cappedEquiJoin).
     val banded = sig.select(col("doc_id"),
+      size(col("shingle_hashes")).cast("long").as("n"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           slice(col("sig"), b * perBand + 1, perBand).as("key"))): _*))
         .as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = SkewSafe.cappedEquiJoin(
-        banded.select(col("doc_id").as("doc_a"), col("band"), col("key")),
-        banded.select(col("doc_id").as("doc_b"), col("band"), col("key")),
-        Seq("band", "key"), xxhash64(col("doc_b")), bucketCap)
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_id"), col("n"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    // AutoCap sentinel (r12, the d3/d7 routing applied to the band
+    // join): the within-bucket pairing emits Σ_bucket df·(df−1)/2 rows
+    // — quadratic in dup-CLUSTER size, because a cluster's members
+    // share every band (near-identical signatures). The skew cap only
+    // SPREADS that volume across tasks. x3's BINDING constraint is the
+    // verify exchange, not the enumeration: each deduped candidate pair
+    // attaches TWO KB-scale shingle arrays, so ~2e7 pairs already spill
+    // ~230 GB (the measured sf10 death filled the 76 GB disk while the
+    // enumeration estimate sat 10× under the d3 row threshold). The
+    // router therefore also estimates verify bytes —
+    // (enum/bands) · 2 · avg|set| · 8 — and engages the capped
+    // generation when either statistic crosses its wall. Bucket
+    // identity folds to xxhash64(band, key) for the window — the
+    // capped path's accepted 2^-64 collision semantic (exact verify
+    // still guards), while the exact path keeps the literal
+    // collision-free array key.
+    val cap =
+      if (candCap == AutoCap) {
+        val keyed = banded.select(col("doc_id"),
+          xxhash64(col("band"), col("key")).as("h"))
+        val statKey = s"mh|$dir|$k|$numHashes|$bands"
+        val enumRows = enumRowsEstimateCached(statKey, keyed, "h")
+        val avgN = enumEstCache.computeIfAbsent(s"$statKey|avgn",
+          _ => Double.box(sig
+            .agg(coalesce(avg(size(col("shingle_hashes"))), lit(0.0)))
+            .head().getDouble(0))).doubleValue()
+        val verifyBytes = enumRows / bands * 2.0 * avgN * 8.0
+        if (enumRows > autoEnumRowsMax.toDouble ||
+            verifyBytes > AutoVerifyBytesMax.toDouble) AutoCandCap
+        else 0
+      } else candCap
+    val cand =
+      if (cap > 0)
+        capCandidates(snmCandidates(
+          banded.select(col("doc_id"), col("n"),
+            xxhash64(col("band"), col("key")).as("h")),
+          "h", cap, jaccardMin), cap)
+      else SkewSafe.cappedEquiJoin(
+          banded.select(col("doc_id").as("doc_a"), col("band"), col("key")),
+          banded.select(col("doc_id").as("doc_b"), col("band"), col("key")),
+          Seq("band", "key"), xxhash64(col("doc_b")), bucketCap)
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
     verifyCandidates(cand, sig.select(col("doc_id"), col("shingle_hashes")),
       jaccardMin)
   }

@@ -47,9 +47,22 @@ object AutoRouteStats extends App {
       .filter(col("rn") <= col("n") - floor(lit(0.4) * col("n")) + 1)
       .select("doc_id", "n", "h")
     val d3Est = graft.ext.Dedup.enumRowsEstimate(kept, "h")
+    // the x3 statistic: MinHash band buckets at the gate shape
+    // (k=5, 32 hashes, 8 bands)
+    val sig = graft.ext.Dedup.minhashSignatures(
+      graft.ext.Dedup.shingles(
+        spark.read.parquet(s"$dir/documents.parquet"), 5), 32)
+    val x3Banded = sig.select(col("doc_id"),
+        explode(expr("transform(sequence(0, 7), " +
+          "b -> struct(b AS band, slice(sig, b * 4 + 1, 4) AS key))"))
+          .as("bk"))
+      .select(col("doc_id"),
+        xxhash64(col("bk.band"), col("bk.key")).as("h"))
+    val x3Est = graft.ext.Dedup.enumRowsEstimate(x3Banded, "h")
     val (cliqueEst, maxM) = graft.ext.Graph.cliqueStats(spark, dir)
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"[autostats] $dir d3EnumRows=$d3Est%.3g " +
+      f"x3BandRows=$x3Est%.3g " +
       f"cliqueHalfEdges=$cliqueEst%.3g maxOrderParts=$maxM probe=$secs%.1fs")
   }
   spark.stop()

@@ -107,6 +107,23 @@ class Round12Spec extends SparkSpec {
     assert(wForced == wCapped)
   }
 
+  test("x3 auto routing: the DEFAULT MinHash-LSH call equals the exact " +
+      "band join below the threshold and the explicit capped settings " +
+      "above it (the sf10 band-join OOM fix)") {
+    val dir = sf("sf0.01")
+    val auto = pairSet(Dedup.minhashLshPairs(spark, dir))
+    val exact = pairSet(Dedup.minhashLshPairs(spark, dir, candCap = 0))
+    assert(auto == exact, "auto default diverged from the exact band join")
+    val forced = pairSet(Dedup.minhashLshPairs(spark, dir,
+      autoEnumRowsMax = 0L))
+    val capped = pairSet(Dedup.minhashLshPairs(spark, dir,
+      candCap = Dedup.AutoCandCap))
+    assert(forced == capped,
+      "forced-auto diverged from the explicit capped call")
+    // capped is a sound subset of exact (every emitted pair re-verified)
+    assert(capped.subsetOf(exact))
+  }
+
   test("graph auto front doors: route to the clique formulation below " +
       "the thresholds (bit-exact) and to the bipartite formulation when " +
       "forced above them") {
