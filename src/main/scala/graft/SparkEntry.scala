@@ -269,7 +269,7 @@ object SparkEntry {
     m ++ graft.ext.ProductQuant.x14OracleEntry ++
       graft.ext.ProductQuant.x19OracleEntry ++
       graft.ext.Clustering.oracleEntries() ++ x16OracleEntry ++
-      x8OracleEntry ++ e3OracleEntry
+      x8OracleEntry ++ e3OracleEntry ++ x4OracleEntry
   }
 
   /** e3 oracle (r12, derived): the same 4-table Hamming-1-probed kNN
@@ -277,9 +277,17 @@ object SparkEntry {
     * RESOLVED for the corpus (auto-sized since r12 — a fixed count made
     * candidates quadratic in the corpus; Verify runs the queries before
     * dumping oracle_sql.json, so the recorded count is e3's own).
+    * Since r13 (ADVICE r12) the resolution is read from the per-dir map:
+    * the entry is emitted only when every corpus this JVM auto-resolved
+    * agrees on ONE plane count (in Verify there is exactly one corpus,
+    * so this always holds on the gate path); ambiguous or absent →
+    * omit, and the driver falls back to the rows-only check instead of
+    * comparing against an oracle built for the wrong corpus.
     */
   private def e3OracleEntry: Seq[(String, String)] = {
-    val p = graft.ext.Similarity.resolvedKnnPlanes
+    val resolved = graft.ext.Similarity.autoResolvedKnnPlanes.values.toSet
+    if (resolved.size != 1) return Seq.empty
+    val p = resolved.head
     Seq("e3_knn_join" ->
       s"""WITH ${lshSigCte(nTables = 4, nPlanes = p)},
          probes AS (
@@ -302,6 +310,38 @@ object SparkEntry {
                        ORDER BY cosine DESC, nb_id) AS rn
            FROM scored)
          SELECT src_id, nb_id, cosine FROM ranked WHERE rn <= 3""")
+  }
+
+  /** x4 oracle (r13, derived — the e3OracleEntry pattern): the whole ANN
+    * probe replays at the plane count the engine RESOLVED for the corpus
+    * — literal planes → exact bucket bits → candidate set (bucket match
+    * or Hamming-1 probe against the query's signature, any of the 8
+    * tables) → element-ordered cosine re-rank. Raw-double cosine is
+    * bit-exact because every arithmetic step mirrors Vec.dot. Emitted
+    * only when the per-dir resolutions are unambiguous (one distinct
+    * count — always true on the Verify gate path).
+    */
+  private def x4OracleEntry: Seq[(String, String)] = {
+    val resolved = graft.ext.Similarity.autoResolvedKnnPlanes.values.toSet
+    if (resolved.size != 1) return Seq.empty
+    val p = resolved.head
+    val hamming1 = (0 until p).map(i => 1L << i).mkString(", ")
+    Seq("x4_ann_topk" ->
+      s"""WITH ${lshSigCte(nTables = 8, nPlanes = p)},
+         q AS (SELECT t, bucket AS qb FROM sig WHERE vec_id = 0),
+         cand AS (
+           SELECT DISTINCT s.vec_id
+           FROM sig s JOIN q ON s.t = q.t
+           WHERE s.vec_id <> 0
+             AND (s.bucket = q.qb OR xor(s.bucket, q.qb) IN
+                  ($hamming1))),
+         qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         scored AS (
+           SELECT e.vec_id, e.label,
+                  ${cosSql("e.embedding", "qe")} AS cosine
+           FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qe)
+         SELECT vec_id, label, cosine
+         FROM scored ORDER BY cosine DESC, vec_id LIMIT 20""")
   }
 
   /** x8 oracle (r10, artifact-derived): replays the whole IVF probe from
@@ -537,6 +577,18 @@ object SparkEntry {
                      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
          FROM embeddings e CROSS JOIN pl GROUP BY e.vec_id, pl.t)"""
   }
+
+  /** Boundary-snapped micro-unit floor — the EXACT SQL twin of
+    * TextAnalysis.floorMicroGuarded (r13 snap semantics): a scaled value
+    * within 1e-7 of an integer snaps to that integer on BOTH engines, so
+    * a 1-ulp libm ln divergence cannot flip the floor cross-engine;
+    * outside the snap zone it is a plain floor. `floor(v + 0.5)` is the
+    * nearest integer inside the zone (fraction ~0 or ~1, never near .5).
+    */
+  private def snapFloorMicroSql(x: String): String =
+    s"""(CASE WHEN abs(($x) * 1000000 - floor(($x) * 1000000 + 0.5)) < 1e-7
+          THEN CAST(floor(($x) * 1000000 + 0.5) AS BIGINT)
+          ELSE CAST(floor(($x) * 1000000) AS BIGINT) END)"""
 
   /** Element-ordered cosine (the e1 oracle shape — bit-identical to
     * cosineF's Vec.dot).
@@ -1781,27 +1833,9 @@ object SparkEntry {
                 n_before - (len0 - CAST(length(s) AS BIGINT)) AS n_after,
                 md5(s) AS enc_md5
          FROM st8""" },
-    // x4 (flipped from rows-only, r10s5): the whole ANN probe replays —
-    // literal planes → exact bucket bits → candidate set (bucket match
-    // or Hamming-1 probe against the query's signature, any of the 8
-    // tables) → element-ordered cosine re-rank. Raw-double cosine is
-    // bit-exact because every arithmetic step mirrors Vec.dot.
-    "x4_ann_topk" -> {
-      s"""WITH ${lshSigCte(nTables = 8, nPlanes = 8)},
-         q AS (SELECT t, bucket AS qb FROM sig WHERE vec_id = 0),
-         cand AS (
-           SELECT DISTINCT s.vec_id
-           FROM sig s JOIN q ON s.t = q.t
-           WHERE s.vec_id <> 0
-             AND (s.bucket = q.qb OR xor(s.bucket, q.qb) IN
-                  (1, 2, 4, 8, 16, 32, 64, 128))),
-         qe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-         scored AS (
-           SELECT e.vec_id, e.label,
-                  ${cosSql("e.embedding", "qe")} AS cosine
-           FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN qe)
-         SELECT vec_id, label, cosine
-         FROM scored ORDER BY cosine DESC, vec_id LIMIT 20""" },
+    // x4's oracle moved to the derived x4OracleEntry (r13): annTopK
+    // auto-sizes its plane count like knnJoin, so the oracle
+    // interpolates the RESOLVED count (the e3OracleEntry pattern).
     // e3 (flipped from rows-only, r10s5): same replay for the kNN JOIN —
     // every vector probes its own bucket + 8 Hamming-1 buckets in each
     // of 4 tables; candidates scored with the element-ordered cosine,
@@ -2678,12 +2712,15 @@ object SparkEntry {
          FROM words JOIN freq USING (w), tot
          GROUP BY doc_id""",
     // ds1: t10's two-model extension — per-token Laplace-smoothed
-    // log-ratio ln p_target − ln p_raw, floor-quantized to 1e-6 as a
-    // pure function of the exact integers (tc, qc, nt, nq, v), summed
-    // as BIGINT per doc over occurrences. Expression association
-    // mirrors the Spark side exactly.
-    "ds1_dsir_weights" ->
-      """WITH words AS (SELECT doc_id, lang = 'en' AS is_t,
+    // log-ratio ln p_target − ln p_raw, snap-floor-quantized to 1e-6
+    // (the floorMicroGuarded twin) as a pure function of the exact
+    // integers (tc, qc, nt, nq, v), summed as BIGINT per doc over
+    // occurrences. Expression association mirrors the Spark side.
+    "ds1_dsir_weights" -> {
+      val lr = snapFloorMicroSql(
+        """ln(CAST(tc + 1 AS DOUBLE) / (nt + v))
+                   - ln(CAST(qc + 1 AS DOUBLE) / (nq + v))""")
+      s"""WITH words AS (SELECT doc_id, lang = 'en' AS is_t,
                                unnest(string_split(text, ' ')) AS w
                         FROM documents),
            freq AS (SELECT w, count(*) AS qc,
@@ -2692,18 +2729,22 @@ object SparkEntry {
            tot AS (SELECT sum(qc) AS nq, sum(tc) AS nt, count(*) AS v
                    FROM freq)
          SELECT doc_id, count(*) AS n_tokens,
-                CAST(sum(CAST(floor(
-                  (ln(CAST(tc + 1 AS DOUBLE) / (nt + v))
-                   - ln(CAST(qc + 1 AS DOUBLE) / (nq + v))) * 1000000)
-                  AS BIGINT)) AS BIGINT) AS dsir_micro
+                CAST(sum($lr) AS BIGINT) AS dsir_micro
          FROM words JOIN freq USING (w), tot
-         GROUP BY doc_id""",
+         GROUP BY doc_id""" },
     // ds3: the Gumbel-top-k resampling draw — ds1's per-doc micro
     // log-weights + a deterministic inverse-Gumbel of xxhash64(doc_id)
     // (the validated x9 emulation), BIGINT key sum, top-64. u is
     // IEEE-exact by construction (53-bit integer + 0.5, power-of-two
     // divide), so both engines transform the same double.
     "ds3_dsir_resample" -> {
+      val lr = snapFloorMicroSql(
+        """ln(CAST(tc + 1 AS DOUBLE) / (nt + v))
+                     - ln(CAST(qc + 1 AS DOUBLE) / (nq + v))""")
+      val g = snapFloorMicroSql(
+        """- ln(- ln(
+                      (CAST(h >> 11 AS DOUBLE) + 0.5)
+                        / 9007199254740992.0))""")
       s"""WITH words AS (SELECT doc_id, lang = 'en' AS is_t,
                                 unnest(string_split(text, ' ')) AS w
                          FROM documents),
@@ -2713,19 +2754,12 @@ object SparkEntry {
            tot AS (SELECT sum(qc) AS nq, sum(tc) AS nt, count(*) AS v
                    FROM freq),
            wt AS (SELECT doc_id,
-                  CAST(sum(CAST(floor(
-                    (ln(CAST(tc + 1 AS DOUBLE) / (nt + v))
-                     - ln(CAST(qc + 1 AS DOUBLE) / (nq + v))) * 1000000)
-                    AS BIGINT)) AS BIGINT) AS dsir_micro
+                  CAST(sum($lr) AS BIGINT) AS dsir_micro
                   FROM words JOIN freq USING (w), tot
                   GROUP BY doc_id),
            src AS (SELECT 'd' AS grp, doc_id AS v FROM documents),
            ${xxh64LongStagesCte("src")},
-           gmb AS (SELECT v AS doc_id,
-                    CAST(floor((- ln(- ln(
-                      (CAST(h >> 11 AS DOUBLE) + 0.5)
-                        / 9007199254740992.0))) * 1000000) AS BIGINT)
-                      AS g_micro
+           gmb AS (SELECT v AS doc_id, $g AS g_micro
                    FROM hh)
          SELECT wt.doc_id, wt.dsir_micro + gmb.g_micro AS key_micro
          FROM wt JOIN gmb ON wt.doc_id = gmb.doc_id
@@ -2737,6 +2771,9 @@ object SparkEntry {
     // validated bit-identical.
     "ds2_dsir_hashed" -> {
       val bucket = s"CAST((${fnvTokenSqlU("w")}) % 1024 AS BIGINT)"
+      val lr = snapFloorMicroSql(
+        """ln(CAST(tc + 1 AS DOUBLE) / (nt + 1024))
+                - ln(CAST(qc + 1 AS DOUBLE) / (nq + 1024))""")
       s"""WITH words AS (SELECT doc_id, lang = 'en' AS is_t,
                                 unnest(string_split(text, ' ')) AS w
                          FROM documents),
@@ -2745,10 +2782,7 @@ object SparkEntry {
                          sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tc
                   FROM wb GROUP BY b),
            tot AS (SELECT sum(qc) AS nq, sum(tc) AS nt FROM bf),
-           model AS (SELECT b, CAST(floor(
-               (ln(CAST(tc + 1 AS DOUBLE) / (nt + 1024))
-                - ln(CAST(qc + 1 AS DOUBLE) / (nq + 1024))) * 1000000)
-             AS BIGINT) AS lr FROM bf, tot)
+           model AS (SELECT b, $lr AS lr FROM bf, tot)
          SELECT doc_id, count(*) AS n_tokens,
                 CAST(sum(lr) AS BIGINT) AS dsir_micro
          FROM wb JOIN model USING (b)

@@ -61,8 +61,11 @@ object Dedup {
     * d3 row threshold (measured r12: sf10's 1.8e8 enumeration rows sat
     * 10× under AutoEnumRowsMax yet the verify spilled past the 76 GB
     * disk). 16 GB is single-box scratch headroom; a cluster scales it
-    * by aggregate scratch. sf1 measures ~MB, sf10 ~230 GB — the
-    * threshold sits orders of magnitude from both.
+    * by aggregate scratch via the per-call `autoVerifyBytesMax`
+    * parameter on [[minhashLshPairs]] / [[prefixJaccardPairs]] /
+    * [[winnowPairs]] (ADVICE r12 — mirrors `autoEnumRowsMax`). sf1
+    * measures ~MB, sf10 ~230 GB — the threshold sits orders of
+    * magnitude from both.
     */
   val AutoVerifyBytesMax: Long = 16L << 30
 
@@ -90,6 +93,22 @@ object Dedup {
       keyCol: String): Double =
     enumEstCache.computeIfAbsent(key,
       _ => Double.box(enumRowsEstimate(tok, keyCol))).doubleValue()
+
+  private[graft] def statCached(key: String)(stat: => Double): Double =
+    enumEstCache.computeIfAbsent(key, _ => Double.box(stat)).doubleValue()
+
+  /** Routing decisions are never silent (ADVICE r12 / the repo's own
+    * "no silent caps" principle): whenever an auto front door switches
+    * formulation — capped SNM generation, bipartite graph rounds — the
+    * decision AND the statistics that drove it go to the log, so a gate
+    * corpus drifting over a threshold reads as a routing flip, not an
+    * opaque oracle hash mismatch.
+    */
+  private lazy val routeLogger =
+    org.slf4j.LoggerFactory.getLogger("graft.autoroute")
+  private[graft] def logRoute(op: String, decision: String,
+      detail: String): Unit =
+    routeLogger.info(s"$op -> $decision ($detail)")
 
   /** Exact dedup: one row per distinct text, keeping the smallest doc_id
     * (deterministic — dropDuplicates keeps an arbitrary row).
@@ -303,7 +322,8 @@ object Dedup {
   def minhashLshPairs(s: SparkSession, dir: String, k: Int = 5,
       numHashes: Int = 32, bands: Int = 8, jaccardMin: Double = 0.5,
       bucketCap: Int = 1024, candCap: Int = AutoCap,
-      autoEnumRowsMax: Long = AutoEnumRowsMax): DataFrame = {
+      autoEnumRowsMax: Long = AutoEnumRowsMax,
+      autoVerifyBytesMax: Long = AutoVerifyBytesMax): DataFrame = {
     val perBand = numHashes / bands
     val sig = minhashSignatures(shingles(docs(s, dir), k), numHashes)
     // Band join carries ONLY (doc_id, band, key) — shipping the shingle
@@ -346,14 +366,17 @@ object Dedup {
           xxhash64(col("band"), col("key")).as("h"))
         val statKey = s"mh|$dir|$k|$numHashes|$bands"
         val enumRows = enumRowsEstimateCached(statKey, keyed, "h")
-        val avgN = enumEstCache.computeIfAbsent(s"$statKey|avgn",
-          _ => Double.box(sig
-            .agg(coalesce(avg(size(col("shingle_hashes"))), lit(0.0)))
-            .head().getDouble(0))).doubleValue()
+        val avgN = statCached(s"$statKey|avgn")(sig
+          .agg(coalesce(avg(size(col("shingle_hashes"))), lit(0.0)))
+          .head().getDouble(0))
         val verifyBytes = enumRows / bands * 2.0 * avgN * 8.0
         if (enumRows > autoEnumRowsMax.toDouble ||
-            verifyBytes > AutoVerifyBytesMax.toDouble) AutoCandCap
-        else 0
+            verifyBytes > autoVerifyBytesMax.toDouble) {
+          logRoute("minhashLshPairs", s"capped SNM (cap=$AutoCandCap)",
+            f"enumRows=$enumRows%.3g max=$autoEnumRowsMax, " +
+              f"verifyBytes=$verifyBytes%.3g max=$autoVerifyBytesMax")
+          AutoCandCap
+        } else 0
       } else candCap
     val cand =
       if (cap > 0)
@@ -710,7 +733,8 @@ object Dedup {
       compactKeys: Boolean = true,
       candCap: Int = AutoCap,
       candTokens: Int = 0,
-      autoEnumRowsMax: Long = AutoEnumRowsMax): DataFrame = {
+      autoEnumRowsMax: Long = AutoEnumRowsMax,
+      autoVerifyBytesMax: Long = AutoVerifyBytesMax): DataFrame = {
     val sh = shingles(docs(s, dir), k).select(
       (Seq(col("doc_id")) ++ blockCols.map(col) :+ col("shingle_hashes")): _*)
     val plen = (n: org.apache.spark.sql.Column) =>
@@ -810,8 +834,29 @@ object Dedup {
           val est = enumRowsEstimateCached(
             s"pj|$dir|$k|$jaccardMin|${blockCols.mkString(",")}",
             tokenTable(0), "h")
-          if (est > autoEnumRowsMax.toDouble) (AutoCandCap, AutoCandTokens)
-          else (0, 0)
+          // Verify-byte gate (r13, the x3 lesson extended): the exact
+          // verify attaches two KB-scale shingle arrays per DEDUPED
+          // candidate pair, so a corpus of FEW but HUGE near-dup docs
+          // can pass the row gate yet die in verify bytes. Deduped
+          // pairs ≈ enum / multiplicity, where multiplicity (shared
+          // prefix tokens per generated pair) is bounded by the prefix
+          // length — for the dominating boilerplate-cluster case
+          // (identical docs) EVERY prefix token is shared, so
+          // enum / ((1−j)·avg|set| + 1) estimates the deduped pair
+          // count and each pair carries 2·avg|set|·8 verify bytes.
+          val avgN = statCached(s"shavg|$dir|$k")(sh
+            .agg(coalesce(avg(size(col("shingle_hashes"))), lit(0.0)))
+            .head().getDouble(0))
+          val prefixLen = math.max(1.0, (1.0 - jaccardMin) * avgN + 1.0)
+          val verifyBytes = est / prefixLen * 2.0 * avgN * 8.0
+          if (est > autoEnumRowsMax.toDouble ||
+              verifyBytes > autoVerifyBytesMax.toDouble) {
+            logRoute("prefixJaccardPairs",
+              s"capped SNM (cap=$AutoCandCap tokens=$AutoCandTokens)",
+              f"enumRows=$est%.3g max=$autoEnumRowsMax, " +
+                f"verifyBytes=$verifyBytes%.3g max=$autoVerifyBytesMax")
+            (AutoCandCap, AutoCandTokens)
+          } else (0, 0)
         }
       } else (candCap, candTokens)
     val ordered = tokenTable(candTok)
@@ -864,7 +909,8 @@ object Dedup {
       blockCols: Seq[String] = Seq("lang", "source"),
       compactKeys: Boolean = true,
       candCap: Int = AutoCap,
-      autoEnumRowsMax: Long = AutoEnumRowsMax): DataFrame = {
+      autoEnumRowsMax: Long = AutoEnumRowsMax,
+      autoVerifyBytesMax: Long = AutoVerifyBytesMax): DataFrame = {
     val sh = shingles(docs(s, dir), k).select(
       (Seq(col("doc_id"), col("shingle_hashes")) ++ blockCols.map(col) :+
         graft.functions.Expressions.winnowFingerprints(col("text"), k, w)
@@ -902,10 +948,28 @@ object Dedup {
         // the literal path (compactKeys=false) is the equivalence-spec
         // baseline — auto resolves to exact there (see prefixJaccardPairs)
         if (!compactKeys) 0
-        else if (enumRowsEstimateCached(
-            s"wp|$dir|$k|$w|${blockCols.mkString(",")}", fp, "fp")
-          > autoEnumRowsMax.toDouble) AutoCandCap
-        else 0
+        else {
+          val statKey = s"wp|$dir|$k|$w|${blockCols.mkString(",")}"
+          val est = enumRowsEstimateCached(statKey, fp, "fp")
+          // Verify-byte gate (r13, see prefixJaccardPairs): deduped
+          // pairs ≈ enum / avg|fps| (identical docs share EVERY
+          // fingerprint), each carrying two avg|set|-sized shingle
+          // arrays into the exact verify.
+          val avgN = statCached(s"shavg|$dir|$k")(sh
+            .agg(coalesce(avg(size(col("shingle_hashes"))), lit(0.0)))
+            .head().getDouble(0))
+          val avgF = statCached(s"$statKey|avgf")(sh
+            .agg(coalesce(avg(size(col("fps"))), lit(0.0)))
+            .head().getDouble(0))
+          val verifyBytes = est / math.max(1.0, avgF) * 2.0 * avgN * 8.0
+          if (est > autoEnumRowsMax.toDouble ||
+              verifyBytes > autoVerifyBytesMax.toDouble) {
+            logRoute("winnowPairs", s"capped SNM (cap=$AutoCandCap)",
+              f"enumRows=$est%.3g max=$autoEnumRowsMax, " +
+                f"verifyBytes=$verifyBytes%.3g max=$autoVerifyBytesMax")
+            AutoCandCap
+          } else 0
+        }
       } else candCap
     require(cap == 0 || compactKeys,
       "candCap requires compactKeys (the SNM window keys on the folded " +

@@ -305,9 +305,12 @@ object Graph {
       maxCliqueEdges: Long = AutoCliqueEdgesMax,
       maxOrderParts: Long = AutoOrderPartsMax): DataFrame = {
     val (est, mx) = cliqueStats(s, dir)
-    if (est > maxCliqueEdges.toDouble || mx > maxOrderParts)
+    if (est > maxCliqueEdges.toDouble || mx > maxOrderParts) {
+      Dedup.logRoute("pageRankAuto", "bipartite",
+        f"cliqueEdges=$est%.3g max=$maxCliqueEdges, " +
+          s"maxOrderParts=$mx max=$maxOrderParts")
       pageRankBipartite(s, dir, iters)
-    else pageRank(s, dir, iters)
+    } else pageRank(s, dir, iters)
   }
 
   /** Label-propagation front door — same routing statistic and contract
@@ -318,9 +321,12 @@ object Graph {
       maxCliqueEdges: Long = AutoCliqueEdgesMax,
       maxOrderParts: Long = AutoOrderPartsMax): DataFrame = {
     val (est, mx) = cliqueStats(s, dir)
-    if (est > maxCliqueEdges.toDouble || mx > maxOrderParts)
+    if (est > maxCliqueEdges.toDouble || mx > maxOrderParts) {
+      Dedup.logRoute("labelPropAuto", "bipartite",
+        f"cliqueEdges=$est%.3g max=$maxCliqueEdges, " +
+          s"maxOrderParts=$mx max=$maxOrderParts")
       labelPropBipartite(s, dir, iters)
-    else labelProp(s, dir, iters)
+    } else labelProp(s, dir, iters)
   }
 
   /** Convergence-mode PageRank: iterate until the TOTAL L1 delta of the

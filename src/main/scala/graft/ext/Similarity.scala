@@ -282,9 +282,12 @@ object Similarity {
     * [4, 24]: below 4 the buckets are degenerate, above 24 the bucket
     * key no longer gains selectivity against 64-dim embeddings.
     *
-    * Callers pass `nPlanes = 0` to [[lshBucketsMulti]] / [[knnJoin]]
-    * to opt in (the gate queries stay at their pinned explicit counts —
-    * their recall floors are corpus-calibrated).
+    * `nPlanes = 0` routes through this sizing and is the DEFAULT for
+    * [[lshBucketsMulti]] / [[knnJoin]] / [[annTopK]] — since r12 the
+    * e3/e3r/e3v gate queries themselves run the auto-sized geometry,
+    * with the e3 oracle derived from the resolved count and the e3r
+    * recall floor re-validated at that geometry (Round12Spec pins
+    * sentinel ≡ explicit at the resolved count).
     */
   def autoPlanes(nVectors: Long, targetBucket: Int = 32): Int = {
     require(targetBucket > 0, "targetBucket must be positive")
@@ -391,23 +394,32 @@ object Similarity {
     * quadratic in the corpus (the measured sf10 death: 8 planes over
     * 200k vectors ≈ 5.6B pairs), so the survival shape must be what a
     * caller gets without knowing the knob exists (the d3/graph auto-
-    * routing principle). The resolved count is recorded for the
-    * artifact-derived e3 oracle.
+    * routing principle). Auto resolutions are memoized PER CORPUS DIR
+    * (ADVICE r12: a single last-used global could be clobbered by a
+    * knnJoin against a different corpus, or an explicit-nPlanes call,
+    * between e3's execution and the oracle dump — the per-dir map only
+    * ever holds the deterministic count-derived value for each corpus,
+    * so no interleaving can corrupt the e3 oracle's plane count).
     */
   private[graft] def resolveKnnPlanes(s: SparkSession, dir: String,
-      nPlanes: Int): Int = {
-    val planes = if (nPlanes > 0) nPlanes
-      else autoPlanes(emb(s, dir).count())
-    lastKnnPlanes = planes
-    planes
-  }
+      nPlanes: Int): Int =
+    if (nPlanes > 0) nPlanes
+    else autoKnnPlanesByDir.computeIfAbsent(dir,
+      _ => Integer.valueOf(autoPlanes(emb(s, dir).count()))).intValue()
 
-  @volatile private var lastKnnPlanes: Int = 8
+  private val autoKnnPlanesByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
-  /** The plane count the engine most recently RESOLVED — consumed by the
-    * SparkEntry e3 oracle (the builtIvfIndexDir last-used pattern).
+  /** Every corpus-dir → auto-resolved plane count this JVM has computed —
+    * consumed by the SparkEntry e3 oracle, which emits its SQL only when
+    * the resolutions are unambiguous (exactly one distinct count). The
+    * values are pure functions of each corpus's row count, so explicit-
+    * plane calls and foreign corpora can never alias into this map.
     */
-  def resolvedKnnPlanes: Int = lastKnnPlanes
+  def autoResolvedKnnPlanes: Map[String, Int] = {
+    import scala.jdk.CollectionConverters._
+    autoKnnPlanesByDir.asScala.map { case (k, v) => k -> v.intValue() }.toMap
+  }
 
   def knnJoin(s: SparkSession, dir: String, k: Int = 3,
       nPlanes: Int = 0, hamming1Probes: Boolean = true,
@@ -510,8 +522,11 @@ object Similarity {
     * fail loudly, not pass vacuously). Oracle: the empty relation.
     */
   def annRecallViolations(s: SparkSession, dir: String, nQueries: Int = 10,
-      k: Int = 20, nPlanes: Int = 16, nTables: Int = 8,
+      k: Int = 20, nPlanes: Int = 0, nTables: Int = 8,
       floor: Double = 0.35): DataFrame = {
+    // nPlanes = 0 → the corpus-sized count (see annTopK) so the
+    // invariant keeps measuring the geometry the operator actually runs
+    val planes = resolveKnnPlanes(s, dir, nPlanes)
     val e = emb(s, dir)
     // exact side: nQueries × n scored pairs, bounded-heap top-k per query
     val qs = e.filter(col("vec_id") < nQueries)
@@ -523,11 +538,11 @@ object Similarity {
     val exact = graft.plans.TopKPerGroup.topK(exactCand, Seq("src_id"),
       "cosine", k, desc = true, tiebreakCols = Seq("nb_id"))
     // ANN side: annTopK's probe shape, restricted to the nQueries sources
-    val b = lshBucketsMulti(s, dir, nPlanes, nTables)
+    val b = lshBucketsMulti(s, dir, planes, nTables)
     val probes = b.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("src_id"), col("embedding").as("q_emb"),
         col("table_id"),
-        explode(probeBuckets(nPlanes)).as("bucket"))
+        explode(probeBuckets(planes)).as("bucket"))
     val annCand = probes
       .join(b.select(col("vec_id").as("nb_id"),
         col("embedding").as("nb_emb"), col("table_id"), col("bucket")),
@@ -558,13 +573,22 @@ object Similarity {
     * table → 0.45–0.75 with 4 tables (x4r pins the floor). At 100 TB:
     * (table_id, bucket) is a partition/cluster key → the scan prunes to
     * nTables×(nPlanes+1) buckets instead of the full corpus.
+    *
+    * `nPlanes = 0` (the DEFAULT since r13) auto-sizes to the corpus via
+    * [[autoPlanes]]: at a fixed plane count the query's bucket holds
+    * n/2^p of the corpus, so per-query candidate work grows LINEARLY
+    * with the corpus — the single-query front door has to ride the same
+    * sizing as [[knnJoin]] or it quietly degrades into a near-full scan
+    * at 100×. The resolved count feeds the derived x4 oracle through
+    * the same per-dir map e3 uses.
     */
   def annTopK(s: SparkSession, dir: String, queryId: Long = 0L, k: Int = 20,
-      nPlanes: Int = 16, nTables: Int = 8): DataFrame = {
-    val b = lshBucketsMulti(s, dir, nPlanes, nTables)
+      nPlanes: Int = 0, nTables: Int = 8): DataFrame = {
+    val planes = resolveKnnPlanes(s, dir, nPlanes)
+    val b = lshBucketsMulti(s, dir, planes, nTables)
     val q = b.filter(col("vec_id") === queryId)
       .select(col("table_id"), col("embedding").as("q_embedding"),
-        probeBuckets(nPlanes).as("cand_buckets"))
+        probeBuckets(planes).as("cand_buckets"))
     b.filter(col("vec_id") =!= queryId)
       .join(broadcast(q), Seq("table_id"))
       .filter(array_contains(col("cand_buckets"), col("bucket")))

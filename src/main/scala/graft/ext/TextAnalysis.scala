@@ -16,30 +16,34 @@ object TextAnalysis {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  /** floor(x·1e6) with a LOUD boundary guard: the DSIR log-ratios
+  /** floor(x·1e6) with boundary SNAPPING: the DSIR log-ratios
     * floor-quantize a difference of libm ln() results, and a 1-ulp ln
     * divergence between the JVM and the oracle engine can flip the floor
-    * when the scaled value sits within ~1e-8 of an integer. Unlike the
-    * HLL estimator (whose domain was exhaustively analyzed), the DSIR
-    * inputs are open-ended corpora — so instead of a probabilistic
-    * fixture-scoped margin, every floored value asserts at RUNTIME that
-    * it is ≥1e-7 micro-units from the nearest boundary (30× the worst
-    * accumulated ulp noise of two ln calls + subtract + scale). A
-    * boundary-adjacent ratio fails with the offending value instead of
-    * silently hash-mismatching on a new corpus. Exact integers (e.g.
-    * lr = 0.0 when target ≡ corpus) pass: both engines floor exact
-    * doubles identically. The raise_error arm is load-bearing, so
-    * Catalyst cannot prune it (the bpeEncode pattern).
+    * when the scaled value sits within ~1e-8 of an integer. Values
+    * within 1e-7 micro-units of a boundary (30× the worst accumulated
+    * ulp noise of two ln calls + subtract + scale) therefore snap to
+    * that boundary INTEGER instead of flooring — both engines implement
+    * the identical snap (the SparkEntry `snapFloorMicroSql` helper), so
+    * whichever side of the boundary each engine's libm lands on, they
+    * agree on the snapped value.
+    *
+    * Why snap and not raise (the r12 design, reversed per ADVICE r12):
+    * the boundary zone is hit with probability ~2e-7 per distinct
+    * value, so at the 100 TB scale this code targets (1e8+ distinct
+    * log-ratios) a raise_error guard aborts the whole job on BENIGN
+    * data with near-certainty. Snapping is total: every input produces
+    * a value, and the residual cross-engine risk collapses from the
+    * 1e-7-wide flip zone to the measure-~1e-15 edge of the snap
+    * tolerance itself (a value has to land within 1 ulp of EXACTLY
+    * eps-from-boundary for the engines to disagree about snapping).
+    * `floor(scaled + 0.5)` is the nearest integer here — inside the
+    * snap zone the fraction is ~0 or ~1, nowhere near the .5 ties both
+    * engines would have to agree on.
     */
   private[ext] def floorMicroGuarded(x: Column): Column = {
     val scaled = x * lit(1000000)
-    val fr = scaled - floor(scaled)
-    when(fr =!= lit(0.0) &&
-        (fr < lit(1e-7) || fr > lit(1.0) - lit(1e-7)),
-      raise_error(concat(
-        lit("dsir: micro-unit value within 1e-7 of a floor boundary ("),
-        scaled.cast("string"),
-        lit(") - a 1-ulp ln divergence could flip the floor cross-engine"))))
+    val nearest = floor(scaled + lit(0.5))
+    when(abs(scaled - nearest) < lit(1e-7), nearest)
       .otherwise(floor(scaled))
       .cast("long")
   }
@@ -239,29 +243,27 @@ object TextAnalysis {
         element_at(modelMap, pmod(fnv1a64(w), lit(buckets.toLong))))
 
   /** Score a batch frame against a hashed DSIR model frame: the model
-    * collapses to a 1-row broadcast map, then [[dsirScoreCol]] folds
-    * per row — the scored side never shuffles.
+    * is collected ONCE (it is ≤`buckets` rows by construction — the
+    * centroid/codebook artifact pattern, not a data-sized collect) and
+    * embedded as a frozen map literal, then [[dsirScoreCol]] folds per
+    * row — the scored side never shuffles and the corpus-scale model
+    * plan executes exactly one job. Completeness is validated on the
+    * collected rows: dsirScoreCol's element_at yields NULL for a bucket
+    * missing from the map, and a NULL nulls the WHOLE fold, so a
+    * partial model would silently produce NULL scores. This is the same
+    * frozen-literal delivery [[graft.stream.StreamDsir.dsirGate]] uses,
+    * so batch and stream score through identical expressions.
     */
   def withDsirHashed(df: DataFrame, model: DataFrame, buckets: Int,
       textCol: String, out: String): DataFrame = {
-    require(!df.columns.contains("__dsir_m"),
-      "withDsirHashed: input column __dsir_m collides with the scorer's " +
-        "reserved temp column — rename it before scoring")
-    // Model completeness: dsirScoreCol's element_at yields NULL for a
-    // bucket missing from the map, and a NULL nulls the WHOLE fold — a
-    // partial model frame would silently produce NULL scores. dsirGate
-    // checks this on the streaming side; the batch scorer must too. The
-    // model is ≤buckets rows by construction, so the count is cheap.
-    val nBuckets = model.select(countDistinct(col("b"))).head().getLong(0)
-    require(nBuckets == buckets.toLong,
-      s"withDsirHashed: model covers $nBuckets of $buckets buckets - a " +
+    val rows = model.select(col("b"), col("lr_micro")).collect()
+    val m = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(rows.length == buckets && m.size == buckets,
+      s"withDsirHashed: model covers ${m.size} of $buckets buckets " +
+        s"(${rows.length} rows) - a " +
         "missing bucket would NULL the whole per-row score fold; build " +
         "the model with dsirModelHashed (which densifies all buckets)")
-    val m = model.agg(map_from_arrays(collect_list(col("b")),
-      collect_list(col("lr_micro"))).as("__dsir_m"))
-    df.crossJoin(broadcast(m))
-      .withColumn(out, dsirScoreCol(col("__dsir_m"), buckets, textCol))
-      .drop("__dsir_m")
+    df.withColumn(out, dsirScoreCol(typedLit(m), buckets, textCol))
   }
 
   /** Language ID by stopword-hit heuristic: count hits from tiny per-

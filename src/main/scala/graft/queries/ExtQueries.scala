@@ -734,16 +734,20 @@ object ExtQueries {
     Dedup.minhashLshPairs(s, dir, k = 5, numHashes = 32, bands = 8,
       jaccardMin = 0.5)
 
-  /** LSH-bucketed approximate nearest neighbors. */
+  /** LSH-bucketed approximate nearest neighbors — auto-sized planes
+    * (the r13 default: fixed planes make per-query candidates linear in
+    * the corpus; the oracle derives from the resolved count).
+    */
   def x4AnnTopK(s: SparkSession, dir: String): DataFrame =
-    Similarity.annTopK(s, dir, queryId = 0L, k = 20, nPlanes = 8)
+    Similarity.annTopK(s, dir, queryId = 0L, k = 20)
 
   /** x4 invariant (recall direction): mean ANN recall@20 over the first
     * 10 query vectors vs exact brute-force top-20 must clear the pinned
-    * floor. Oracle: the empty relation.
+    * floor, measured at the same auto-resolved geometry the operator
+    * runs. Oracle: the empty relation.
     */
   def x4rAnnRecall(s: SparkSession, dir: String): DataFrame =
-    Similarity.annRecallViolations(s, dir, nQueries = 10, k = 20, nPlanes = 8)
+    Similarity.annRecallViolations(s, dir, nQueries = 10, k = 20)
 
   /** IVF coarse-quantized ANN (k-means cells + nprobe probing).
     * Oracle-exact since r10 (artifact-derived: the DuckDB side re-ranks
@@ -817,7 +821,7 @@ object ExtQueries {
       .select(col("vec_id"),
         round6(graft.functions.Expressions.cosineF(
           col("embedding"), col("q_embedding"))).as("cosine_r6"))
-    Similarity.annTopK(s, dir, queryId = 0L, k = 20, nPlanes = 8)
+    Similarity.annTopK(s, dir, queryId = 0L, k = 20)
       .select(col("vec_id"), round6(col("cosine")).as("cosine_r6"))
       .join(brute, Seq("vec_id", "cosine_r6"), "left_anti")
   }

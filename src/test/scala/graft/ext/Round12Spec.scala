@@ -37,22 +37,26 @@ class Round12Spec extends SparkSpec {
       s"$leaked RDDs still pinned after mmrTopK: $names")
   }
 
-  test("floorMicroGuarded: boundary-adjacent values fail LOUDLY, exact " +
-      "integers and clear-of-boundary values floor normally") {
+  test("floorMicroGuarded: boundary-adjacent values SNAP to the boundary " +
+      "on both sides (r13 — the raise_error guard would abort benign " +
+      "100 TB jobs); exact and clear-of-boundary values floor normally") {
     import spark.implicits._
     val ok = Seq(0.0, 1.5e-6, -3.7e-6, 12.345678e-6)
       .toDF("x")
       .select(TextAnalysis.floorMicroGuarded(col("x")).as("m"))
       .collect().map(_.getLong(0))
-    // 0.0 is EXACTLY on a boundary but exact → passes (both engines
-    // floor exact doubles identically); the rest are mid-interval
+    // 0.0 sits EXACTLY on a boundary → snaps to itself; the rest are
+    // mid-interval → plain floor
     assert(ok.toSeq == Seq(0L, 1L, -4L, 12L))
-    val boundary = Seq(2.0000000099e-6).toDF("x") // 9.9e-9 above 2 micro
+    // within 1e-7 of a boundary, from ABOVE and from BELOW: both snap
+    // to the boundary integer (a plain floor would give 2 and 1 — the
+    // cross-engine flip zone), negatives included
+    val snapped = Seq(2.0000000099e-6, 1.9999999901e-6, -3.0000000099e-6)
+      .toDF("x")
       .select(TextAnalysis.floorMicroGuarded(col("x")).as("m"))
-    val e = intercept[Exception](boundary.collect())
-    assert(e.getMessage != null &&
-      e.getMessage.contains("floor boundary"),
-      s"wrong failure: ${e.getMessage}")
+      .collect().map(_.getLong(0))
+    assert(snapped.toSeq == Seq(2L, 2L, -3L),
+      s"snap zone mis-floored: ${snapped.toSeq}")
   }
 
   test("withDsirHashed rejects a partial model frame instead of " +

@@ -37,7 +37,8 @@ class PlanWasteSpec extends SparkSpec {
     "rd1_rolling_distinct" -> Set("BroadcastNestedLoopJoin"),
     "t10_unigram_lm_score" -> Set("BroadcastNestedLoopJoin"),
     "ds1_dsir_weights" -> Set("BroadcastNestedLoopJoin"),
-    "ds2_dsir_hashed" -> Set("BroadcastNestedLoopJoin"),
+    // (ds2 needs no entry since r13: the hashed model is a frozen map
+    // literal, so the scoring plan has no join at all)
     "ds3_dsir_resample" -> Set("BroadcastNestedLoopJoin"),
     "rrf1_hybrid_topk" -> Set("BroadcastNestedLoopJoin"),
     // eval-embedding broadcast (benchmarks ≪ train corpus): the
