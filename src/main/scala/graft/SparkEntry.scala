@@ -364,7 +364,7 @@ object SparkEntry {
            ORDER BY list_sum(list_transform(list_zip(c.centroid, q.qe),
                       p -> (p[1] - CAST(p[2] AS DOUBLE))
                          * (p[1] - CAST(p[2] AS DOUBLE)))), c.cell
-           LIMIT 3),
+           LIMIT ${graft.ext.Similarity.recordedNprobe(idx).getOrElse(3)}),
          scored AS (
            SELECT e.vec_id, e.label, CAST(e.cell AS INT) AS cell,
                   ${dot("e.embedding", "q.qe")}

@@ -358,10 +358,13 @@ object ProductQuant {
     * order; shortlist and final ties to the lower vec_id).
     */
   def ivfPqTopK(s: SparkSession, dir: String, queryId: Long = 0L,
-      k: Int = 20, nlist: Int = 8, nprobe: Int = 3,
+      k: Int = 20, nlist: Int = 0, nprobe: Int = 0,
       shortlist: Int = 100): DataFrame = {
     val root = pqDir(s, dir)
-    val idx = Similarity.ivfIndexDir(s, dir, nlist)
+    val rl = Similarity.resolveNlist(s, dir, nlist)
+    val np = if (nprobe > 0) nprobe else Similarity.autoNprobe(rl)
+    val idx = Similarity.ivfIndexDir(s, dir, rl)
+    Similarity.recordNprobe(idx, np)
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") === queryId)
       .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
@@ -371,7 +374,7 @@ object ProductQuant {
         val c = r.getSeq[Double](1)
         (r.getInt(0), c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
       }
-      .sortBy { case (cell, d) => (d, cell) }.take(nprobe).map(_._1)
+      .sortBy { case (cell, d) => (d, cell) }.take(np).map(_._1)
     val members = s.read.option("basePath", s"$idx/cells")
       .parquet(s"$idx/cells")
       .filter(col("cell").isin(cells.toIndexedSeq.map(Integer.valueOf): _*)
@@ -451,7 +454,7 @@ object ProductQuant {
                ORDER BY list_sum(list_transform(list_zip(c.centroid, q.qe),
                           p -> (p[1] - CAST(p[2] AS DOUBLE))
                              * (p[1] - CAST(p[2] AS DOUBLE)))), c.cell
-               LIMIT 3),
+               LIMIT ${Similarity.recordedNprobe(idx).getOrElse(3)}),
              members AS (
                SELECT e.vec_id, CAST(e.cell AS INT) AS cell
                FROM read_parquet('$idx/cells/**/*.parquet',

@@ -203,10 +203,66 @@ object Similarity {
 
   def builtIvfIndexDir: Option[String] = Option(lastIvfIndexDir)
 
-  /** Build (or reuse) the IVF index artifact; returns its directory. */
-  def ivfIndexDir(s: SparkSession, dir: String, nlist: Int = 16,
+  /** Size the IVF cell count to the corpus: ~⌈√n⌉ cells (the FAISS
+    * guideline — cells of ~√n vectors balance the centroid-ranking cost
+    * against the per-cell scan). A FIXED nlist makes every probed cell
+    * O(n/nlist): the scan-pruning promise decays LINEARLY as the corpus
+    * grows past the pinned count (measured r12: nlist=16 at 200k
+    * vectors = 12.5k-vector cells, vs 448 cells of ~450). With a fixed
+    * nprobe the scanned fraction is nprobe/√n — it SHRINKS at scale
+    * instead of staying a constant corpus fraction. Floor 4 keeps tiny
+    * fixtures from degenerate 1-2 cell indexes.
+    *
+    * `nlist = 0` to [[ivfIndexDir]] / [[ivfTopK]] /
+    * [[ProductQuant.ivfPqTopK]] opts in — the DEFAULT for the gate
+    * queries since r13 (the autoPlanes/knnJoin precedent). Resolutions
+    * are memoized per corpus dir (pure functions of the corpus count —
+    * the resolveKnnPlanes pattern).
+    */
+  def autoNlist(nVectors: Long): Int =
+    math.max(4, math.ceil(math.sqrt(math.max(1L, nVectors).toDouble)).toInt)
+
+  /** Probe count for an auto-sized index: the gate-calibrated scan
+    * fraction (3 of 8 cells — the geometry whose recall floors x8v/x19r
+    * pin) carried to the resolved cell count. On the near-random fixture
+    * embeddings recall tracks the scanned fraction almost directly
+    * (measured r13: fixed nprobe=3 at nlist=23 broke both invariants;
+    * 3/8·nlist restored them), so the auto default preserves the
+    * calibrated fraction; clustered production corpora hold recall at
+    * much lower fractions and pass nprobe explicitly.
+    */
+  def autoNprobe(nlist: Int): Int =
+    math.max(3, math.ceil(nlist * 3.0 / 8.0).toInt)
+
+  private val autoNlistByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private[graft] def resolveNlist(s: SparkSession, dir: String,
+      nlist: Int): Int =
+    if (nlist > 0) nlist
+    else autoNlistByDir.computeIfAbsent(dir,
+      _ => Integer.valueOf(autoNlist(emb(s, dir).count()))).intValue()
+
+  /** The probe count most recently used against each built index
+    * artifact — consumed by the artifact-derived x8/x19 oracles, which
+    * must replay the SAME number of probed cells (keyed by the artifact
+    * path, the per-dir-map discipline from resolveKnnPlanes).
+    */
+  private val nprobeByIdx =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private[graft] def recordNprobe(idx: String, nprobe: Int): Unit =
+    nprobeByIdx.put(idx, Integer.valueOf(nprobe)): Unit
+
+  def recordedNprobe(idx: String): Option[Int] =
+    Option(nprobeByIdx.get(idx)).map(_.intValue())
+
+  /** Build (or reuse) the IVF index artifact; returns its directory.
+    * `nlist = 0` auto-sizes to ~⌈√n⌉ cells (see [[autoNlist]]).
+    */
+  def ivfIndexDir(s: SparkSession, dir: String, nlist: Int = 0,
       seed: Long = 42L): String = {
-    val p = ivfIndexDir0(s, dir, nlist, seed)
+    val p = ivfIndexDir0(s, dir, resolveNlist(s, dir, nlist), seed)
     lastIvfIndexDir = p
     p
   }
@@ -233,10 +289,17 @@ object Similarity {
       out
     })
 
-  /** Probe-only IVF top-k over a built index. */
+  /** Probe-only IVF top-k over a built index. `nlist = 0` (the default)
+    * auto-sizes the index to ~⌈√n⌉ cells — see [[autoNlist]];
+    * `nprobe = 0` probes the gate-calibrated fraction of the resolved
+    * cell count — see [[autoNprobe]].
+    */
   def ivfTopK(s: SparkSession, dir: String, queryId: Long = 0L, k: Int = 20,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val idx = ivfIndexDir(s, dir, nlist)
+      nlist: Int = 0, nprobe: Int = 0): DataFrame = {
+    val rl = resolveNlist(s, dir, nlist)
+    val np = if (nprobe > 0) nprobe else autoNprobe(rl)
+    val idx = ivfIndexDir(s, dir, rl)
+    recordNprobe(idx, np)
     val cellsPath = s"$idx/cells"
     val qEmb = emb(s, dir).filter(col("vec_id") === queryId)
       .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
@@ -247,7 +310,7 @@ object Similarity {
         val d = c.zip(qEmb).map { case (a, b) => (a - b) * (a - b) }.sum
         (r.getInt(0), d)
       }
-      .sortBy(_._2).take(nprobe).map(_._1)
+      .sortBy(_._2).take(np).map(_._1)
     val q = emb(s, dir).filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding"))
     s.read.option("basePath", cellsPath).parquet(cellsPath)

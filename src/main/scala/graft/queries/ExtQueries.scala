@@ -756,7 +756,7 @@ object ExtQueries {
     * 1e-6 like e1's — rank order still uses the raw double.
     */
   def x8IvfTopK(s: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(s, dir, queryId = 0L, k = 20, nlist = 8, nprobe = 3)
+    Similarity.ivfTopK(s, dir, queryId = 0L, k = 20)
       .withColumn("cosine_r6",
         floor(col("cosine") * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
       .drop("cosine")
@@ -830,7 +830,7 @@ object ExtQueries {
     * top-50 of the same query.
     */
   def x8vIvfSubsetExact(s: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(s, dir, queryId = 0L, k = 20, nlist = 8, nprobe = 3)
+    Similarity.ivfTopK(s, dir, queryId = 0L, k = 20)
       .select("vec_id")
       .join(Similarity.cosineTopK(s, dir, queryId = 0L, k = 50)
         .select("vec_id"), Seq("vec_id"), "left_anti")

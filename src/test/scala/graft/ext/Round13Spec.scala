@@ -93,6 +93,31 @@ class Round13Spec extends SparkSpec {
       "ambiguous plane resolutions must omit the derived oracles")
   }
 
+  test("IVF auto-sizing: the sentinel (nlist=0, nprobe=0) equals the " +
+      "explicit call at the resolved geometry, and the resolved nprobe " +
+      "is recorded against the artifact for the derived oracles") {
+    val dir = sf("sf0.001")
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val nl = Similarity.autoNlist(n)
+    val np = Similarity.autoNprobe(nl)
+    assert(nl == 23 && np == 9, s"unexpected resolution ($nl, $np)")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    val auto = rows(Similarity.ivfTopK(spark, dir, queryId = 0L, k = 10))
+    val explicitRun = rows(Similarity.ivfTopK(spark, dir, queryId = 0L,
+      k = 10, nlist = nl, nprobe = np))
+    assert(auto == explicitRun)
+    val idx = Similarity.ivfIndexDir(spark, dir)
+    assert(Similarity.recordedNprobe(idx).contains(np),
+      s"nprobe not recorded for $idx")
+    // the composed IVF-PQ search rides the same resolution
+    val pqAuto = ProductQuant.ivfPqTopK(spark, dir, queryId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    val pqExplicit = ProductQuant.ivfPqTopK(spark, dir, queryId = 0L,
+      k = 10, nlist = nl, nprobe = np).collect().map(_.getLong(0)).toSeq
+    assert(pqAuto == pqExplicit)
+  }
+
   test("d3/d7 verify-byte router: a tiny byte budget engages the capped " +
       "path even when the row gate passes, and the capped pairs remain " +
       "a verified subset of the exact pairs") {
