@@ -48,8 +48,9 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).collect()
     // Offline index build (at scale a scheduled job, not query-time work):
-    // x8 then measures the probe, which is the serving-path cost.
-    graft.ext.Similarity.ivfIndexDir(spark, sfDir, nlist = 8)
+    // x8 then measures the probe, which is the serving-path cost. nlist=0
+    // resolves the auto size (r13) — the geometry x8/x19 actually probe.
+    graft.ext.Similarity.ivfIndexDir(spark, sfDir)
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String]) = {
       val t0 = System.nanoTime()

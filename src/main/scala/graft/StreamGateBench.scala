@@ -212,6 +212,29 @@ object StreamGateBench {
       s""""nprobe_$np":{"recall":${f"$recall%.3f"},"sec":${f"$sec%.2f"}}"""
     }.mkString(",")
 
+    // IVF-PQ gate (r13): the same ingest question answered through the
+    // 8-byte-per-vector PQ code table instead of the float corpus —
+    // the memory-bound artifact a production gate holds. Measured as an
+    // epoch-shaped batch through the SAME function the stream runs
+    // (StreamIvfPqSpec pins stream ≡ batch), at the auto probe depth.
+    val pqArt = {
+      val a = graft.stream.StreamIvfPq.artifact(spark, dir)
+      a.copy(codes = a.codes.persist())
+    }
+    pqArt.codes.count()
+    val pqStream = spark.createDataset(rows.map(r => (r._1, r._3)))
+      .toDF("vec_id", "embedding")
+    val pqT0 = System.nanoTime()
+    val pqMatched = graft.stream.StreamIvfPq
+      .matchesAgainst(pqStream, pqArt, tau = 0.9)
+      .select("in_id").distinct().count()
+    val pqSec = (System.nanoTime() - pqT0) / 1e9
+    val pqJson =
+      s""""ivfpq_gate":{"docs_per_sec":${(n / pqSec).round},""" +
+      s""""sec":${f"$pqSec%.2f"},"matched":$pqMatched,""" +
+      s""""nlist":${pqArt.centroids.length},""" +
+      s""""nprobe":${graft.ext.Similarity.autoNprobe(pqArt.centroids.length)}}"""
+
     println(s"""{"metric":"stream_gate_docs_per_sec",""" +
       s""""value":${(n / onSec).round},"docs":$n,"batch_size":$batchSize,""" +
       s""""state_partitions":$stateParts,""" +
@@ -221,7 +244,7 @@ object StreamGateBench {
       s""""fully_admitted":$onAdmitted,"ungated_admitted":$offAdmitted,""" +
       s""""sem_probe_tau":$sweepTau,"sem_probe_truth_pairs":$truth,""" +
       s""""dsir_floor_micro":$dsirFloor,""" +
-      s"""$probeJson,"sf_dir":"$dir"}""")
+      s"""$probeJson,$pqJson,"sf_dir":"$dir"}""")
     spark.stop()
   }
 }
