@@ -181,6 +181,10 @@ object SparkEntry {
       graft.ext.ProductQuant.ivfPqTopK(s, dir)),
     "x19r_ivfpq_recall" -> ((s, dir) =>
       graft.ext.ProductQuant.x19rIvfPqRecall(s, dir)),
+    // the streaming IVF-PQ gate's batch twin (r13): stream ≡ batch is
+    // spec-pinned (StreamIvfPqSpec), so the DuckDB oracle transitively
+    // gates the STREAM's quantized scorer
+    "x20_ivfpq_gate" -> (graft.stream.StreamIvfPq.x20Gate _),
     "x15r_pq_recall" -> ((s, dir) =>
       graft.ext.ProductQuant.x15rPqRecall(s, dir)),
     // semantic clustering + SemDeDup (Clustering.scala)
@@ -269,7 +273,8 @@ object SparkEntry {
     m ++ graft.ext.ProductQuant.x14OracleEntry ++
       graft.ext.ProductQuant.x19OracleEntry ++
       graft.ext.Clustering.oracleEntries() ++ x16OracleEntry ++
-      x8OracleEntry ++ e3OracleEntry ++ x4OracleEntry
+      x8OracleEntry ++ e3OracleEntry ++ x4OracleEntry ++
+      graft.stream.StreamIvfPq.x20OracleEntry
   }
 
   /** e3 oracle (r12, derived): the same 4-table Hamming-1-probed kNN

@@ -122,4 +122,111 @@ object StreamIvfPq {
       .select(col("in_id"), col("corpus_id"), col("cell"),
         col("cosine_adc"))
   }
+
+  // ---- the gate as an oracle-checked query (x20) --------------------------
+
+  /** x20 gate parameters, recorded per corpus dir when the query runs so
+    * the derived oracle replays the exact geometry (the e3/x4 per-dir
+    * discipline — a last-used global could embed another corpus's
+    * resolution).
+    */
+  private case class X20(idx: String, root: String, np: Int, m: Int,
+      dsub: Int)
+  private val x20ByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, X20]()
+
+  val X20Tau = 0.4
+
+  /** The gate's batch twin as a DRIVER-GATED query: the first 10 corpus
+    * vectors replayed through the quantized scorer against the full code
+    * table at the auto probe depth — every moving part of the streaming
+    * gate (probe ranking, cell join, ADC cosine from codebook literals)
+    * verified hash-exact against a DuckDB replay over the same artifact
+    * parquets. StreamIvfPqSpec pins stream ≡ batch for the same
+    * function, so the oracle transitively checks the STREAM's scorer.
+    */
+  def x20Gate(s: SparkSession, dir: String): DataFrame = {
+    val art = artifact(s, dir)
+    x20ByDir.put(dir, X20(Similarity.ivfIndexDir(s, dir),
+      ProductQuant.pqDir(s, dir),
+      Similarity.autoNprobe(art.centroids.length), art.m, art.dsub))
+    val probes = s.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 10).select("vec_id", "embedding")
+    matchesAgainst(probes, art, tau = X20Tau)
+      .withColumn("cosine_adc_r6",
+        floor(col("cosine_adc") * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+      .select("in_id", "corpus_id", "cell", "cosine_adc_r6")
+  }
+
+  /** x20 oracle (artifact-derived): the whole gate replays in DuckDB —
+    * per-probe centroid ranking (row_number over the same element-
+    * ordered d²), cell membership from the IVF artifact, ADC dot and
+    * reconstruction norms re-derived from the codebook parquet with the
+    * subspace-ordered sums the x19 oracle validated, filter on the raw
+    * double, emit r6-rounded. Emitted only when exactly one corpus dir
+    * recorded parameters this JVM (always true on the Verify path).
+    */
+  def x20OracleEntry: Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    x20ByDir.values.asScala.toSeq.distinct match {
+      case Seq(p) => Seq("x20_ivfpq_gate" ->
+        s"""WITH q AS (
+              SELECT vec_id AS in_id, embedding AS qe,
+                     list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS qn2
+              FROM embeddings WHERE vec_id < 10),
+            probe AS (
+              SELECT in_id, cell FROM (
+                SELECT q.in_id, c.cell,
+                       row_number() OVER (PARTITION BY q.in_id ORDER BY
+                         list_sum(list_transform(list_zip(q.qe, c.centroid),
+                           p -> (CAST(p[1] AS DOUBLE) - p[2])
+                              * (CAST(p[1] AS DOUBLE) - p[2]))), c.cell)
+                         AS rn
+                FROM q CROSS JOIN
+                     read_parquet('${p.idx}/centroids/*.parquet') c)
+              WHERE rn <= ${p.np}),
+            members AS (
+              SELECT e.vec_id AS corpus_id, CAST(e.cell AS INT) AS cell
+              FROM read_parquet('${p.idx}/cells/**/*.parquet',
+                                hive_partitioning = true) e),
+            books AS (
+              SELECT subspace, code, centroid
+              FROM read_parquet('${p.root}/codebooks/*.parquet')),
+            dj AS (
+              SELECT q.in_id, b.subspace, b.code,
+                     list_sum(list_transform(range(1, ${p.dsub + 1}),
+                       i -> CAST(q.qe[b.subspace * ${p.dsub} + i]
+                              AS DOUBLE) * b.centroid[i])) AS dot_j
+              FROM books b, q),
+            nj AS (
+              SELECT subspace, code,
+                     list_sum(list_transform(centroid, c -> c * c)) AS n_j
+              FROM books),
+            codes AS (
+              SELECT c.vec_id AS corpus_id, CAST(t.j AS INT) AS subspace,
+                     c.codes[CAST(t.j + 1 AS INT)] AS code
+              FROM read_parquet('${p.root}/codes/*.parquet') c
+              CROSS JOIN range(${p.m}) t(j)),
+            cand AS (
+              SELECT p.in_id, m.corpus_id, m.cell, k.subspace, k.code
+              FROM probe p JOIN members m USING (cell)
+                           JOIN codes k USING (corpus_id)),
+            adc AS (
+              SELECT c.in_id, c.corpus_id, any_value(c.cell) AS cell,
+                     list_sum(list(dj.dot_j ORDER BY c.subspace)) AS dot,
+                     list_sum(list(nj.n_j ORDER BY c.subspace)) AS xn2
+              FROM cand c
+              JOIN dj ON dj.in_id = c.in_id AND dj.subspace = c.subspace
+                     AND dj.code = c.code
+              JOIN nj ON nj.subspace = c.subspace AND nj.code = c.code
+              GROUP BY c.in_id, c.corpus_id)
+            SELECT a.in_id, a.corpus_id, a.cell,
+                   floor((a.dot / (sqrt(q.qn2) * sqrt(a.xn2))) * 1000000
+                     + 0.5) / 1000000 AS cosine_adc_r6
+            FROM adc a JOIN q USING (in_id)
+            WHERE a.dot / (sqrt(q.qn2) * sqrt(a.xn2)) >= $X20Tau""")
+      case _ => Seq.empty
+    }
+  }
 }
