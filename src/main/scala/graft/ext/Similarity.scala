@@ -116,37 +116,59 @@ object Similarity {
     * the tiny ordered block-pair table {(i,j) : i ≤ j} on the driver
     * (B(B+1)/2 rows), and expand via two equi-joins:
     *
-    *   vectors ⋈⟨blk=bi⟩ blockPairs ⋈⟨bj=blk⟩ vectors
+    *   vectors ⋈⟨blk=bi⟩ blockPairs ⟨(bi,bj)⟩⋈ blockPairs ⟨bj=blk⟩⋈ vectors
     *
-    * Each task scores one block-pair — n²/B² dot products, bounded memory
-    * — and the B(B+1)/2 tasks spread evenly across the cluster (blocks
-    * are hash-assigned, so no skew). Pair uniqueness: for bi < bj every
-    * (l, r) combination is a distinct unordered pair; for bi = bj keep
-    * l.vec_id < r.vec_id. Total work stays Θ(n²) dot products — exact
-    * low-threshold similarity admits no complete sub-quadratic candidate
-    * generator (at the 0.45 oracle threshold, hyperplane-LSH band recall
-    * is ~42% per band — unusable) — but the plan is now two equi-joins
-    * with no full-table broadcast and no single-task hotspot. For
-    * realistic near-dup thresholds (≥0.85) use [[lshBuckets]] candidates.
+    * Each task scores one block-pair — n²/B² dot products, bounded
+    * memory — across B(B+1)/2 tasks. The final join keys on the
+    * COMPOSITE (bi, bj): both sides expand against the block-pair table
+    * first, so the exchange has B(B+1)/2 distinct keys. (The r12 shape
+    * keyed the last join on `bj = r.blk` ALONE — B distinct keys, so at
+    * most B tasks ever ran regardless of shuffle partitions; the r13
+    * sf10 sweep measured e2 serialized onto 8 straggling threads for
+    * 45+ minutes. jstack evidence in SCALING.md.) Pair uniqueness: for
+    * bi < bj every (l, r) combination is a distinct unordered pair; for
+    * bi = bj keep l.vec_id < r.vec_id. Total work stays Θ(n²) dot
+    * products — exact low-threshold similarity admits no complete
+    * sub-quadratic candidate generator (at the 0.45 oracle threshold,
+    * hyperplane-LSH band recall is ~42% per band — unusable) — but the
+    * plan is two equi-joins with no full-table broadcast and no
+    * single-task hotspot. For realistic near-dup thresholds (≥0.85) use
+    * [[lshBuckets]] candidates.
+    *
+    * `blocks = 0` (the DEFAULT) auto-sizes B so one task's block-pair
+    * holds ~2e7 dot products ((n/B)² ≤ 2e7, clamped to [8, 256]):
+    * the result is EXACT at any B (B only tiles the pair space), so
+    * unlike the d3/graph routers this sentinel needs no oracle
+    * coupling — it is purely a parallelism knob the data sizes.
+    * Replication cost: each side crosses the exchange ~B/2 times;
+    * at the clamp ceiling (B=256, n ≳ 1.1M vectors) that is the
+    * honest signal that exact all-pairs has outgrown single-job
+    * compute and the caller wants the LSH/IVF candidates instead.
     */
   def cosineNearDupPairsBlocked(s: SparkSession, dir: String,
-      minCosine: Double = 0.8, blocks: Int = 16): DataFrame = {
+      minCosine: Double = 0.8, blocks: Int = 0): DataFrame = {
     import s.implicits._
+    val b = if (blocks > 0) blocks
+      else math.max(8, math.min(256,
+        math.ceil(emb(s, dir).count() / 4472.0).toInt))
     val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-      .withColumn("blk", pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int"))
-    val blockPairs = (for { i <- 0 until blocks; j <- i until blocks }
+      .withColumn("blk", pmod(xxhash64(col("vec_id")), lit(b)).cast("int"))
+    val blockPairs = (for { i <- 0 until b; j <- i until b }
       yield (i, j)).toDF("bi", "bj")
     val l = e.alias("l")
     val r = e.alias("r")
-    l.join(broadcast(blockPairs), col("l.blk") === col("bi"))
-      .join(r, col("bj") === col("r.blk"))
+    val le = l.join(broadcast(blockPairs), col("l.blk") === col("bi"))
+    val re = r.join(broadcast(blockPairs), col("r.blk") === col("bj"))
+      .select(col("bi").as("rbi"), col("bj").as("rbj"),
+        col("r.vec_id").as("r_vec_id"), col("r.embedding").as("r_embedding"))
+    le.join(re, col("bi") === col("rbi") && col("bj") === col("rbj"))
       .filter(col("bi") < col("bj") ||
-        (col("bi") === col("bj") && col("l.vec_id") < col("r.vec_id")))
-      .withColumn("cosine", cosineF(col("l.embedding"), col("r.embedding")))
+        (col("bi") === col("bj") && col("l.vec_id") < col("r_vec_id")))
+      .withColumn("cosine", cosineF(col("l.embedding"), col("r_embedding")))
       .filter(col("cosine") >= minCosine)
       .select(
-        least(col("l.vec_id"), col("r.vec_id")).as("vec_a"),
-        greatest(col("l.vec_id"), col("r.vec_id")).as("vec_b"),
+        least(col("l.vec_id"), col("r_vec_id")).as("vec_a"),
+        greatest(col("l.vec_id"), col("r_vec_id")).as("vec_b"),
         (floor(col("cosine") * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
           .as("cosine_r6"))
   }

@@ -107,9 +107,12 @@ object ExtQueries {
   def e1CosineTopK(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineTopK(s, dir, queryId = 0L, k = 20)
 
-  /** Blocked exact pair join — equi-joins only, no full-table broadcast. */
+  /** Blocked exact pair join — equi-joins only, no full-table broadcast;
+    * block count auto-sized to the corpus (r13 — purely a parallelism
+    * tiling, the exact result is independent of it).
+    */
   def e2CosineNearDupPairs(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosineNearDupPairsBlocked(s, dir, minCosine = 0.45, blocks = 8)
+    Similarity.cosineNearDupPairsBlocked(s, dir, minCosine = 0.45)
 
   // ---- text analysis -----------------------------------------------------
 

@@ -146,6 +146,11 @@ class ExtSpec extends SparkSpec {
     assertNoAllPairsJoin(blocked, "cosineNearDupPairsBlocked")
     val got = blocked.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+    // the auto block count (r13 default) tiles the same exact pair set
+    val auto = Similarity.cosineNearDupPairsBlocked(spark, sf001,
+      minCosine = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(auto == brute, s"auto-blocks diverged: missing=${brute -- auto}")
   }
 
   // ---- native expressions ------------------------------------------------
