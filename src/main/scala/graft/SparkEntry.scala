@@ -1201,12 +1201,93 @@ object SparkEntry {
     "d3_ngram_jaccard_pairs" ->
       s"""WITH $D3PairsCte
          SELECT doc_a, doc_b, jaccard FROM pairs""",
-    // d3c: the capped-exchange path — cap=64 exceeds every per-doc
-    // candidate degree on this corpus (Round11Spec pins capped ≡ exact),
-    // so the oracle is the SAME exact pair set
-    "d3c_ngram_jaccard_capped" ->
-      s"""WITH $D3PairsCte
-         SELECT doc_a, doc_b, jaccard FROM pairs""",
+    // d3c (r13): a FULL replay of the capped pipeline — the very path
+    // the auto router runs at 100× (cap=64, rarest-16 df≥2 prefix
+    // tokens). Every stage re-derives independently: FNV shingle hashes
+    // (the validated fnvGramSql loop), literal (lang, source, hash)
+    // buckets (≡ the engine's folded xxhash64 key mod 2^-64), df-ranked
+    // prefix selection, the rarest-16 cut, the SNM trailing window as a
+    // rank-difference self-join, per-doc candidate capping, exact
+    // substring-set Jaccard verify. Replayable because r13 switched all
+    // window orderings to the raw FNV hash.
+    "d3c_ngram_jaccard_capped" -> {
+      val ho = fnvGramSql("g", 3)
+      s"""WITH grams AS (
+           SELECT doc_id, lang, source,
+                  CAST(len(s) AS BIGINT) AS n, unnest(s) AS g
+           FROM (SELECT doc_id, lang, source,
+                   list_distinct(list_transform(
+                     range(0, greatest(length(text)-3, 0)+1),
+                     i -> substr(text, CAST(i+1 AS INT), 3))) AS s
+                 FROM documents
+                 WHERE length(text) >= 3
+                   AND lang IS NOT NULL AND source IS NOT NULL)),
+         tok AS (
+           SELECT doc_id, lang, source, n, $ho AS ho FROM grams),
+         dfreq AS (
+           SELECT lang, source, ho, count(*) AS df
+           FROM tok GROUP BY lang, source, ho HAVING count(*) > 1),
+         kept AS (
+           SELECT t.doc_id, t.lang, t.source, t.n, t.ho,
+                  COALESCE(f.df, 1) AS df,
+                  row_number() OVER (PARTITION BY t.doc_id
+                    ORDER BY COALESCE(f.df, 1), t.ho) AS rn
+           FROM tok t LEFT JOIN dfreq f
+             ON f.lang = t.lang AND f.source = t.source AND f.ho = t.ho),
+         pref AS (
+           SELECT * FROM kept WHERE rn <= n - floor(0.4 * n) + 1),
+         ordtok AS (
+           SELECT doc_id, lang, source, n, ho FROM (
+             SELECT *, row_number() OVER (PARTITION BY doc_id
+                         ORDER BY df, ho) AS rn2
+             FROM pref WHERE df >= 2)
+           WHERE rn2 <= 16),
+         rk AS (
+           SELECT *, row_number() OVER (PARTITION BY lang, source, ho
+                       ORDER BY n, doc_id) AS rk
+           FROM ordtok),
+         gen AS (
+           SELECT least(a.doc_id, b.doc_id) AS doc_a,
+                  greatest(a.doc_id, b.doc_id) AS doc_b,
+                  CASE WHEN a.doc_id < b.doc_id THEN a.n ELSE b.n END AS n_a,
+                  CASE WHEN a.doc_id < b.doc_id THEN b.n ELSE a.n END AS n_b
+           FROM rk a JOIN rk b
+             ON a.lang = b.lang AND a.source = b.source AND a.ho = b.ho
+            AND b.rk - a.rk BETWEEN 1 AND 64
+           WHERE a.doc_id <> b.doc_id),
+         cand0 AS (
+           SELECT doc_a, doc_b, count(*) AS shared_keys,
+                  any_value(n_a) AS n_a, any_value(n_b) AS n_b
+           FROM gen
+           WHERE n_a * 0.4 <= n_b AND n_b * 0.4 <= n_a
+           GROUP BY doc_a, doc_b),
+         ranked AS (
+           SELECT doc_a, doc_b, -shared_keys AS rkv,
+                  abs(n_a - n_b) AS sz
+           FROM cand0),
+         cand AS (
+           SELECT DISTINCT doc_a, doc_b FROM (
+             SELECT doc_a, doc_b FROM (
+               SELECT *, row_number() OVER (PARTITION BY doc_a
+                           ORDER BY rkv, sz, doc_b) AS r FROM ranked)
+             WHERE r <= 64
+             UNION ALL
+             SELECT doc_a, doc_b FROM (
+               SELECT *, row_number() OVER (PARTITION BY doc_b
+                           ORDER BY rkv, sz, doc_a) AS r FROM ranked)
+             WHERE r <= 64)),
+         shs AS (
+           SELECT doc_id, list_distinct(list_transform(
+                    range(0, greatest(length(text)-3, 0)+1),
+                    i -> substr(text, CAST(i+1 AS INT), 3))) AS s
+           FROM documents)
+         SELECT c.doc_a, c.doc_b,
+                CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(a.s || b.s)) AS jaccard
+         FROM cand c JOIN shs a ON a.doc_id = c.doc_a
+                     JOIN shs b ON b.doc_id = c.doc_b
+         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(a.s || b.s)) >= 0.4""" },
     // connected components over the same pair graph: min reachable doc_id
     // per node via a recursive transitive closure (UNION dedups → finite)
     "d4_dup_clusters" ->

@@ -643,25 +643,57 @@ object Dedup {
     * than `cap` apart in EVERY shared token's order is lost — the
     * documented approximation of the capped mode.
     *
-    * One window sort per token bucket (the same (key)-hash exchange
-    * the exact self-join shuffles), `collect_list` over a bounded
-    * following frame, explode — no quadratic stage anywhere.
+    * One hash exchange on the key (the same exchange the exact
+    * self-join shuffles) + in-partition sort, then a STREAMING
+    * mapPartitions slider holding only the last `cap` rows — O(cap)
+    * task memory regardless of bucket size. The r13 sf10 sweep proved
+    * why this cannot be a `collect_list` WindowExec: WindowExec buffers
+    * each key's ENTIRE partition in an ExternalAppendOnlyUnsafeRowArray
+    * before evaluating frames, so ONE whale bucket (a fingerprint/token
+    * shared by ~10⁵ replicated docs) starved task memory and killed
+    * both d3c and the d7 capped route with UNABLE_TO_ACQUIRE_MEMORY in
+    * `WindowPartitionEvaluator.fetchNextPartition`. The slider is the
+    * textbook SNM pass (Hernández/Stolfo ran it on tape!): emit each
+    * row paired with the ≤cap rows before it in (key, n, doc_id) order,
+    * reset at key boundaries. mapPartitions is the brief's last resort,
+    * and this is the last-resort case — Spark has no bounded-frame
+    * window that does not buffer whole partitions. Pair output is
+    * identical to the frame formulation: (r, s) within cap in s-at-r's
+    * frame ⟺ r in s's trailing buffer, and every downstream column is
+    * role-symmetric (least/greatest).
     */
   private def snmCandidates(tok: DataFrame, keyCol: String, cap: Int,
       jaccardMin: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(keyCol).orderBy("n", "doc_id")
-      .rowsBetween(1, cap)
-    tok
-      .withColumn("nbrs",
-        collect_list(struct(col("doc_id"), col("n"))).over(w))
-      .select(col("doc_id"), col("n"), explode(col("nbrs")).as("nb"))
+    val s = tok.sparkSession
+    import s.implicits._
+    val sorted = tok
+      .select(col(keyCol).cast("long").as("k"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("n").cast("long").as("n"))
+      .repartition(col("k"))
+      .sortWithinPartitions("k", "n", "doc_id")
+      .as[(Long, Long, Long)]
+    val pairs = sorted.mapPartitions { it =>
+      var curKey = 0L
+      var started = false
+      val buf = new scala.collection.mutable.ArrayDeque[(Long, Long)](cap + 1)
+      it.flatMap { case (k, doc, n) =>
+        if (!started || k != curKey) {
+          curKey = k; started = true; buf.clear()
+        }
+        val out = buf.toVector.map { case (d0, n0) => (d0, n0, doc, n) }
+        buf.append((doc, n))
+        if (buf.length > cap) { buf.removeHead(): Unit }
+        out
+      }
+    }.toDF("doc_id", "n", "nb_doc_id", "nb_n")
+    pairs
       .select(
-        least(col("doc_id"), col("nb.doc_id")).as("doc_a"),
-        greatest(col("doc_id"), col("nb.doc_id")).as("doc_b"),
-        when(col("doc_id") < col("nb.doc_id"), col("n"))
-          .otherwise(col("nb.n")).as("n_a"),
-        when(col("doc_id") < col("nb.doc_id"), col("nb.n"))
+        least(col("doc_id"), col("nb_doc_id")).as("doc_a"),
+        greatest(col("doc_id"), col("nb_doc_id")).as("doc_b"),
+        when(col("doc_id") < col("nb_doc_id"), col("n"))
+          .otherwise(col("nb_n")).as("n_a"),
+        when(col("doc_id") < col("nb_doc_id"), col("nb_n"))
           .otherwise(col("n")).as("n_b"))
       // a doc can meet itself when a key repeats within one doc (winnow
       // fingerprints are a multiset); the exact joins exclude self-pairs
@@ -765,10 +797,19 @@ object Dedup {
       val tok0 = sh.select(
         (Seq(col("doc_id"), size(col("shingle_hashes")).cast("long").as("n")) ++
           blockCols.map(col) :+ explode(col("shingle_hashes")).as("h")): _*)
+      // compactKeys carries BOTH keys: the folded 8-byte join/bucket key
+      // (`h`) and the raw FNV shingle hash (`ho`) as the ORDERING
+      // tie-break. Ordering by the raw hash instead of the folded key
+      // (r13) keeps every window order replayable by the DuckDB capped
+      // oracle through the validated fnvGramSql loop — xxhash64 of a
+      // mixed (string, string, long) tuple has no SQL emulation, and
+      // the prefix lemma only needs SOME consistent global total order,
+      // which (df, raw hash) is (within a doc the block columns are
+      // constant, so ho alone breaks every tie).
       val tok =
         if (compactKeys) tok0.filter(blockNotNull)
-          .select(col("doc_id"), col("n"), jkey.as("h"))
-        else tok0
+          .select(col("doc_id"), col("n"), jkey.as("h"), col("h").as("ho"))
+        else tok0.withColumn("ho", col("h"))
       // Only REPEATED shingles need their true df: the df=1 long tail (the
       // overwhelming majority of any real corpus) sorts identically whether
       // joined or defaulted, so filtering to df>1 shrinks the frequency
@@ -778,7 +819,7 @@ object Dedup {
         .filter(col("df") > 1)
       val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       val kept = tok.join(dfreq, Seq("h"), "left").na.fill(1L, Seq("df"))
-        .withColumn("rn", row_number().over(byDoc.orderBy("df", "h")))
+        .withColumn("rn", row_number().over(byDoc.orderBy("df", "ho")))
         .filter(col("rn") <= plen(col("n")))
       // candTokens (>0, capped mode only): the sf10 probe showed the
       // wall after the SNM window is pair MULTIPLICITY — every pair
@@ -795,7 +836,7 @@ object Dedup {
         if (candTok > 0)
           kept.filter(col("df") >= 2)
             .withColumn("rn2",
-              row_number().over(byDoc.orderBy("df", "h")))
+              row_number().over(byDoc.orderBy("df", "ho")))
             .filter(col("rn2") <= candTok)
         else kept
       if (compactKeys) kept2.select("doc_id", "n", "h")
@@ -909,6 +950,7 @@ object Dedup {
       blockCols: Seq[String] = Seq("lang", "source"),
       compactKeys: Boolean = true,
       candCap: Int = AutoCap,
+      candTokens: Int = 0,
       autoEnumRowsMax: Long = AutoEnumRowsMax,
       autoVerifyBytesMax: Long = AutoVerifyBytesMax): DataFrame = {
     val sh = shingles(docs(s, dir), k).select(
@@ -943,11 +985,14 @@ object Dedup {
     // ~2/(w+1) of the shingles, so this trips later, but a boilerplate-
     // heavy corpus (one hot fingerprint shared by millions of docs) is
     // exactly the df² blow-up the estimate catches.
-    val cap =
+    val (cap, candTok) =
       if (candCap == AutoCap) {
+        require(candTokens == 0,
+          "candTokens is chosen by the auto router; pass candCap " +
+            "explicitly to control it")
         // the literal path (compactKeys=false) is the equivalence-spec
         // baseline — auto resolves to exact there (see prefixJaccardPairs)
-        if (!compactKeys) 0
+        if (!compactKeys) (0, 0)
         else {
           val statKey = s"wp|$dir|$k|$w|${blockCols.mkString(",")}"
           val est = enumRowsEstimateCached(statKey, fp, "fp")
@@ -964,18 +1009,41 @@ object Dedup {
           val verifyBytes = est / math.max(1.0, avgF) * 2.0 * avgN * 8.0
           if (est > autoEnumRowsMax.toDouble ||
               verifyBytes > autoVerifyBytesMax.toDouble) {
-            logRoute("winnowPairs", s"capped SNM (cap=$AutoCandCap)",
+            logRoute("winnowPairs",
+              s"capped SNM (cap=$AutoCandCap tokens=$AutoCandTokens)",
               f"enumRows=$est%.3g max=$autoEnumRowsMax, " +
                 f"verifyBytes=$verifyBytes%.3g max=$autoVerifyBytesMax")
-            AutoCandCap
-          } else 0
+            (AutoCandCap, AutoCandTokens)
+          } else (0, 0)
         }
-      } else candCap
+      } else (candCap, candTokens)
     require(cap == 0 || compactKeys,
       "candCap requires compactKeys (the SNM window keys on the folded " +
         "block+fingerprint hash)")
+    require(candTok == 0 || cap > 0,
+      "candTokens is a capped-mode knob (needs candCap > 0)")
+    // candTokens (capped mode, r13 — the d3 lesson applied to d7): the
+    // fingerprint table has one row per (doc, fp), so a replicated
+    // corpus still feeds Σ|fps|·cap generation rows into the SNM pass
+    // (measured: the d7 capped route at sf10 = 1.1e8 fp rows × 64).
+    // Two cuts, one free and one bounded: df=1 fingerprints generate
+    // NOTHING (single-row buckets have no neighbors) — dropped exactly,
+    // zero recall change; of the shared-capable rest keep the P rarest
+    // per doc, bounding generation to n·P·cap. A true pair misses only
+    // if none of its shared fingerprints make either doc's rarest-P.
+    val fpForSnm =
+      if (candTok > 0) {
+        val byDoc = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+        val dfreq = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") > 1)
+        fp.join(dfreq, Seq("fp"))
+          .withColumn("rn", row_number().over(byDoc.orderBy("df", "fp")))
+          .filter(col("rn") <= candTok)
+          .select("doc_id", "n", "fp")
+      } else fp
     val cand0 =
-      if (cap > 0) snmCandidates(fp, "fp", cap, jaccardMin)
+      if (cap > 0) snmCandidates(fpForSnm, "fp", cap, jaccardMin)
       else fp.alias("l").join(fp.alias("r"), joinCond)
         .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
         .agg(count(lit(1)).as("shared_keys"),

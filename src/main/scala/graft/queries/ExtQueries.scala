@@ -41,17 +41,22 @@ object ExtQueries {
   def d3NgramJaccardPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.prefixJaccardPairs(s, dir, k = 3, jaccardMin = 0.4)
 
-  /** d3's capped-exchange twin (r11): the identical prefix-filter join
-    * with the per-doc candidate cap engaged — the shape that survives
-    * the 100× scale point where uncapped d3 dies on verify-exchange
-    * scratch (SCALING.md session 3: pair volume quadratic in dup-cluster
-    * size × KB shingle arrays per pair). cap=64 exceeds every per-doc
-    * candidate degree on this corpus (Round11Spec pins capped ≡ exact
-    * row-for-row), so the oracle is d3's exact pair set; at 100× the cap
-    * bounds the KB-payload exchange to ≤ 2·n·cap pairs.
+  /** d3's capped-exchange twin: since r13 this runs EXACTLY the settings
+    * the auto router engages above the wall — cap=64 with the 16
+    * rarest-df≥2 prefix tokens per doc — so the gate verifies the very
+    * path that executes at 100× (the r13 sf10 sweep killed the old
+    * (64, tokens=0) setting: without the token cut the SNM generation is
+    * Σ|prefix|·cap ≈ 2e10 rows there). The oracle is no longer "equals
+    * exact" (the rarest-P cut is lossy by design, ~86% pair recall at
+    * gate scale): it is a FULL DuckDB replay of the capped pipeline —
+    * df-ranked prefix selection, rarest-16 cut, SNM trailing window,
+    * per-doc candidate capping, exact verify — through the validated
+    * FNV shingle-hash emulation (every window orders by the raw FNV
+    * hash, which is why the r13 ordering change made this replayable).
     */
   def d3cNgramJaccardCapped(s: SparkSession, dir: String): DataFrame =
-    Dedup.prefixJaccardPairs(s, dir, k = 3, jaccardMin = 0.4, candCap = 64)
+    Dedup.prefixJaccardPairs(s, dir, k = 3, jaccardMin = 0.4, candCap = 64,
+      candTokens = 16)
 
   /** Exact substring-duplication spans (Lee et al. 2022 ExactSubstr). */
   def d11DupSpans(s: SparkSession, dir: String): DataFrame =

@@ -107,7 +107,7 @@ class Round12Spec extends SparkSpec {
     val wForced = pairSet(Dedup.winnowPairs(spark, dir,
       autoEnumRowsMax = 0L))
     val wCapped = pairSet(Dedup.winnowPairs(spark, dir,
-      candCap = Dedup.AutoCandCap))
+      candCap = Dedup.AutoCandCap, candTokens = Dedup.AutoCandTokens))
     assert(wForced == wCapped)
   }
 

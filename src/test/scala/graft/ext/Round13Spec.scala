@@ -118,6 +118,36 @@ class Round13Spec extends SparkSpec {
     assert(pqAuto == pqExplicit)
   }
 
+  test("SNM slider (r13): the capped routes through the bounded-memory " +
+      "mapPartitions pass stay sound subsets with the Round11 retention " +
+      "floors; the non-binding cap (64, tokens=0) still reproduces the " +
+      "exact set through the slider") {
+    val dir = sf("sf0.01")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Dedup.prefixJaccardPairs(spark, dir,
+      k = 3, jaccardMin = 0.4, candCap = 0))
+    // non-binding cap: the slider's generation ≡ the exact join's pairs
+    val nonBinding = pairSet(Dedup.prefixJaccardPairs(spark, dir,
+      k = 3, jaccardMin = 0.4, candCap = 64))
+    assert(nonBinding == exact,
+      s"slider (64, tokens=0) diverged: missing=${exact -- nonBinding} " +
+        s"extra=${nonBinding -- exact}")
+    // the d3c setting (the auto router's 100x shape): sound, ≥80% kept
+    val capped = pairSet(Dedup.prefixJaccardPairs(spark, dir,
+      k = 3, jaccardMin = 0.4, candCap = 64, candTokens = 16))
+    assert(capped.subsetOf(exact), "capped emitted a non-exact pair")
+    assert(capped.size >= (exact.size * 0.8).toInt,
+      s"retention ${capped.size}/${exact.size} below 80%")
+    val d7Exact = pairSet(Dedup.winnowPairs(spark, dir, candCap = 0))
+    val d7Capped = pairSet(Dedup.winnowPairs(spark, dir,
+      candCap = 64, candTokens = 16))
+    assert(d7Capped.subsetOf(d7Exact))
+    assert(d7Capped.size >= (d7Exact.size * 0.8).toInt,
+      s"d7 retention ${d7Capped.size}/${d7Exact.size} below 80%")
+  }
+
   test("d3/d7 verify-byte router: a tiny byte budget engages the capped " +
       "path even when the row gate passes, and the capped pairs remain " +
       "a verified subset of the exact pairs") {
