@@ -72,9 +72,17 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
+    // SPARK_GRAFT_ONLY=<regex> restricts the run — segment reruns for
+    // localizing in-sweep effects (a query can behave differently inside
+    // the full sweep than standalone; see SCALING.md r13 sweep notes).
+    // A filtered run is never a canonical artifact: "only" is recorded
+    // in the JSON so no consumer mistakes one for a full sweep.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     val toRun = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) =>
         skipInvariants && SparkEntry.invariantQueries(n) }
+      .filter { case (n, _) =>
+        only.forall(_.findFirstIn(n).isDefined) }
     val results = toRun.map { case (name, fn) =>
       dropLeakedBlocks()
       val (t1, err1) = once(fn)
@@ -87,6 +95,12 @@ object Bench {
         val (t2, err2) = once(fn)
         if (err2.isEmpty) (math.min(t1, t2), None) else (t2, err2)
       } else (t1, err1)
+      // Progress to stderr as each query lands: an hour-scale sweep was
+      // previously a black box until the final JSON, and a per-query
+      // timestamped trail is what localizes in-sweep anomalies (r13:
+      // queries 4-16x slower in-sweep than standalone).
+      System.err.println(f"[bench] $name ${t}%.2f s" +
+        err.map(m => s" ERROR $m").getOrElse(""))
       (name, t, err)
     }
     def jsonMap(rs: Seq[(String, Double, Option[String])]): String =

@@ -203,15 +203,20 @@ object Clustering {
     */
   def e5SemanticDedup(s: SparkSession, dir: String,
       tau: Double = 0.35): DataFrame = {
+    // per-row norm hoisted out of the within-cell pair join
+    // (bit-identical — see Expressions.cosinePreF)
     val a = s.read.parquet(s"${clusterDir(s, dir)}/assign")
       .join(emb(s, dir).select("vec_id", "embedding"), Seq("vec_id"))
+      .withColumn("nrm",
+        graft.functions.Expressions.normF(col("embedding")))
     val l = a.select(col("cell"), col("vec_id").as("l_id"),
-      col("embedding").as("l_emb"))
+      col("embedding").as("l_emb"), col("nrm").as("l_nrm"))
     val r = a.select(col("cell"), col("vec_id").as("r_id"),
-      col("embedding").as("r_emb"))
+      col("embedding").as("r_emb"), col("nrm").as("r_nrm"))
     SkewSafe.cappedEquiJoin(l, r, Seq("cell"), hash(col("r_id")))
       .filter(col("l_id") < col("r_id") &&
-        cosineF(col("l_emb"), col("r_emb")) >= tau)
+        graft.functions.Expressions.cosinePreF(col("l_emb"), col("l_nrm"),
+          col("r_emb"), col("r_nrm")) >= tau)
       .groupBy(col("r_id").as("drop_id"))
       .agg(min(col("l_id")).as("rep_id"), first(col("cell")).as("cell"))
   }

@@ -116,15 +116,17 @@ object CuratePipeline {
         .join(a.select(col("vec_id").as("doc_id"), col("cell")), "doc_id")
         .join(emb.select(col("vec_id").as("doc_id"), col("embedding")),
           "doc_id")
+        .withColumn("nrm",
+          graft.functions.Expressions.normF(col("embedding")))
       val l = sv.select(col("cell"), col("doc_id").as("l_id"),
-        col("embedding").as("l_emb"))
+        col("embedding").as("l_emb"), col("nrm").as("l_nrm"))
       val r = sv.select(col("cell"), col("doc_id").as("r_id"),
-        col("embedding").as("r_emb"))
+        col("embedding").as("r_emb"), col("nrm").as("r_nrm"))
       val drops = SkewSafe.cappedEquiJoin(l, r, Seq("cell"),
           hash(col("r_id")))
         .filter(col("l_id") < col("r_id") &&
-          graft.functions.Expressions.cosineF(col("l_emb"), col("r_emb"))
-            >= semTau)
+          graft.functions.Expressions.cosinePreF(col("l_emb"),
+            col("l_nrm"), col("r_emb"), col("r_nrm")) >= semTau)
         .select(col("r_id").as("doc_id")).distinct()
       nearKept.join(drops, Seq("doc_id"), "left_anti").persist()
     }
@@ -267,15 +269,16 @@ object CuratePipeline {
         sv.select(col("doc_id").as("vec_id"), col("embedding")), root)
       .select(col("vec_id").as("doc_id"), col("cell"))
     val svc = sv.join(cells, "doc_id")
+      .withColumn("nrm", graft.functions.Expressions.normF(col("embedding")))
     val drops = SkewSafe.cappedEquiJoin(
         svc.select(col("cell"), col("doc_id").as("l_id"),
-          col("embedding").as("l_emb")),
+          col("embedding").as("l_emb"), col("nrm").as("l_nrm")),
         svc.select(col("cell"), col("doc_id").as("r_id"),
-          col("embedding").as("r_emb")),
+          col("embedding").as("r_emb"), col("nrm").as("r_nrm")),
         Seq("cell"), hash(col("r_id")))
       .filter(col("l_id") < col("r_id") &&
-        graft.functions.Expressions.cosineF(col("l_emb"), col("r_emb"))
-          >= semTau)
+        graft.functions.Expressions.cosinePreF(col("l_emb"), col("l_nrm"),
+          col("r_emb"), col("r_nrm")) >= semTau)
       .select(col("r_id").as("doc_id")).distinct()
     val semKept = nearKept.join(drops, Seq("doc_id"), "left_anti").persist()
     // decontamination vs the eval slice FROZEN at the corpus epoch.
@@ -470,15 +473,18 @@ object CuratePipeline {
     val svc = sv.join(cells, "doc_id")
       .select(col("cell"), col("doc_id"), col("embedding"))
     val partners = state.nearCells.unionByName(svc)
+      .withColumn("nrm", graft.functions.Expressions.normF(col("embedding")))
+    val svcN = svc
+      .withColumn("nrm", graft.functions.Expressions.normF(col("embedding")))
     val drops = SkewSafe.cappedEquiJoin(
         partners.select(col("cell"), col("doc_id").as("l_id"),
-          col("embedding").as("l_emb")),
-        svc.select(col("cell"), col("doc_id").as("r_id"),
-          col("embedding").as("r_emb")),
+          col("embedding").as("l_emb"), col("nrm").as("l_nrm")),
+        svcN.select(col("cell"), col("doc_id").as("r_id"),
+          col("embedding").as("r_emb"), col("nrm").as("r_nrm")),
         Seq("cell"), hash(col("r_id")))
       .filter(col("l_id") < col("r_id") &&
-        graft.functions.Expressions.cosineF(col("l_emb"), col("r_emb"))
-          >= semTau)
+        graft.functions.Expressions.cosinePreF(col("l_emb"), col("l_nrm"),
+          col("r_emb"), col("r_nrm")) >= semTau)
       .select(col("r_id").as("doc_id")).distinct()
     val semKept = nearKept.join(drops, Seq("doc_id"), "left_anti").persist()
     val contaminated = deltaContaminated(s, state, semKept,

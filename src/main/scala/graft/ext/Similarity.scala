@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Expressions.{cosineF, dotF}
+import graft.functions.Expressions.{cosineF, cosinePreF, dotF, normF}
 
 /** Similarity search over an embedding column (ArrayType(FloatType)) —
   * SURVEY.md §7.4. Brute-force cosine top-k as the exact baseline; a
@@ -96,11 +96,14 @@ object Similarity {
     */
   def cosineNearDupPairs(s: SparkSession, dir: String,
       minCosine: Double = 0.8): DataFrame = {
+    // norm hoisted out of the pair loop (bit-identical — see cosinePreF)
     val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", normF(col("embedding")))
     val l = e.alias("l")
     val r = e.alias("r")
     l.join(r, col("l.vec_id") < col("r.vec_id"))
-      .withColumn("cosine", cosineF(col("l.embedding"), col("r.embedding")))
+      .withColumn("cosine", cosinePreF(
+        col("l.embedding"), col("l.nrm"), col("r.embedding"), col("r.nrm")))
       .filter(col("cosine") >= minCosine)
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
         (floor(col("cosine") * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
@@ -151,7 +154,10 @@ object Similarity {
     val b = if (blocks > 0) blocks
       else math.max(8, math.min(256,
         math.ceil(emb(s, dir).count() / 4472.0).toInt))
+    // per-row norm rides the block expansion (8 bytes/row vs saving two
+    // 64-dim dots per PAIR — see cosinePreF; bit-identical)
     val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", normF(col("embedding")))
       .withColumn("blk", pmod(xxhash64(col("vec_id")), lit(b)).cast("int"))
     val blockPairs = (for { i <- 0 until b; j <- i until b }
       yield (i, j)).toDF("bi", "bj")
@@ -160,11 +166,13 @@ object Similarity {
     val le = l.join(broadcast(blockPairs), col("l.blk") === col("bi"))
     val re = r.join(broadcast(blockPairs), col("r.blk") === col("bj"))
       .select(col("bi").as("rbi"), col("bj").as("rbj"),
-        col("r.vec_id").as("r_vec_id"), col("r.embedding").as("r_embedding"))
+        col("r.vec_id").as("r_vec_id"), col("r.embedding").as("r_embedding"),
+        col("r.nrm").as("r_nrm"))
     le.join(re, col("bi") === col("rbi") && col("bj") === col("rbj"))
       .filter(col("bi") < col("bj") ||
         (col("bi") === col("bj") && col("l.vec_id") < col("r_vec_id")))
-      .withColumn("cosine", cosineF(col("l.embedding"), col("r_embedding")))
+      .withColumn("cosine", cosinePreF(col("l.embedding"), col("l.nrm"),
+        col("r_embedding"), col("r_nrm")))
       .filter(col("cosine") >= minCosine)
       .select(
         least(col("l.vec_id"), col("r_vec_id")).as("vec_a"),
@@ -490,10 +498,36 @@ object Similarity {
       nPlanes: Int): Int =
     if (nPlanes > 0) nPlanes
     else autoKnnPlanesByDir.computeIfAbsent(dir,
-      _ => Integer.valueOf(autoPlanes(emb(s, dir).count()))).intValue()
+      _ => Integer.valueOf(autoPlanes(embStats(s, dir)._1))).intValue()
 
   private val autoKnnPlanesByDir =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** (row count, max embedding dim) per corpus dir, computed once per
+    * JVM (the Dedup memoized-routing-statistics pattern — unmemoized,
+    * every auto-routed call would pay a corpus scan). Feeds both the
+    * plane auto-sizing and the attach-join router below.
+    */
+  private[graft] def embStats(s: SparkSession, dir: String): (Long, Int) =
+    embStatsByDir.computeIfAbsent(dir, _ => {
+      val r = emb(s, dir).agg(count(lit(1)),
+        max(size(col("embedding")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0 else r.getInt(1))
+    })
+
+  private val embStatsByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Int)]()
+
+  /** Broadcast wall for the kNN-join embedding re-attach: below it the
+    * whole vector table ships to every executor ONCE (~60 MB at sf10)
+    * and the deduped pair stream never re-shuffles; above it the
+    * re-attach falls back to the two id-keyed shuffle joins. The sf10
+    * decomposition (tools/E3Decomp) measured the shuffle re-attach at
+    * 495 s of e3's 476 s total — 379M pair rows carrying two 256-byte
+    * embeddings through two exchanges (~100 GB) to feed ~80 s of
+    * cosine math — while the table behind all of it was 61 MB.
+    */
+  val AttachBroadcastBytesMax: Long = 256L * 1024 * 1024
 
   /** Every corpus-dir → auto-resolved plane count this JVM has computed —
     * consumed by the SparkEntry e3 oracle, which emits its SQL only when
@@ -541,14 +575,37 @@ object Similarity {
       .filter(col("src_id") =!= col("nb_id"))
       .select("src_id", "nb_id")
       .distinct()
-    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
-    val cand = pairs
-      .join(e.select(col("vec_id").as("src_id"),
-        col("embedding").as("src_emb")), Seq("src_id"))
-      .join(e.select(col("vec_id").as("nb_id"),
-        col("embedding").as("nb_emb")), Seq("nb_id"))
+    // norms computed once per ROW in the re-attach projections, not per
+    // candidate pair (bit-identical — see cosinePreF): on a dup-heavy
+    // corpus the deduped pair set is far larger than n, so the per-pair
+    // norm recompute dominated the verify stage's FLOPs.
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"),
+      normF(col("embedding")).as("nrm"))
+    val eSrc = e.select(col("vec_id").as("src_id"),
+      col("embedding").as("src_emb"), col("nrm").as("src_nrm"))
+    val eNb = e.select(col("vec_id").as("nb_id"),
+      col("embedding").as("nb_emb"), col("nrm").as("nb_nrm"))
+    // Re-attach router: the pair set is O(candidates) while the vector
+    // table is O(n) — when the table fits a broadcast, shipping it once
+    // beats re-shuffling every pair row with two embedding payloads
+    // (sf10: 61 MB table vs ~100 GB of pair exchange — tools/E3Decomp
+    // measured the shuffle re-attach at 495 s of e3's 476 s total).
+    // Join method can't change the result (equi-join on a unique key);
+    // above the wall the id-keyed shuffle joins remain the 100 TB shape.
+    val (nVec, dim) = embStats(s, dir)
+    val attachBytes = nVec * (4L * dim + 48L)
+    val broadcastAttach = attachBytes <= AttachBroadcastBytesMax
+    if (broadcastAttach)
+      Dedup.logRoute("knnJoin", "broadcast attach",
+        f"attachBytes=$attachBytes%.3g max=$AttachBroadcastBytesMax")
+    val cand = (if (broadcastAttach)
+        pairs.join(broadcast(eSrc), Seq("src_id"))
+          .join(broadcast(eNb), Seq("nb_id"))
+      else
+        pairs.join(eSrc, Seq("src_id")).join(eNb, Seq("nb_id")))
       .select(col("src_id"), col("nb_id"),
-        cosineF(col("src_emb"), col("nb_emb")).as("cosine"))
+        cosinePreF(col("src_emb"), col("src_nrm"),
+          col("nb_emb"), col("nb_nrm")).as("cosine"))
     graft.plans.TopKPerGroup.topK(cand, Seq("src_id"), "cosine", k,
       desc = true, tiebreakCols = Seq("nb_id"))
   }
@@ -571,6 +628,7 @@ object Similarity {
     val ann = knnJoinArtifact(s, dir, k, nPlanes)
       .select(col("src_id"), col("nb_id")).withColumn("hit", lit(1L))
     val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", normF(col("embedding")))
       .withColumn("blk", pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int"))
     val blockPairs = (for { i <- 0 until blocks; j <- 0 until blocks }
       yield (i, j)).toDF("bi", "bj")
@@ -580,7 +638,8 @@ object Similarity {
       .join(r, col("bj") === col("r.blk"))
       .filter(col("l.vec_id") =!= col("r.vec_id"))
       .select(col("l.vec_id").as("src_id"), col("r.vec_id").as("nb_id"),
-        cosineF(col("l.embedding"), col("r.embedding")).as("cosine"))
+        cosinePreF(col("l.embedding"), col("l.nrm"),
+          col("r.embedding"), col("r.nrm")).as("cosine"))
     val exact = graft.plans.TopKPerGroup.topK(cand, Seq("src_id"), "cosine",
       k, desc = true, tiebreakCols = Seq("nb_id"))
     exact.select("src_id", "nb_id")

@@ -206,6 +206,30 @@ object Expressions {
     dotF(a, b) / (sqrt(dotF(a, a)) * sqrt(dotF(b, b)))
   }
 
+  /** L2 norm of a float-array column — the per-ROW half of [[cosineF]],
+    * for hoisting out of pair loops. [[cosineF]] evaluates THREE dot
+    * products per pair, so a pair join recomputes each side's
+    * `sqrt(dot(x,x))` once per PAIR: on e2's sf10 tile join that is
+    * 2·2e10 redundant 64-dim dots. Computing `normF` once per row
+    * before the join and scoring pairs with [[cosinePreF]] cuts the
+    * per-pair work to one dot + one multiply + one divide.
+    */
+  def normF(c: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    sqrt(dotF(c, c))
+  }
+
+  /** Cosine from precomputed norms. BIT-IDENTICAL to
+    * `cosineF(a, b)` when `na = normF(a)` and `nb = normF(b)`: the
+    * norms are the same doubles (same expression, just evaluated per
+    * row instead of per pair) and the `na * nb` product and division
+    * keep cosineF's operand order, so every IEEE intermediate is the
+    * same value (pinned in Round13Spec; the ct2/e2/e5 oracle rows stay
+    * hash-exact through the rewrite).
+    */
+  def cosinePreF(a: Column, na: Column, b: Column, nb: Column): Column =
+    dotF(a, b) / (na * nb)
+
   def shingleHashes(c: Column, k: Int): Column =
     GraftBridge.column(ShingleHashes(GraftBridge.expression(c), k))
   def minhashSig(c: Column, k: Int): Column =

@@ -333,15 +333,20 @@ object ExtQueries {
       tau: Double = 0.32): DataFrame = {
     val ids = docs(s, dir).select(col("doc_id"),
       substring(md5(col("text")), 1, 2).as("h2"))
+    // norms hoisted out of the 188k×12k broadcast cross-join at sf10 —
+    // cosineF would recompute both sides' sqrt(dot(x,x)) per PAIR
+    // (bit-identical rewrite; see Expressions.cosinePreF)
     val withEmb = ids.join(
       s.read.parquet(s"$dir/embeddings.parquet")
-        .select(col("vec_id").as("doc_id"), col("embedding")),
+        .select(col("vec_id").as("doc_id"), col("embedding"),
+          graft.functions.Expressions.normF(col("embedding")).as("nrm")),
       "doc_id")
     val evals = withEmb.filter(col("h2") < "10")
-      .select(col("embedding").as("q_embedding"))
+      .select(col("embedding").as("q_embedding"), col("nrm").as("q_nrm"))
     val pairR6 = floor(
-      graft.functions.Expressions.cosineF(col("embedding"),
-        col("q_embedding")) * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+      graft.functions.Expressions.cosinePreF(col("embedding"), col("nrm"),
+        col("q_embedding"), col("q_nrm")) * lit(1000000.0) + lit(0.5)) /
+      lit(1000000.0)
     withEmb.filter(col("h2") >= "10")
       .crossJoin(broadcast(evals))
       .select(col("doc_id"), pairR6.as("c_r6"))

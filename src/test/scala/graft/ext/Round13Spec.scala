@@ -178,4 +178,29 @@ class Round13Spec extends SparkSpec {
     assert(pairSet(Dedup.prefixJaccardPairs(spark, dir,
       autoVerifyBytesMax = Dedup.AutoVerifyBytesMax)) == d3Exact)
   }
+
+  test("cosinePreF with hoisted normF is BIT-identical to cosineF on " +
+      "every corpus pair (the r13 norm-hoist rewrite of e2/e3/ct2/e5 " +
+      "and the curation pipelines changes FLOP count, not one double)") {
+    import graft.functions.Expressions.{cosineF, cosinePreF, normF}
+    val dir = sf("sf0.001")
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", normF(col("embedding")))
+    val l = e.select(col("vec_id").as("l_id"), col("embedding").as("l_emb"),
+      col("nrm").as("l_nrm"))
+    val r = e.select(col("vec_id").as("r_id"), col("embedding").as("r_emb"),
+      col("nrm").as("r_nrm"))
+    val both = l.join(r, col("l_id") < col("r_id"))
+      .select(
+        cosineF(col("l_emb"), col("r_emb")).as("c_pair"),
+        cosinePreF(col("l_emb"), col("l_nrm"), col("r_emb"), col("r_nrm"))
+          .as("c_pre"))
+    // exact double equality, all pairs — any ULP drift fails; NaN==NaN
+    // via the SQL equality's null-through (both sides NaN-free on the
+    // fixture, and a NaN would fail the count anyway)
+    val diff = both.filter(col("c_pair") =!= col("c_pre") ||
+      col("c_pair").isNull =!= col("c_pre").isNull).count()
+    assert(diff == 0L, s"$diff pairs differ between cosineF and cosinePreF")
+  }
 }
