@@ -40,7 +40,8 @@ object SparkEntry {
     "w8_get_by_key" -> (CoreQueries.w8GetByKey _),
     // relational spine: agg / joins / set ops
     "q1_lineitem_agg" -> (CoreQueries.q1LineitemAgg _),
-    "j1_broadcast_join_agg" -> (CoreQueries.j1BroadcastJoinAgg _),
+    "j1_broadcast_join_agg" ->
+      ((s: SparkSession, d: String) => CoreQueries.j1BroadcastJoinAgg(s, d)),
     "bj1_bloom_pruned_join" -> (CoreQueries.bj1BloomPrunedJoin _),
     "j2_shuffle_join_agg" -> (CoreQueries.j2ShuffleJoinAgg _),
     "b2_bucketed_join_agg" ->

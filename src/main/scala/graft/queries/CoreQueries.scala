@@ -253,16 +253,51 @@ object CoreQueries {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** Broadcast dimension join: fact×dim with explicit broadcast — at 100 TB
-    * the dim side stays far under the broadcast threshold while the fact
-    * side never shuffles.
+  /** On-disk parquet bytes of one table — the cheapest honest size
+    * statistic for a join-side routing decision (a filesystem stat, no
+    * Spark job; compression means in-memory build size is a small
+    * multiple, absorbed into the threshold).
     */
-  def j1BroadcastJoinAgg(s: SparkSession, dir: String): DataFrame =
+  private def tableDiskBytes(s: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+  }
+
+  /** A broadcast hint is an ASSERTION that the build side fits executor
+    * memory; 64 MB parquet ≈ a few hundred MB built. Above it, hinting
+    * is how drivers die at scale — let the planner pick the exchange
+    * join instead.
+    */
+  private val DimBroadcastDiskBytesMax: Long = 64L * 1024 * 1024
+
+  /** Broadcast dimension join: fact×dim where the fact side never
+    * shuffles — but the hint is size-GATED (r13): TPC-H's part table
+    * scales WITH the corpus (20 M rows / 178 MB parquet at sf100),
+    * unlike nation/region, so an unconditional broadcast() is an
+    * eventually-false assertion about executor memory. Below the gate:
+    * one exchange total (on the agg key). Above: the planner's exchange
+    * join — the same statistics-driven front-door pattern as the dedup
+    * and graph routers, logged on graft.autoroute. Join method cannot
+    * change the result (inner equi-join, agg downstream).
+    */
+  def j1BroadcastJoinAgg(s: SparkSession, dir: String,
+      dimBroadcastBytesMax: Long = DimBroadcastDiskBytesMax): DataFrame = {
+    val dim = t(s, dir, "part")
+    val dimBytes = tableDiskBytes(s, s"$dir/part.parquet")
+    val hinted =
+      if (dimBytes <= dimBroadcastBytesMax) broadcast(dim)
+      else {
+        graft.ext.Dedup.logRoute("j1BroadcastJoinAgg", "planner join",
+          f"dimDiskBytes=${dimBytes.toDouble}%.3g max=$dimBroadcastBytesMax")
+        dim
+      }
     t(s, dir, "lineitem")
-      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .join(hinted, col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(count(lit(1)).as("cnt"),
         sum(discPrice).cast("double").as("revenue"))
+  }
 
   /** Bloom-pruned fact join ([[graft.ext.BloomPrune]]): the dim side is a
     * selective filter over orders, whose keys are bloom-aggregated and

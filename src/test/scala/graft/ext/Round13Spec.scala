@@ -203,4 +203,28 @@ class Round13Spec extends SparkSpec {
       col("c_pair").isNull =!= col("c_pre").isNull).count()
     assert(diff == 0L, s"$diff pairs differ between cosineF and cosinePreF")
   }
+
+  test("j1's broadcast hint is size-gated: a tiny byte budget routes to " +
+      "the planner's exchange join (no BroadcastHashJoin on the dim) " +
+      "with row-identical results, and the default budget broadcasts " +
+      "at gate scale (TPC-H part scales WITH the corpus — 178 MB " +
+      "parquet at sf100 — so an unconditional hint is an eventually-" +
+      "false executor-memory assertion)") {
+    import graft.queries.CoreQueries
+    val dir = sf("sf0.01")
+    val hinted = CoreQueries.j1BroadcastJoinAgg(spark, dir)
+    val routed = CoreQueries.j1BroadcastJoinAgg(spark, dir,
+      dimBroadcastBytesMax = 1L)
+    assert(hinted.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    // AQE may still CHOOSE a broadcast from its own size estimates at
+    // this tiny scale; what the gate must guarantee is the HINT is gone
+    assert(!routed.queryExecution.analyzed.toString
+      .contains("UnresolvedHint") &&
+      !routed.queryExecution.optimizedPlan.toString.contains("broadcast"),
+      "tiny budget left a broadcast hint in the plan")
+    val h = hinted.orderBy("p_brand").collect().map(_.toSeq).toSeq
+    val r = routed.orderBy("p_brand").collect().map(_.toSeq).toSeq
+    assert(h == r, "join route changed the result")
+  }
 }
