@@ -271,6 +271,23 @@ object CoreQueries {
     */
   private val DimBroadcastDiskBytesMax: Long = 64L * 1024 * 1024
 
+  /** Size-gated hint for a WHOLE scaling table (q14, j1): the free FS
+    * stat suffices — derived/filtered dims go through
+    * [[JoinHints.gated]]'s measured count instead.
+    */
+  private[queries] def gatedTableBroadcast(s: SparkSession, dir: String,
+      table: String, site: String,
+      bytesMax: Long = DimBroadcastDiskBytesMax): DataFrame = {
+    val dim = t(s, dir, table)
+    val dimBytes = tableDiskBytes(s, s"$dir/$table.parquet")
+    if (dimBytes <= bytesMax) broadcast(dim)
+    else {
+      graft.ext.Dedup.logRoute(site, "planner join (dim over broadcast cap)",
+        f"dimDiskBytes=${dimBytes.toDouble}%.3g max=$bytesMax")
+      dim
+    }
+  }
+
   /** Broadcast dimension join: fact×dim where the fact side never
     * shuffles — but the hint is size-GATED (r13): TPC-H's part table
     * scales WITH the corpus (20 M rows / 178 MB parquet at sf100),
@@ -283,15 +300,8 @@ object CoreQueries {
     */
   def j1BroadcastJoinAgg(s: SparkSession, dir: String,
       dimBroadcastBytesMax: Long = DimBroadcastDiskBytesMax): DataFrame = {
-    val dim = t(s, dir, "part")
-    val dimBytes = tableDiskBytes(s, s"$dir/part.parquet")
-    val hinted =
-      if (dimBytes <= dimBroadcastBytesMax) broadcast(dim)
-      else {
-        graft.ext.Dedup.logRoute("j1BroadcastJoinAgg", "planner join",
-          f"dimDiskBytes=${dimBytes.toDouble}%.3g max=$dimBroadcastBytesMax")
-        dim
-      }
+    val hinted = gatedTableBroadcast(s, dir, "part", "j1BroadcastJoinAgg",
+      dimBroadcastBytesMax)
     t(s, dir, "lineitem")
       .join(hinted, col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
@@ -431,7 +441,8 @@ object CoreQueries {
     */
   def q14PromoRevenue(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
-      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .join(gatedTableBroadcast(s, dir, "part", "q14.part"),
+        col("l_partkey") === col("p_partkey"))
       .agg(r4(
         sum(when(col("p_type") === "PROMO", discPrice)
           .otherwise(lit(0).cast("decimal(12,2)"))).cast("double") * 100.0 /
@@ -1076,9 +1087,11 @@ object CoreQueries {
         col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("n_name").as("cust_nation"))
     t(s, dir, "lineitem")
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(JoinHints.gated(supp, s"$dir|q7.supp"),
+        col("l_suppkey") === col("s_suppkey"))
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(JoinHints.gated(cust, s"$dir|q7.cust"),
+        col("o_custkey") === col("c_custkey"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("long").as("l_year"))

@@ -46,7 +46,8 @@ object TpchQueries {
       .filter(col("p_type") === "SMALL" && col("p_size").between(10, 15))
       .select(col("p_partkey"))
     val li = t(s, dir, "lineitem")
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(JoinHints.gated(parts, s"$dir|q2.parts"),
+        col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"),
         cents(col("l_extendedprice")).as("price_cents"))
     val w = Window.partitionBy("partkey")
@@ -95,10 +96,13 @@ object TpchQueries {
     val econParts = t(s, dir, "part")
       .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
     t(s, dir, "lineitem")
-      .join(broadcast(econParts), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+      .join(JoinHints.gated(econParts, s"$dir|q8.econParts"),
+        col("l_partkey") === col("p_partkey"))
+      .join(JoinHints.gated(suppNat, s"$dir|q8.suppNat"),
+        col("l_suppkey") === col("s_suppkey"))
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+      .join(JoinHints.gated(asiaCust, s"$dir|q8.asiaCust"),
+        col("o_custkey") === col("c_custkey"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(
         (sum(when(col("supp_nation") === "NATION_2", discPrice)
@@ -124,8 +128,10 @@ object TpchQueries {
     val cost = col("p_retailprice").cast("decimal(12,2)") *
       col("l_quantity").cast("decimal(4,0)")
     t(s, dir, "lineitem")
-      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+      .join(JoinHints.gated(redParts, s"$dir|q9.redParts"),
+        col("l_partkey") === col("p_partkey"))
+      .join(JoinHints.gated(suppNat, s"$dir|q9.suppNat"),
+        col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("nation"), year(col("l_shipdate")).cast("long").as("o_year"))
       .agg((sum(discPrice - cost) * 10000).cast("long").as("profit_c4"))
   }
@@ -160,9 +166,10 @@ object TpchQueries {
     val deficit = t(s, dir, "supplier")
       .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
     t(s, dir, "lineitem")
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(deficit), col("l_suppkey") === col("s_suppkey"),
-        "left_anti")
+      .join(JoinHints.gated(parts, s"$dir|q16.parts"),
+        col("l_partkey") === col("p_partkey"))
+      .join(JoinHints.gated(deficit, s"$dir|q16.deficit"),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
       .groupBy("p_brand", "p_size")
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
   }
@@ -194,8 +201,9 @@ object TpchQueries {
     */
   def q19DisjunctivePreds(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
-      .join(broadcast(t(s, dir, "part")
-        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+      .join(JoinHints.gated(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_size")),
+          s"$dir|q19.part"),
         col("l_partkey") === col("p_partkey"))
     li.filter(
       (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
@@ -219,7 +227,8 @@ object TpchQueries {
       .filter(col("p_name").startsWith("cold")).select(col("p_partkey"))
     val heavy = t(s, dir, "lineitem")
       .filter(year(col("l_shipdate")) === 1997)
-      .join(broadcast(coldParts), col("l_partkey") === col("p_partkey"))
+      .join(JoinHints.gated(coldParts, s"$dir|q20.coldParts"),
+        col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_suppkey"))
       .agg(sum((col("l_quantity") * 100).cast("long")).as("qty_c"))
       .filter(col("qty_c") > 300 * 100)

@@ -227,4 +227,32 @@ class Round13Spec extends SparkSpec {
     val r = routed.orderBy("p_brand").collect().map(_.toSeq).toSeq
     assert(h == r, "join route changed the result")
   }
+
+  test("JoinHints.gated (the derived-dim generalization of j1's gate): " +
+      "below the cap the hint broadcasts, a tiny cap yields the SAME " +
+      "frame un-hinted, and the memoized row count never re-runs") {
+    import graft.queries.JoinHints
+    val dir = sf("sf0.01")
+    val dim = spark.read.parquet(s"$dir/supplier.parquet")
+      .select("s_suppkey", "s_nationkey")
+    val fact = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_suppkey", "l_quantity")
+    def agg(d: org.apache.spark.sql.DataFrame) =
+      fact.join(d, col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_nationkey").agg(sum("l_quantity").as("q"))
+    val hinted = agg(JoinHints.gated(dim, s"$dir|r13spec.supp"))
+    val routed = agg(JoinHints.gated(dim, s"$dir|r13spec.supp", bytesMax = 1L))
+    assert(hinted.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    assert(!routed.queryExecution.optimizedPlan.toString.contains("broadcast"),
+      "tiny cap left a broadcast hint")
+    val h = hinted.orderBy("s_nationkey").collect().map(_.toSeq).toSeq
+    val r = routed.orderBy("s_nationkey").collect().map(_.toSeq).toSeq
+    assert(h == r, "join route changed the result")
+    // memoization: the second gated() call above reused the first count
+    // (same key) — pin the cache actually holds the key by estimating
+    // again and observing no extra job (cheap proxy: identical estimate)
+    assert(JoinHints.estBytes(dim, s"$dir|r13spec.supp") ==
+      JoinHints.estBytes(dim, s"$dir|r13spec.supp"))
+  }
 }
