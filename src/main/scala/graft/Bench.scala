@@ -46,7 +46,14 @@ object Bench {
     // Warm up the session (codegen compiler, scheduler, shuffle machinery)
     // so the first timed query doesn't absorb ~4 s of JVM init.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).collect()
+    // parquet-reader warmup: lineitem normally, else any table present —
+    // a SPARK_GRAFT_ONLY-filtered probe may run against a PARTIAL corpus
+    // (e.g. the sf100 dir holding only documents/embeddings to leave the
+    // single box enough shuffle scratch for a heavy-miner probe)
+    Seq("lineitem", "documents", "embeddings", "nation")
+      .map(t => s"$sfDir/$t.parquet")
+      .find(p => new java.io.File(p).exists())
+      .foreach(p => spark.read.parquet(p).limit(10).collect())
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Option[String]) = {
       val t0 = System.nanoTime()

@@ -158,6 +158,11 @@ object SparkEntry {
     "mmr1_diversified_topk" -> (ExtQueries.mmr1DiversifiedTopk _),
     "ds2_dsir_hashed" -> (ExtQueries.ds2DsirHashed _),
     "ds3_dsir_resample" -> (ExtQueries.ds3DsirResample _),
+    // trained fastText-style quality classifier (r14): hashed-bag-of-
+    // words logistic model distilled from the Gopher gate's labels,
+    // served as one integer fold per row (QualityClassifier.scala)
+    "qc1_classifier_scores" ->
+      (graft.ext.QualityClassifier.qc1ClassifierScores _),
     "t14_char_entropy" -> (ExtQueries.t14CharEntropy _),
     "v3_bpe_encode" -> (ExtQueries.v3BpeEncode _),
     "e6_random_projection" -> (ExtQueries.e6RandomProjection _),
@@ -275,8 +280,47 @@ object SparkEntry {
       graft.ext.ProductQuant.x19OracleEntry ++
       graft.ext.Clustering.oracleEntries() ++ x16OracleEntry ++
       x8OracleEntry ++ e3OracleEntry ++ x4OracleEntry ++
-      graft.stream.StreamIvfPq.x20OracleEntry
+      graft.stream.StreamIvfPq.x20OracleEntry ++ qc1OracleEntry
   }
+
+  /** qc1 oracle (artifact-derived, r14): replays the classifier's
+    * serving fold — fnv1a64(token) % buckets against the weights parquet
+    * THIS JVM trained — entirely in integers (the ds2 bucket/fold shape
+    * with trained instead of count-ratio weights). Emitted only when
+    * exactly one corpus recorded a model (always true on the Verify
+    * path; ambiguity falls back to the rows-only check — the e3/x4
+    * per-dir discipline).
+    */
+  private def qc1OracleEntry: Seq[(String, String)] =
+    graft.ext.QualityClassifier.recordedModels match {
+      case Seq(md) =>
+        val b = graft.ext.QualityClassifier.Buckets
+        // the length-bucket index as the same sum-of-≥-flags the engine
+        // computes (single threshold source — lenBucketCol)
+        val lb = graft.ext.QualityClassifier.LenThresholds
+          .map(t => s"(CASE WHEN n_tokens >= $t THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        Seq("qc1_classifier_scores" ->
+          s"""WITH w AS (SELECT b, w_micro
+                         FROM read_parquet('$md/weights/*.parquet')),
+             words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+             wb AS (SELECT doc_id,
+                           CAST((${fnvTokenSqlU("tok")}) % $b AS BIGINT) AS b
+                    FROM words),
+             ts AS (SELECT wb.doc_id, count(*) AS n_tokens,
+                           CAST(sum(w.w_micro) AS BIGINT) AS tok_sum
+                    FROM wb JOIN w USING (b)
+                    GROUP BY wb.doc_id),
+             sc AS (SELECT ts.doc_id, ts.n_tokens,
+                           ts.tok_sum + ts.n_tokens * wl.w_micro
+                             AS score_micro
+                    FROM ts JOIN w wl ON wl.b = $b + ($lb))
+             SELECT doc_id, n_tokens, score_micro,
+                    CAST(score_micro >= 0 AS INT) AS pred_keep
+             FROM sc""")
+      case _ => Seq.empty
+    }
 
   /** e3 oracle (r12, derived): the same 4-table Hamming-1-probed kNN
     * replay as always, parameterized by the plane count the engine

@@ -233,7 +233,7 @@ object StreamGateBench {
       s""""ivfpq_gate":{"docs_per_sec":${(n / pqSec).round},""" +
       s""""sec":${f"$pqSec%.2f"},"matched":$pqMatched,""" +
       s""""nlist":${pqArt.centroids.length},""" +
-      s""""nprobe":${graft.ext.Similarity.autoNprobe(pqArt.centroids.length)}}"""
+      s""""nprobe":${pqArt.nprobeCalib}}"""
 
     println(s"""{"metric":"stream_gate_docs_per_sec",""" +
       s""""value":${(n / onSec).round},"docs":$n,"batch_size":$batchSize,""" +

@@ -362,8 +362,9 @@ object ProductQuant {
       shortlist: Int = 100): DataFrame = {
     val root = pqDir(s, dir)
     val rl = Similarity.resolveNlist(s, dir, nlist)
-    val np = if (nprobe > 0) nprobe else Similarity.autoNprobe(rl)
     val idx = Similarity.ivfIndexDir(s, dir, rl)
+    val np = if (nprobe > 0) nprobe
+      else Similarity.calibratedNprobe(s, idx)
     Similarity.recordNprobe(idx, np)
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") === queryId)

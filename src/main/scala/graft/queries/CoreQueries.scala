@@ -280,8 +280,11 @@ object CoreQueries {
       bytesMax: Long = DimBroadcastDiskBytesMax): DataFrame = {
     val dim = t(s, dir, table)
     val dimBytes = tableDiskBytes(s, s"$dir/$table.parquet")
-    if (dimBytes <= bytesMax) broadcast(dim)
-    else {
+    if (dimBytes <= bytesMax) {
+      graft.ext.Dedup.logRoute(site, "broadcast hint kept",
+        f"dimDiskBytes=${dimBytes.toDouble}%.3g max=$bytesMax")
+      broadcast(dim)
+    } else {
       graft.ext.Dedup.logRoute(site, "planner join (dim over broadcast cap)",
         f"dimDiskBytes=${dimBytes.toDouble}%.3g max=$bytesMax")
       dim

@@ -45,12 +45,14 @@ object StreamIvfPq {
     * `centroids`/`codebooks`/`norm2` are driver-sized by construction
     * (nlist ≈ √n rows; m·ksub codebook rows); `codes` is the corpus-
     * scale-but-8-bytes-per-vector frame (persist it for a foreachBatch
-    * caller).
+    * caller). `nprobeCalib` is the probe depth the IVF artifact was
+    * recall-calibrated to at build time ([[Similarity.calibratedNprobe]],
+    * r14) — the `nprobe = 0` resolution for the gate.
     */
   final case class Artifact(centroids: Seq[(Int, Seq[Double])],
       codebooks: IndexedSeq[IndexedSeq[Seq[Double]]],
       norm2: IndexedSeq[IndexedSeq[Double]],
-      m: Int, dsub: Int, codes: DataFrame)
+      m: Int, dsub: Int, codes: DataFrame, nprobeCalib: Int)
 
   def artifact(s: SparkSession, dir: String): Artifact = {
     val idx = Similarity.ivfIndexDir(s, dir)
@@ -73,20 +75,22 @@ object StreamIvfPq {
       .join(s.read.option("basePath", s"$idx/cells").parquet(s"$idx/cells")
         .select(col("vec_id"), col("cell")), Seq("vec_id"))
       .select(col("cell"), col("vec_id").as("corpus_id"), col("codes"))
-    Artifact(centroids, codebooks, norm2, m, dsub, codes)
+    Artifact(centroids, codebooks, norm2, m, dsub, codes,
+      math.min(Similarity.calibratedNprobe(s, idx), centroids.length))
   }
 
   /** Gate a (vec_id, embedding: array<float>) stream (or batch frame —
     * every op here is a stateless projection + equi-join, so the SAME
     * function serves both; stream ≡ batch holds by construction).
     * Returns (in_id, corpus_id, cell, cosine_adc) matches with
-    * asymmetric cosine ≥ `tau`. `nprobe = 0` probes the gate-calibrated
-    * fraction of the cell count ([[Similarity.autoNprobe]]).
+    * asymmetric cosine ≥ `tau`. `nprobe = 0` probes the depth the IVF
+    * artifact was recall-calibrated to at build time
+    * ([[Artifact.nprobeCalib]]).
     */
   def matchesAgainst(stream: DataFrame, art: Artifact,
       tau: Double = 0.5, nprobe: Int = 0): DataFrame = {
     val np = math.min(
-      if (nprobe > 0) nprobe else Similarity.autoNprobe(art.centroids.length),
+      if (nprobe > 0) nprobe else art.nprobeCalib,
       art.centroids.length)
     val ctrs: Column = typedLit(art.centroids)
     val qd = col("in_emb").cast("array<double>")
@@ -139,7 +143,7 @@ object StreamIvfPq {
 
   /** The gate's batch twin as a DRIVER-GATED query: the first 10 corpus
     * vectors replayed through the quantized scorer against the full code
-    * table at the auto probe depth — every moving part of the streaming
+    * table at the artifact's calibrated probe depth — every moving part of the streaming
     * gate (probe ranking, cell join, ADC cosine from codebook literals)
     * verified hash-exact against a DuckDB replay over the same artifact
     * parquets. StreamIvfPqSpec pins stream ≡ batch for the same
@@ -149,7 +153,7 @@ object StreamIvfPq {
     val art = artifact(s, dir)
     x20ByDir.put(dir, X20(Similarity.ivfIndexDir(s, dir),
       ProductQuant.pqDir(s, dir),
-      Similarity.autoNprobe(art.centroids.length), art.m, art.dsub))
+      math.min(art.nprobeCalib, art.centroids.length), art.m, art.dsub))
     val probes = s.read.parquet(s"$dir/embeddings.parquet")
       .filter(col("vec_id") < 10).select("vec_id", "embedding")
     matchesAgainst(probes, art, tau = X20Tau)

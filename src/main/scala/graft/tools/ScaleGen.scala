@@ -157,6 +157,10 @@ object ScaleGen {
       spark.read.parquet(s"$srcDir/$dim.parquet")
         .write.mode("overwrite").parquet(s"$outDir/$dim.parquet")
 
+    // the corpus at outDir just changed: any broadcast-gate statistic
+    // memoized against it in THIS JVM (gen-then-bench sessions) is stale
+    graft.queries.JoinHints.clearStats()
+
     val nd = spark.read.parquet(s"$outDir/documents.parquet").count()
     val ne = spark.read.parquet(s"$outDir/embeddings.parquet").count()
     val nl = spark.read.parquet(s"$outDir/lineitem.parquet").count()

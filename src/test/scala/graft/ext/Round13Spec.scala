@@ -99,15 +99,17 @@ class Round13Spec extends SparkSpec {
     val dir = sf("sf0.001")
     val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
     val nl = Similarity.autoNlist(n)
-    val np = Similarity.autoNprobe(nl)
-    assert(nl == 23 && np == 9, s"unexpected resolution ($nl, $np)")
+    assert(nl == 23, s"unexpected resolution $nl")
+    // nprobe = 0 resolves to the artifact's build-time calibration (r14)
+    val idx = Similarity.ivfIndexDir(spark, dir)
+    val np = Similarity.calibratedNprobe(spark, idx)
+    assert(np >= 1 && np <= nl, s"calibrated nprobe out of range ($np)")
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
     val auto = rows(Similarity.ivfTopK(spark, dir, queryId = 0L, k = 10))
     val explicitRun = rows(Similarity.ivfTopK(spark, dir, queryId = 0L,
       k = 10, nlist = nl, nprobe = np))
     assert(auto == explicitRun)
-    val idx = Similarity.ivfIndexDir(spark, dir)
     assert(Similarity.recordedNprobe(idx).contains(np),
       s"nprobe not recorded for $idx")
     // the composed IVF-PQ search rides the same resolution
@@ -249,10 +251,25 @@ class Round13Spec extends SparkSpec {
     val h = hinted.orderBy("s_nationkey").collect().map(_.toSeq).toSeq
     val r = routed.orderBy("s_nationkey").collect().map(_.toSeq).toSeq
     assert(h == r, "join route changed the result")
-    // memoization: the second gated() call above reused the first count
-    // (same key) — pin the cache actually holds the key by estimating
-    // again and observing no extra job (cheap proxy: identical estimate)
-    assert(JoinHints.estBytes(dim, s"$dir|r13spec.supp") ==
-      JoinHints.estBytes(dim, s"$dir|r13spec.supp"))
+    // memoization: a repeat estimate for an already-cached key must run
+    // ZERO Spark jobs (ADVICE r13 — the old identical-value assertion was
+    // tautological: count() is deterministic, so it passed even with a
+    // broken cache)
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      JoinHints.estBytes(dim, s"$dir|r13spec.supp"): Unit
+      // listener events are async; give a submitted job ample time to
+      // surface before declaring the cache clean
+      Thread.sleep(1000)
+      assert(jobs.get() == 0L,
+        s"cached estBytes ran ${jobs.get()} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 }

@@ -1,0 +1,171 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-14 hardening specs: build-time IVF nprobe calibration (VERDICT
+  * r13 item 1) and measured string widths in the broadcast gate (item 3).
+  */
+class Round14Spec extends SparkSpec {
+
+  // ---- IVF probe-depth calibration ----------------------------------------
+
+  test("IVF calibration artifact: the calib table meets the recall floor " +
+      "at the stored nprobe, the curve is non-decreasing and reaches 1.0 " +
+      "at nlist (probing every cell IS the exact scan)") {
+    val dir = sf("sf0.001")
+    val idx = Similarity.ivfIndexDir(spark, dir)
+    val row = spark.read.parquet(s"$idx/calib").head()
+    val nlist = row.getAs[Int]("nlist")
+    val np = row.getAs[Int]("nprobe")
+    val recall = row.getAs[Double]("recall")
+    val floor = row.getAs[Double]("floor")
+    val curve = row.getSeq[Double](row.fieldIndex("recall_curve"))
+    assert(np >= 1 && np <= nlist)
+    assert(recall >= floor, s"stored recall $recall under floor $floor")
+    assert(curve.length == nlist)
+    assert(curve.zip(curve.tail).forall { case (a, b) => a <= b },
+      "recall curve must be non-decreasing in nprobe")
+    assert(math.abs(curve.last - 1.0) < 1e-12,
+      s"curve at nprobe=nlist must be exact (got ${curve.last})")
+    // the chosen depth is the SMALLEST meeting the floor
+    assert(np == 1 || curve(np - 2) < floor,
+      s"nprobe=$np is not minimal (curve(${np - 1})=${curve(np - 2)})")
+    assert(Similarity.calibratedNprobe(spark, idx) == np)
+  }
+
+  test("IVF calibration on a CLUSTERED corpus lands far under the fixed " +
+      "3/8 ratio (the r13 default scanned ~38% of cells no matter how " +
+      "much structure the data had — the VERDICT r13 headline defect)") {
+    import spark.implicits._
+    val dim = 16
+    val nPerCluster = 100
+    val nClusters = 10
+    val rnd = new scala.util.Random(7L)
+    val centers = IndexedSeq.fill(nClusters)(
+      Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows = (0 until nClusters * nPerCluster).map { i =>
+      val c = centers(i % nClusters)
+      val e = c.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      (i.toLong, s"c${i % nClusters}", e.toSeq)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-r14-clu")
+      .toString
+    rows.toDF("vec_id", "label", "embedding")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .write.parquet(s"$tmp/embeddings.parquet")
+    // nlist matched to the true cluster count: every probe's exact
+    // top-k lives in its own cell, so calibration must choose nprobe=1
+    val idx = Similarity.ivfIndexDir(spark, tmp, nlist = nClusters)
+    val np = Similarity.calibratedNprobe(spark, idx)
+    val fallback = Similarity.autoNprobe(nClusters)
+    assert(np < fallback,
+      s"calibrated nprobe $np not under the fixed-ratio fallback $fallback")
+    assert(np <= 2, s"ten tight clusters should calibrate to ~1 (got $np)")
+    // and the probe path still returns a full top-k at that depth
+    val got = Similarity.ivfTopK(spark, tmp, queryId = 0L, k = 10)
+    assert(got.count() == 10L)
+  }
+
+  test("StreamIvfPq artifact carries the calibrated depth and the " +
+      "nprobe=0 gate path uses it (stream scorer rides the same " +
+      "resolution as x19/x20)") {
+    val dir = sf("sf0.001")
+    val art = graft.stream.StreamIvfPq.artifact(spark, dir)
+    val idx = Similarity.ivfIndexDir(spark, dir)
+    assert(art.nprobeCalib ==
+      math.min(Similarity.calibratedNprobe(spark, idx),
+        art.centroids.length))
+  }
+
+  // ---- trained quality classifier (qc1) -----------------------------------
+
+  test("qc1 classifier: trained weights separate the teacher gate's " +
+      "classes on HELD-OUT docs (never trained on), predictions are " +
+      "integer-exact (pred ⟺ score_micro ≥ 0), and the gate is not " +
+      "vacuous") {
+    val dir = sf("sf0.001")
+    val scores = QualityClassifier.qc1ClassifierScores(spark, dir)
+    val labels = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        expr(TextAnalysis.gopherKeptSql("text")).cast("int").as("y"))
+    val j = scores.join(labels, "doc_id")
+      .select(col("doc_id"), col("y"), col("pred_keep"),
+        col("score_micro"))
+      .collect()
+    // pred is a pure integer comparison on the emitted score
+    assert(j.forall(r => r.getInt(2) ==
+      (if (r.getLong(3) >= 0L) 1 else 0)))
+    val held = j.filter(r => r.getLong(0) % QualityClassifier.SliceMod != 0)
+    assert(held.nonEmpty)
+    val acc = held.count(r => r.getInt(1) == r.getInt(2)).toDouble /
+      held.length
+    val baseRate = held.count(_.getInt(1) == 1).toDouble / held.length
+    info(f"held-out accuracy=$acc%.3f (base rate $baseRate%.3f, " +
+      f"n=${held.length})")
+    assert(acc >= 0.85, f"held-out accuracy $acc%.3f under floor")
+    assert(acc > math.max(baseRate, 1 - baseRate) + 0.02,
+      f"classifier no better than majority class ($acc%.3f vs " +
+        f"$baseRate%.3f)")
+    val preds = j.map(_.getInt(2)).toSet
+    assert(preds == Set(0, 1), s"vacuous predictions: $preds")
+  }
+
+  test("qc1 streaming gate twin: classifierGate (the dsirGate shape " +
+      "with trained weights, floor 0) admits exactly the pred_keep=1 " +
+      "set — one scoring expression, both surfaces") {
+    val dir = sf("sf0.001")
+    val w = QualityClassifier.frozenWeights(spark, dir)
+    assert(w.size ==
+      QualityClassifier.Buckets + QualityClassifier.LenBuckets)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val gated = QualityClassifier.classifierGate(docs, w)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = QualityClassifier.qc1ClassifierScores(spark, dir)
+      .filter(col("pred_keep") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gated == batch)
+    assert(gated.nonEmpty && gated.size < docs.count())
+  }
+
+  // ---- measured string widths in the broadcast gate -----------------------
+
+  test("JoinHints.estBytes MEASURES string widths: a long-text dim that " +
+      "Catalyst defaultSize (20 B per string) would broadcast routes to " +
+      "the exchange join, row-identical both ways (ADVICE/VERDICT r13: " +
+      "the under-estimate kept exactly the OOM broadcast the gate " +
+      "exists to prevent)") {
+    import graft.queries.JoinHints
+    val dir = sf("sf0.001")
+    // a dim whose rows carry ~50 kB of text each: defaultSize charges
+    // 20 B per string, under-estimating ~2500x
+    val dim = spark.read.parquet(s"$dir/documents.parquet")
+      .limit(200)
+      .select(col("doc_id").as("d_id"),
+        expr("repeat(text, 100)").as("d_text"))
+    val cap = 1L << 20 // 1 MB
+    val schemaOnlyEst = dim.schema.map(_.dataType.defaultSize).sum + 16
+    assert(schemaOnlyEst * 200L < cap,
+      "fixture must be one defaultSize would wrongly broadcast")
+    val measured = JoinHints.estBytes(dim, s"$dir|r14spec.longtext")
+    assert(measured > cap,
+      s"measured $measured must exceed the $cap cap")
+    val fact = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    def agg(d: org.apache.spark.sql.DataFrame) =
+      fact.join(d, col("doc_id") === col("d_id"))
+        .groupBy(length(col("d_text")).as("tl"))
+        .agg(count(lit(1)).as("cnt"), sum("n_chars").as("nc"))
+    val gatedDf = agg(JoinHints.gated(dim, s"$dir|r14spec.longtext",
+      bytesMax = cap))
+    assert(!gatedDf.queryExecution.optimizedPlan.toString
+      .contains("broadcast"), "over-cap long-text dim kept its hint")
+    val forced = agg(broadcast(dim))
+    val a = gatedDf.orderBy("tl").collect().map(_.toSeq).toSeq
+    val b = forced.orderBy("tl").collect().map(_.toSeq).toSeq
+    assert(a == b, "route changed the rows")
+  }
+}
