@@ -163,6 +163,11 @@ object SparkEntry {
     // served as one integer fold per row (QualityClassifier.scala)
     "qc1_classifier_scores" ->
       (graft.ext.QualityClassifier.qc1ClassifierScores _),
+    // domain-level curation (r14, RefinedWeb-style; Domains.scala)
+    "u2_url_parse" -> (graft.ext.Domains.u2UrlParse _),
+    "u4_domain_caps" -> ((s, dir) => graft.ext.Domains.u4DomainCaps(s, dir)),
+    "u5_domain_blocklist" -> ((s, dir) =>
+      graft.ext.Domains.u5DomainBlocklist(s, dir)),
     "t14_char_entropy" -> (ExtQueries.t14CharEntropy _),
     "v3_bpe_encode" -> (ExtQueries.v3BpeEncode _),
     "e6_random_projection" -> (ExtQueries.e6RandomProjection _),
@@ -1495,6 +1500,42 @@ object SparkEntry {
                     ORDER BY md5(text), doc_id) AS rn
            FROM documents)
          WHERE rn <= 20""",
+    "u2_url_parse" -> {
+      val url = "'https://www.' || source || lang || '.com/docs/' || " +
+        "CAST(doc_id AS VARCHAR) || '?ref=crawl'"
+      s"""WITH u AS (SELECT doc_id, $url AS url FROM documents)
+         SELECT doc_id, url,
+                regexp_extract(url, '${graft.ext.Domains.HostRe}', 1)
+                  AS host,
+                regexp_extract(
+                  regexp_extract(url, '${graft.ext.Domains.HostRe}', 1),
+                  '${graft.ext.Domains.RegDomainRe}', 1) AS reg_domain,
+                regexp_extract(url, '${graft.ext.Domains.PathRe}', 1)
+                  AS path
+         FROM u""" },
+    "u4_domain_caps" -> {
+      val url = "'https://www.' || source || lang || '.com/docs/' || " +
+        "CAST(doc_id AS VARCHAR) || '?ref=crawl'"
+      val rd = s"regexp_extract(regexp_extract($url, " +
+        s"'${graft.ext.Domains.HostRe}', 1), " +
+        s"'${graft.ext.Domains.RegDomainRe}', 1)"
+      s"""SELECT doc_id, reg_domain, h FROM (
+           SELECT doc_id, $rd AS reg_domain, md5(text) AS h,
+                  row_number() OVER (PARTITION BY $rd
+                    ORDER BY md5(text), doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 20""" },
+    "u5_domain_blocklist" -> {
+      val url = "'https://www.' || source || lang || '.com/docs/' || " +
+        "CAST(doc_id AS VARCHAR) || '?ref=crawl'"
+      val rd = s"regexp_extract(regexp_extract($url, " +
+        s"'${graft.ext.Domains.HostRe}', 1), " +
+        s"'${graft.ext.Domains.RegDomainRe}', 1)"
+      val bl = graft.ext.Domains.GateBlocklist
+        .map(d => s"'$d'").mkString(", ")
+      s"""SELECT doc_id, reg_domain FROM (
+           SELECT doc_id, $rd AS reg_domain FROM documents)
+         WHERE reg_domain NOT IN ($bl)""" },
     "c5_temperature_mix" ->
       """WITH d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
          w AS (SELECT source,

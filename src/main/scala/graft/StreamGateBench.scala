@@ -235,6 +235,24 @@ object StreamGateBench {
       s""""nlist":${pqArt.centroids.length},""" +
       s""""nprobe":${pqArt.nprobeCalib}}"""
 
+    // chained IVF-PQ → exact-verify gate (r14): PQ prefilter at the x20
+    // threshold, exact-cosine confirm at the semantic gate's tau=0.9 —
+    // the x15 shortlist-verify pattern streamed. Float I/O is O(prefilter
+    // matches); StreamIvfPqSpec pins the match set identical to
+    // exact-verifying every probed-cell member.
+    val corpusEmb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .persist()
+    corpusEmb.count()
+    val chT0 = System.nanoTime()
+    val chMatched = graft.stream.StreamIvfPq
+      .chainedMatches(pqStream, pqArt, corpusEmb, tau = 0.9)
+      .select("in_id").distinct().count()
+    val chSec = (System.nanoTime() - chT0) / 1e9
+    val chJson =
+      s""""ivfpq_chained_gate":{"docs_per_sec":${(n / chSec).round},""" +
+      s""""sec":${f"$chSec%.2f"},"matched":$chMatched,""" +
+      s""""tau":0.9,"tau_pre":${graft.stream.StreamIvfPq.X20Tau}}"""
+
     println(s"""{"metric":"stream_gate_docs_per_sec",""" +
       s""""value":${(n / onSec).round},"docs":$n,"batch_size":$batchSize,""" +
       s""""state_partitions":$stateParts,""" +
@@ -244,7 +262,7 @@ object StreamGateBench {
       s""""fully_admitted":$onAdmitted,"ungated_admitted":$offAdmitted,""" +
       s""""sem_probe_tau":$sweepTau,"sem_probe_truth_pairs":$truth,""" +
       s""""dsir_floor_micro":$dsirFloor,""" +
-      s"""$probeJson,$pqJson,"sf_dir":"$dir"}""")
+      s"""$probeJson,$pqJson,$chJson,"sf_dir":"$dir"}""")
     spark.stop()
   }
 }

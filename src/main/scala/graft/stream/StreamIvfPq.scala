@@ -88,7 +88,19 @@ object StreamIvfPq {
     * ([[Artifact.nprobeCalib]]).
     */
   def matchesAgainst(stream: DataFrame, art: Artifact,
-      tau: Double = 0.5, nprobe: Int = 0): DataFrame = {
+      tau: Double = 0.5, nprobe: Int = 0): DataFrame =
+    adcScored(stream, art, nprobe)
+      .filter(col("cosine_adc") >= tau)
+      .select(col("in_id"), col("corpus_id"), col("cell"),
+        col("cosine_adc"))
+
+  /** The shared ADC-scored candidate frame (probe-cell assignment →
+    * cell join against the code table → quantized cosine), with the
+    * incoming floats still attached — [[matchesAgainst]] drops them,
+    * [[chainedMatches]] needs them for its exact confirm stage.
+    */
+  private def adcScored(stream: DataFrame, art: Artifact,
+      nprobe: Int): DataFrame = {
     val np = math.min(
       if (nprobe > 0) nprobe else art.nprobeCalib,
       art.centroids.length)
@@ -122,9 +134,40 @@ object StreamIvfPq {
     assigned.join(art.codes, Seq("cell"))
       .withColumn("cosine_adc",
         dot / (sqrt(col("q_norm2")) * sqrt(xNorm2)))
-      .filter(col("cosine_adc") >= tau)
+  }
+
+  /** CHAINED gate — the x15 shortlist-verify pattern streamed (the
+    * composition this object's Scaladoc has promised since r13): the PQ
+    * prefilter admits (in_id, corpus_id) candidates whose QUANTIZED
+    * cosine clears `tauPre`, and only those fetch corpus floats for the
+    * exact-cosine confirm at `tau`. Stateless throughout (projection +
+    * two stream-static equi-joins), so the same function serves streams
+    * and batch frames and stream ≡ batch holds by construction.
+    *
+    * `tauPre` is the x20 gate threshold by default — the value the
+    * measured ADC self-match floor justifies on this artifact family: a
+    * true near-duplicate's quantized cosine sits near the reconstruction
+    * floor (≈ the x14v self-cosine), far above X20Tau, so the prefilter
+    * has no false negatives at the exact threshold and the chained match
+    * set is IDENTICAL to exact-verifying every probed-cell member
+    * (spec-pinned; `tauPre = Double.NegativeInfinity` IS that baseline).
+    * Plan shape at 100 TB: the float table is touched only by the
+    * confirm join, whose left side is the prefilter's output —
+    * O(matches), not O(probed members); everything upstream rides the
+    * 8-byte code rows.
+    */
+  def chainedMatches(stream: DataFrame, art: Artifact,
+      corpusEmb: DataFrame, tau: Double = 0.9,
+      tauPre: Double = X20Tau, nprobe: Int = 0): DataFrame = {
+    import graft.functions.Expressions.cosineF
+    adcScored(stream, art, nprobe)
+      .filter(col("cosine_adc") >= tauPre)
+      .join(corpusEmb.select(col("vec_id").as("corpus_id"),
+        col("embedding").as("c_emb")), Seq("corpus_id"))
+      .withColumn("cosine", cosineF(col("in_emb"), col("c_emb")))
+      .filter(col("cosine") >= tau)
       .select(col("in_id"), col("corpus_id"), col("cell"),
-        col("cosine_adc"))
+        col("cosine_adc"), col("cosine"))
   }
 
   // ---- the gate as an oracle-checked query (x20) --------------------------

@@ -131,6 +131,54 @@ class Round14Spec extends SparkSpec {
     assert(gated.nonEmpty && gated.size < docs.count())
   }
 
+  // ---- domain-level curation (u2/u4/u5) ------------------------------------
+
+  test("u4 domain caps ride the bounded-heap operator (no WindowExec — " +
+      "a whale domain must never be sorted in full) and respect the cap " +
+      "per registered domain") {
+    val dir = sf("sf0.001")
+    val capped = Domains.u4DomainCaps(spark, dir, n = 5)
+    // pre-AQE physical plan (the PlanShapeSpec convention — AQE wraps
+    // executedPlan in an adaptive root whose children aren't final yet)
+    val p = capped.queryExecution.sparkPlan
+    assert(p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "WindowExec in the domain-cap plan")
+    assert(p.collect {
+      case t: graft.plans.TopKPerGroupExec => t
+    }.nonEmpty, "domain cap lost the heap operator")
+    val over = capped.groupBy("reg_domain").count()
+      .filter(col("count") > 5).count()
+    assert(over == 0L, "a domain exceeded its cap")
+    assert(capped.count() > 0L)
+  }
+
+  test("u5 blocklist: the anti-join drops exactly the blocklisted " +
+      "registered domains, and forcing the blocklist over the broadcast " +
+      "cap (exchange anti-join) keeps the rows identical") {
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    val kept = Domains.u5DomainBlocklist(spark, dir)
+    val keptDomains = kept.select("reg_domain").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(keptDomains.intersect(Domains.GateBlocklist.toSet).isEmpty)
+    val all = Domains.u2UrlParse(spark, dir)
+      .select("reg_domain").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(all.intersect(Domains.GateBlocklist.toSet).nonEmpty,
+      "fixture blocklist hits nothing — the gate is vacuous")
+    // row-identity across the gate's two routes: the same anti-join
+    // built with the hint suppressed (cap 0 forces the exchange route)
+    val bl = Domains.GateBlocklist.toDF("reg_domain")
+    val routed = Domains.u2UrlParse(spark, dir)
+      .select(col("doc_id"), col("reg_domain"))
+      .join(graft.queries.JoinHints.gated(bl, s"$dir|r14.u5.nocap",
+        bytesMax = 0L), Seq("reg_domain"), "left_anti")
+    assert(routed.select("doc_id").collect().map(_.getLong(0))
+      .sorted.toSeq ==
+      kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   // ---- measured string widths in the broadcast gate -----------------------
 
   test("JoinHints.estBytes MEASURES string widths: a long-text dim that " +

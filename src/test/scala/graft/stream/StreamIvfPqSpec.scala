@@ -74,6 +74,75 @@ class StreamIvfPqSpec extends SparkSpec {
     assert(minCos >= 0.5, f"self cosine_adc floor $minCos%.3f < 0.5")
   }
 
+  test("chained gate (r14): PQ prefilter → exact confirm matches the " +
+      "exact-verify-only baseline EXACTLY (tauPre has no false " +
+      "negatives at the exact threshold), and every emitted pair " +
+      "really clears both thresholds") {
+    val dir = sf("sf0.001")
+    val art = StreamIvfPq.artifact(spark, dir)
+    val emb = corpusEmb(dir)
+    // blend in near-dup probes: verbatim corpus vectors (exact cosine 1
+    // to their source) under fresh ids, plus the first 10 raw
+    val probes = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + lit(100000L)).as("vec_id"),
+        col("embedding"))
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("in_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val chained = StreamIvfPq.chainedMatches(probes, art, emb, tau = 0.9)
+    val baseline = StreamIvfPq.chainedMatches(probes, art, emb, tau = 0.9,
+      tauPre = Double.NegativeInfinity)
+    val cp = pairs(chained)
+    val bp = pairs(baseline)
+    assert(cp == bp,
+      s"prefilter dropped exact matches: missing=${bp -- cp}")
+    assert(cp.nonEmpty, "vacuous: no exact matches found")
+    // and each emitted row carries both scores above its threshold
+    val bad = chained.filter(col("cosine") < 0.9 ||
+      col("cosine_adc") < StreamIvfPq.X20Tau).count()
+    assert(bad == 0L)
+    // the verbatim probes must find their sources
+    assert(cp.exists { case (in, c) => in == c + 100000L })
+  }
+
+  test("chained gate: MemoryStream run equals the batch call on the " +
+      "same rows (stateless — stream ≡ batch for the composition too)") {
+    val dir = sf("sf0.001")
+    val art = StreamIvfPq.artifact(spark, dir)
+    val emb = corpusEmb(dir)
+    val probe = emb.filter(col("vec_id") < 10)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    import spark.implicits._
+    def key(df: DataFrame): Set[(Long, Long, Double)] =
+      df.select(col("in_id"), col("corpus_id"),
+        round(col("cosine") * 1e6).cast("double").as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val batchFrame = probe.toSeq.toDF("vec_id", "embedding")
+    val expected = key(StreamIvfPq.chainedMatches(batchFrame, art, emb,
+      tau = 0.5))
+    val mem = MemoryStream[(Long, Array[Float])](132)(implicitly,
+      spark.sqlContext)
+    val got = scala.collection.mutable.Set[(Long, Long, Double)]()
+    val q = StreamIvfPq.chainedMatches(
+        mem.toDF().toDF("vec_id", "embedding"), art, emb, tau = 0.5)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ivfpq-ch-ckpt").toString)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        got ++= key(batch): Unit
+      }.start()
+    try {
+      mem.addData(probe.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == expected,
+      s"stream/batch diverged: only-stream=${got.toSet -- expected} " +
+        s"only-batch=${expected -- got.toSet}")
+    assert(expected.nonEmpty, "vacuous equivalence")
+  }
+
   test("the gate reads NO corpus floats: artifact scans carry codes and " +
       "cell keys only (the x19 plan promise, streamed)") {
     val dir = sf("sf0.001")
