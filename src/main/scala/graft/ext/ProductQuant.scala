@@ -357,15 +357,60 @@ object ProductQuant {
     * (probe ranking ties to the lower cell; ADC summed in subspace
     * order; shortlist and final ties to the lower vec_id).
     */
+  /** ADC-shortlist floor: below ~100 the exact re-rank is too thin even
+    * at gate scale (the r10 measured value).
+    */
+  val MinShortlist = 100
+
+  private val embCountByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def corpusCount(s: SparkSession, dir: String): Long =
+    embCountByDir.computeIfAbsent(dir,
+      _ => java.lang.Long.valueOf(emb(s, dir).count())).longValue()
+
+  /** Auto ADC shortlist: 1/8 of the expected probed-candidate volume
+    * (nprobe · n/nlist), floored at [[MinShortlist]]. A FIXED shortlist
+    * makes x19's recall decay with the corpus even when cell recall is
+    * calibrated: at sf10 (n=200k, nprobe=58 → ~26k candidates) the
+    * shipped 100 delivered recall@10 = 0.26 against the 0.75 cell-recall
+    * ceiling, while the measured sweep (AnnRecallProbe, r14) gave
+    * 300→0.37, 1000→0.55, 3000→0.65 — ~1/8 of candidates recovers ~87 %
+    * of the reachable ceiling on the WORST-case (near-random) corpus;
+    * clustered corpora need less and can pass `shortlist` explicitly.
+    * Float I/O stays O(candidates/8) ≈ O(√n·nprobe/8) — the IVF-PQ
+    * promise holds (1.6 % of corpus floats at sf10). At gate scale the
+    * floor binds (expected candidates ≤ 800), so gate plans and oracles
+    * are unchanged.
+    */
+  def autoShortlist(nprobe: Int, n: Long, nlist: Int): Int =
+    math.max(MinShortlist,
+      math.ceil(nprobe.toDouble * n / math.max(1, nlist) / 8.0).toInt)
+
+  /** The shortlist most recently resolved against each index artifact —
+    * consumed by the x19 oracle's LIMIT (the recordNprobe discipline).
+    */
+  private val shortlistByIdx =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private def recordShortlist(idx: String, sl: Int): Unit =
+    shortlistByIdx.put(idx, Integer.valueOf(sl)): Unit
+
+  def recordedShortlist(idx: String): Option[Int] =
+    Option(shortlistByIdx.get(idx)).map(_.intValue())
+
   def ivfPqTopK(s: SparkSession, dir: String, queryId: Long = 0L,
       k: Int = 20, nlist: Int = 0, nprobe: Int = 0,
-      shortlist: Int = 100): DataFrame = {
+      shortlist: Int = 0): DataFrame = {
     val root = pqDir(s, dir)
     val rl = Similarity.resolveNlist(s, dir, nlist)
     val idx = Similarity.ivfIndexDir(s, dir, rl)
     val np = if (nprobe > 0) nprobe
       else Similarity.calibratedNprobe(s, idx)
     Similarity.recordNprobe(idx, np)
+    val sl = if (shortlist > 0) shortlist
+      else autoShortlist(np, corpusCount(s, dir), rl)
+    recordShortlist(idx, sl)
     val e = emb(s, dir)
     val q = e.filter(col("vec_id") === queryId)
       .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
@@ -396,7 +441,7 @@ object ProductQuant {
     val short = s.read.parquet(s"$root/codes")
       .join(members, Seq("vec_id"))
       .select(col("vec_id"), col("cell"), adc.as("adc_d2"))
-      .orderBy(col("adc_d2"), col("vec_id")).limit(shortlist)
+      .orderBy(col("adc_d2"), col("vec_id")).limit(sl)
     val qSide = e.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))
     short.join(e, Seq("vec_id")).crossJoin(broadcast(qSide))
@@ -413,7 +458,7 @@ object ProductQuant {
     * empty exact side. Oracle: the empty relation.
     */
   def x19rIvfPqRecall(s: SparkSession, dir: String, nQueries: Int = 10,
-      k: Int = 10, shortlist: Int = 100,
+      k: Int = 10, shortlist: Int = 0,
       floor: Double = 0.4): DataFrame = {
     val e = emb(s, dir)
     val qs = e.filter(col("vec_id") < nQueries)
@@ -487,7 +532,8 @@ object ProductQuant {
                GROUP BY c.vec_id),
              short AS (
                SELECT vec_id, cell FROM adc
-               ORDER BY adc_d2, vec_id LIMIT 100)
+               ORDER BY adc_d2, vec_id
+               LIMIT ${recordedShortlist(idx).getOrElse(MinShortlist)})
              SELECT s.vec_id, e.label, s.cell,
                     (list_sum(list_transform(range(1, len(q.qe) + 1),
                        i -> CAST(e.embedding[i] AS DOUBLE)

@@ -80,6 +80,32 @@ class Round14Spec extends SparkSpec {
         art.centroids.length))
   }
 
+  test("x19 auto-shortlist: gate scale resolves to the floor (plans and " +
+      "oracles unchanged), the sentinel equals the explicit call, the " +
+      "resolution is recorded for the oracle LIMIT, and the formula " +
+      "scales with probed-candidate volume (the sf10 sweep's fix)") {
+    val dir = sf("sf0.001")
+    val idx = Similarity.ivfIndexDir(spark, dir)
+    val np = Similarity.calibratedNprobe(spark, idx)
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val auto = ProductQuant.autoShortlist(np, n, 23)
+    assert(auto == ProductQuant.MinShortlist,
+      s"gate-scale shortlist must stay at the floor (got $auto)")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSeq
+    val sentinel = ids(ProductQuant.ivfPqTopK(spark, dir, queryId = 1L,
+      k = 10))
+    assert(ProductQuant.recordedShortlist(idx).contains(auto))
+    val explicitRun = ids(ProductQuant.ivfPqTopK(spark, dir, queryId = 1L,
+      k = 10, shortlist = auto))
+    assert(sentinel == explicitRun)
+    // sf10-resolved geometry (n=200k, nprobe=58, nlist=448): ~26k ADC
+    // candidates → shortlist ~1/8 of them, where the measured recall
+    // recovers ~87% of the cell-recall ceiling (vs 35% at the fixed 100)
+    val sf10 = ProductQuant.autoShortlist(58, 200000L, 448)
+    assert(sf10 > 3000 && sf10 < 3500, s"unexpected sf10 resolution $sf10")
+  }
+
   // ---- trained quality classifier (qc1) -----------------------------------
 
   test("qc1 classifier: trained weights separate the teacher gate's " +
