@@ -235,6 +235,23 @@ object StreamGateBench {
       s""""nlist":${pqArt.centroids.length},""" +
       s""""nprobe":${pqArt.nprobeCalib}}"""
 
+    // trained-classifier gate (r14): the fastText-style scorer distilled
+    // offline from the corpus's Gopher labels, served through the same
+    // stateless per-row fold as the DSIR gate (one integer sum, no
+    // state, no shuffle) — measured one-shot on the generated stream.
+    // The artifact build (16 capped-slice logistic steps) happens before
+    // the clock starts: it is the offline epoch job, not serving cost.
+    val qcW = graft.ext.QualityClassifier.frozenWeights(spark, dir)
+    val qcStream = spark.createDataset(rows.map(r => (r._1, r._2)))
+      .toDF("doc_id", "text")
+    val qcT0 = System.nanoTime()
+    val qcKept = graft.ext.QualityClassifier.classifierGate(qcStream, qcW)
+      .count()
+    val qcSec = (System.nanoTime() - qcT0) / 1e9
+    val qcJson =
+      s""""qc_gate":{"docs_per_sec":${(n / qcSec).round},""" +
+      s""""sec":${f"$qcSec%.2f"},"admitted":$qcKept}"""
+
     // chained IVF-PQ → exact-verify gate (r14): PQ prefilter at the x20
     // threshold, exact-cosine confirm at the semantic gate's tau=0.9 —
     // the x15 shortlist-verify pattern streamed. Float I/O is O(prefilter
@@ -262,7 +279,7 @@ object StreamGateBench {
       s""""fully_admitted":$onAdmitted,"ungated_admitted":$offAdmitted,""" +
       s""""sem_probe_tau":$sweepTau,"sem_probe_truth_pairs":$truth,""" +
       s""""dsir_floor_micro":$dsirFloor,""" +
-      s"""$probeJson,$pqJson,$chJson,"sf_dir":"$dir"}""")
+      s"""$probeJson,$pqJson,$chJson,$qcJson,"sf_dir":"$dir"}""")
     spark.stop()
   }
 }

@@ -115,11 +115,27 @@ object QualityClassifier {
   /** The Gopher-rules kept flag as the training label (weak
     * supervision): 1 = the heuristic gate keeps the doc.
     */
-  private def labeled(s: SparkSession, dir: String): DataFrame =
+  /** Absolute training-set cap: the model holds only Buckets+LenBuckets
+    * weights, so ~20k docs saturate it — without a cap the Iters
+    * full-batch passes would scan 1/4 of a 100 TB corpus SIXTEEN times
+    * for no additional signal. Over the cap, a second deterministic
+    * hash thinning (xxhash64(doc_id) mod ⌈slice/cap⌉ = 0) keeps an
+    * auditable ~cap-sized subsample — the c2 consistent-sample
+    * discipline applied to training.
+    */
+  val MaxTrainDocs = 20000L
+
+  private def labeled(s: SparkSession, dir: String): DataFrame = {
+    val sliceRows = docs(s, dir)
+      .filter(pmod(col("doc_id"), lit(SliceMod)) === 0).count()
+    val thin = math.max(1L,
+      math.ceil(sliceRows.toDouble / MaxTrainDocs).toLong)
     docs(s, dir)
-      .filter(pmod(col("doc_id"), lit(SliceMod)) === 0)
+      .filter(pmod(col("doc_id"), lit(SliceMod)) === 0 &&
+        pmod(xxhash64(col("doc_id")), lit(thin)) === 0)
       .select(col("doc_id"), col("text"),
         expr(TextAnalysis.gopherKeptSql("text")).cast("int").as("y"))
+  }
 
   /** One full-batch logistic step, all arithmetic replay-exact:
     * margin_d = score_micro / (1e6 · n_d); p_d = σ(margin_d); each token

@@ -139,6 +139,39 @@ class Round14Spec extends SparkSpec {
     assert(preds == Set(0, 1), s"vacuous predictions: $preds")
   }
 
+  test("qc1 classifier gate through a REAL MemoryStream: admitted ids " +
+      "across micro-batches equal the batch pred_keep=1 set (the " +
+      "StreamDsirSpec discipline for the trained model)") {
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    val w = QualityClassifier.frozenWeights(spark, dir)
+    val batchKept = QualityClassifier.qc1ClassifierScores(spark, dir)
+      .filter(col("pred_keep") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](141)(implicitly, spark.sqlContext)
+    val q = QualityClassifier.classifierGate(
+        mem.toDF().toDF("doc_id", "text"), w)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("qc-ckpt").toString)
+      .format("memory").queryName("qc_out").start()
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      mem.addData(h1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(h2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("qc_out")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == batchKept,
+        s"missing=${(batchKept -- got).take(5)} " +
+          s"extra=${(got -- batchKept).take(5)}")
+      assert(got.nonEmpty && got.size < rows.length,
+        "gate is vacuous (kept all or none)")
+    } finally q.stop()
+  }
+
   test("qc1 streaming gate twin: classifierGate (the dsirGate shape " +
       "with trained weights, floor 0) admits exactly the pred_keep=1 " +
       "set — one scoring expression, both surfaces") {
