@@ -343,8 +343,13 @@ object SparkEntry {
     val resolved = graft.ext.Similarity.autoResolvedKnnPlanes.values.toSet
     if (resolved.size != 1) return Seq.empty
     val p = resolved.head
+    // r14: the OR-depth is calibrated per corpus too — same per-dir-map
+    // ambiguity discipline as the plane count
+    val resolvedT = graft.ext.Similarity.autoResolvedKnnTables.values.toSet
+    if (resolvedT.size != 1) return Seq.empty
+    val nt = resolvedT.head
     Seq("e3_knn_join" ->
-      s"""WITH ${lshSigCte(nTables = 4, nPlanes = p)},
+      s"""WITH ${lshSigCte(nTables = nt, nPlanes = p)},
          probes AS (
            SELECT vec_id AS src_id, t,
                   unnest([bucket] || list_transform(range(0, $p),
@@ -380,9 +385,12 @@ object SparkEntry {
     val resolved = graft.ext.Similarity.autoResolvedKnnPlanes.values.toSet
     if (resolved.size != 1) return Seq.empty
     val p = resolved.head
+    val resolvedT = graft.ext.Similarity.autoResolvedKnnTables.values.toSet
+    if (resolvedT.size != 1) return Seq.empty
+    val nt = resolvedT.head
     val hamming1 = (0 until p).map(i => 1L << i).mkString(", ")
     Seq("x4_ann_topk" ->
-      s"""WITH ${lshSigCte(nTables = 8, nPlanes = p)},
+      s"""WITH ${lshSigCte(nTables = nt, nPlanes = p)},
          q AS (SELECT t, bucket AS qb FROM sig WHERE vec_id = 0),
          cand AS (
            SELECT DISTINCT s.vec_id

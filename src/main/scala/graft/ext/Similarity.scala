@@ -578,12 +578,13 @@ object Similarity {
     */
   def knnJoinArtifact(s: SparkSession, dir: String, k: Int = 3,
       nPlanes: Int = 0): DataFrame = {
-    // resolve the auto sentinel BEFORE keying, so the operator (e3) and
+    // resolve the auto sentinels BEFORE keying, so the operator (e3) and
     // its verifiers (e3r/e3v) share one artifact regardless of which
-    // spelled the plane count out
+    // spelled the plane/table counts out
     val planes = resolveKnnPlanes(s, dir, nPlanes)
-    ArtifactCache.frame(s, s"knn|$dir|$k|$planes")(
-      knnJoin(s, dir, k, planes))
+    val tables = resolveKnnTables(s, dir, 0)
+    ArtifactCache.frame(s, s"knn|$dir|$k|$planes|$tables")(
+      knnJoin(s, dir, k, planes, nTables = tables))
   }
 
   /** nPlanes = 0 → auto-size to the corpus (see [[autoPlanes]]) — the
@@ -644,9 +645,111 @@ object Similarity {
     autoKnnPlanesByDir.asScala.map { case (k, v) => k -> v.intValue() }.toMap
   }
 
+  // ---- OR-depth (table count) calibration (r14) ---------------------------
+
+  /** Table-count clamp bounds: 4 keeps the gate-scale candidate volume
+    * at its historical e3 cost; 16 caps the linear-in-T candidate work
+    * at 4× e3's r13 sf10 run — past it, the corpus has outgrown
+    * hyperplane LSH and the log line says so.
+    */
+  val MinKnnTables = 4
+  val MaxKnnTables = 16
+
+  /** Reachability floor the table calibration targets: mean
+    * candidate-reachability@10 over 10 held-out probes. 0.6 sits above
+    * both shipped operator floors (x4r 0.35@20, e3r 0.30@3 corpus-wide)
+    * with margin for the sample→population gap.
+    */
+  val KnnTablesRecallFloor = 0.6
+
+  private val autoKnnTablesByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Per-dir resolved table counts (the autoResolvedKnnPlanes pattern) —
+    * consumed by the derived e3/x4 oracles, which must replay the SAME
+    * OR-depth.
+    */
+  def autoResolvedKnnTables: Map[String, Int] = {
+    import scala.jdk.CollectionConverters._
+    autoKnnTablesByDir.asScala.map { case (k, v) => k -> v.intValue() }.toMap
+  }
+
+  def resolveKnnTables(s: SparkSession, dir: String, nTables: Int): Int =
+    if (nTables > 0) nTables
+    else autoKnnTablesByDir.computeIfAbsent(dir,
+      _ => Integer.valueOf(calibrateKnnTables(s, dir)._1)).intValue()
+
+  /** OR-depth calibration (r14 — the auto-planes/auto-nprobe discipline
+    * applied to the LAST fixed constant in the ANN family): auto-planes
+    * keeps bucket occupancy constant as the corpus grows, but a FIXED
+    * table count then lets recall decay — per-table collision
+    * probability falls geometrically with the plane count, and the r14
+    * sf10 probe measured exactly that (x4r and e3r both under their
+    * floors at 13 planes × their historical 8/4 tables, where the gate
+    * fixtures pass). The OR-construction count is the textbook recall
+    * lever (Indyk–Motwani: tables amplify (1-q^p) → 1-(1-q^p)^T), so it
+    * must GROW with the plane count — measured, not guessed.
+    *
+    * One exact scan (10 probes × corpus, broadcast side, bounded-heap
+    * top-10) gives the true neighbors; their signatures for
+    * [[MaxKnnTables]] tables come from [[lshBucketsMulti]] ITSELF
+    * restricted to the ≤110 involved rows (vec_id IN pushed to the
+    * scan) — the engine's own bit convention, no driver replica to
+    * drift. A pair is reachable at table t iff the neighbor's bucket
+    * sits in the source's probe set (own bucket + Hamming-1 flips —
+    * the knnJoin construction); the recall-vs-T curve is the prefix-any
+    * over ≤ 100 pairs, computed driver-side. Smallest T meeting
+    * [[KnnTablesRecallFloor]] wins, clamped to
+    * [[MinKnnTables]]..[[MaxKnnTables]]; an unreachable floor logs and
+    * pins the max. Memoized per corpus dir.
+    */
+  private[graft] def calibrateKnnTables(s: SparkSession, dir: String)
+      : (Int, IndexedSeq[Double]) = {
+    val planes = resolveKnnPlanes(s, dir, 0)
+    val e = emb(s, dir)
+    val qs = e.orderBy("vec_id").limit(IvfCalibQueries)
+      .select(col("vec_id").as("src_id"), col("embedding").as("q_emb"))
+    val exactCand = e.select(col("vec_id").as("nb_id"), col("embedding"))
+      .join(broadcast(qs), col("nb_id") =!= col("src_id"))
+      .select(col("src_id"), col("nb_id"),
+        cosineF(col("embedding"), col("q_emb")).as("cosine"))
+    val pairs = graft.plans.TopKPerGroup.topK(exactCand, Seq("src_id"),
+      "cosine", IvfCalibK, desc = true, tiebreakCols = Seq("nb_id"))
+      .select("src_id", "nb_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toIndexedSeq
+    if (pairs.isEmpty)
+      return (MinKnnTables, IndexedSeq.fill(MaxKnnTables)(1.0))
+    val involved = (pairs.map(_._1) ++ pairs.map(_._2)).distinct
+    val sigs = lshBucketsMulti(s, dir, planes, MaxKnnTables)
+      .filter(col("vec_id")
+        .isin(involved.map(java.lang.Long.valueOf): _*))
+      .select("vec_id", "table_id", "bucket").collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    def foundAt(q: Long, nb: Long, t: Int): Boolean = {
+      val bq = sigs((q, t))
+      val bn = sigs((nb, t))
+      bq == bn || (0 until planes).exists(i => (bq ^ (1L << i)) == bn)
+    }
+    val curve = (1 to MaxKnnTables).map { tmax =>
+      pairs.count { case (q, nb) =>
+        (0 until tmax).exists(t => foundAt(q, nb, t))
+      }.toDouble / pairs.length
+    }.toIndexedSeq
+    val hit = curve.indexWhere(_ >= KnnTablesRecallFloor)
+    val chosen = math.min(MaxKnnTables,
+      math.max(MinKnnTables, if (hit < 0) MaxKnnTables else hit + 1))
+    Dedup.logRoute(s"knnTables:$dir",
+      if (hit < 0) s"nTables=$chosen (floor UNREACHABLE at max — " +
+        "hyperplane LSH outgrown on this corpus)"
+      else s"nTables=$chosen of max $MaxKnnTables",
+      f"reach@$IvfCalibK=${curve(chosen - 1)}%.3f " +
+        f"floor=$KnnTablesRecallFloor planes=$planes")
+    (chosen, curve)
+  }
+
   def knnJoin(s: SparkSession, dir: String, k: Int = 3,
       nPlanes: Int = 0, hamming1Probes: Boolean = true,
-      nTables: Int = 4): DataFrame = {
+      nTables: Int = 0): DataFrame = {
     val planes = resolveKnnPlanes(s, dir, nPlanes)
     // LATE MATERIALIZATION (r10 session 3, A/B-proven in tools/E3Probe):
     // the candidate join shuffles IDs only. The old shape carried the
@@ -663,7 +766,8 @@ object Similarity {
     // back out through the re-attach joins and could fill top-k slots
     // with the same neighbor twice, where the old embedding-carrying
     // shape deduped after scoring.
-    val b = lshBucketsMulti(s, dir, planes, nTables)
+    val tables = resolveKnnTables(s, dir, nTables)
+    val b = lshBucketsMulti(s, dir, planes, tables)
       .select("vec_id", "table_id", "bucket")
     val l0 = b.select(col("vec_id").as("src_id"), col("table_id"),
       col("bucket"))
@@ -770,11 +874,13 @@ object Similarity {
     * fail loudly, not pass vacuously). Oracle: the empty relation.
     */
   def annRecallViolations(s: SparkSession, dir: String, nQueries: Int = 10,
-      k: Int = 20, nPlanes: Int = 0, nTables: Int = 8,
+      k: Int = 20, nPlanes: Int = 0, nTables: Int = 0,
       floor: Double = 0.35): DataFrame = {
-    // nPlanes = 0 → the corpus-sized count (see annTopK) so the
-    // invariant keeps measuring the geometry the operator actually runs
+    // the 0-sentinels → corpus-resolved counts (see annTopK /
+    // resolveKnnTables) so the invariant keeps measuring the geometry
+    // the operator actually runs
     val planes = resolveKnnPlanes(s, dir, nPlanes)
+    val tables = resolveKnnTables(s, dir, nTables)
     val e = emb(s, dir)
     // exact side: nQueries × n scored pairs, bounded-heap top-k per query
     val qs = e.filter(col("vec_id") < nQueries)
@@ -786,7 +892,7 @@ object Similarity {
     val exact = graft.plans.TopKPerGroup.topK(exactCand, Seq("src_id"),
       "cosine", k, desc = true, tiebreakCols = Seq("nb_id"))
     // ANN side: annTopK's probe shape, restricted to the nQueries sources
-    val b = lshBucketsMulti(s, dir, planes, nTables)
+    val b = lshBucketsMulti(s, dir, planes, tables)
     val probes = b.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("src_id"), col("embedding").as("q_emb"),
         col("table_id"),
@@ -831,9 +937,10 @@ object Similarity {
     * the same per-dir map e3 uses.
     */
   def annTopK(s: SparkSession, dir: String, queryId: Long = 0L, k: Int = 20,
-      nPlanes: Int = 0, nTables: Int = 8): DataFrame = {
+      nPlanes: Int = 0, nTables: Int = 0): DataFrame = {
     val planes = resolveKnnPlanes(s, dir, nPlanes)
-    val b = lshBucketsMulti(s, dir, planes, nTables)
+    val b = lshBucketsMulti(s, dir, planes,
+      resolveKnnTables(s, dir, nTables))
     val q = b.filter(col("vec_id") === queryId)
       .select(col("table_id"), col("embedding").as("q_embedding"),
         probeBuckets(planes).as("cand_buckets"))

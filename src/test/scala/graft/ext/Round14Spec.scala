@@ -80,6 +80,29 @@ class Round14Spec extends SparkSpec {
         art.centroids.length))
   }
 
+  test("LSH OR-depth calibration (r14): the table count resolves from " +
+      "the measured reachability curve (monotone, clamped to [4,16]), " +
+      "the sentinel equals the explicit call, and the resolution lands " +
+      "in the per-dir map for the derived e3/x4 oracles") {
+    val dir = sf("sf0.001")
+    val (chosen, curve) = Similarity.calibrateKnnTables(spark, dir)
+    assert(curve.length == Similarity.MaxKnnTables)
+    assert(curve.zip(curve.tail).forall { case (a, b) => a <= b },
+      "reachability must be non-decreasing in tables")
+    assert(chosen >= Similarity.MinKnnTables &&
+      chosen <= Similarity.MaxKnnTables)
+    val resolved = Similarity.resolveKnnTables(spark, dir, 0)
+    assert(resolved == chosen)
+    assert(Similarity.autoResolvedKnnTables(dir) == resolved)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSeq
+    val sentinel = rows(Similarity.annTopK(spark, dir, queryId = 2L,
+      k = 10))
+    val explicitRun = rows(Similarity.annTopK(spark, dir, queryId = 2L,
+      k = 10, nTables = resolved))
+    assert(sentinel == explicitRun)
+  }
+
   test("x19 auto-shortlist: gate scale resolves to the floor (plans and " +
       "oracles unchanged), the sentinel equals the explicit call, the " +
       "resolution is recorded for the oracle LIMIT, and the formula " +
