@@ -15,7 +15,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[ext] object ArtifactCache {
 
-  private val paths = new ConcurrentHashMap[String, String]()
+  private val paths = CorpusMemos.register(
+    new ConcurrentHashMap[String, String]())
 
   /** Parquet path for `key`, building via `write(out)` on first use. */
   def path(key: String)(write: String => Unit): String =

@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions._
   */
 object Bucketing {
 
-  private val built = new ConcurrentHashMap[String, (String, String)]()
+  private val built = CorpusMemos.register(
+    new ConcurrentHashMap[String, (String, String)]())
 
   /** Bucketed twin tables of orders/customer for `dir`, keyed on the
     * o_custkey = c_custkey join; returns their catalog names.

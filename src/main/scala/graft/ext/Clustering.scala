@@ -30,7 +30,8 @@ object Clustering {
   private case class Built(path: String, dim: Int)
 
   private val built =
-    new java.util.concurrent.ConcurrentHashMap[String, Built]()
+    CorpusMemos.register(
+      new java.util.concurrent.ConcurrentHashMap[String, Built]())
 
   /** Most recent artifact (Verify runs one sf dir per JVM); lets
     * [[graft.SparkEntry.oracleSql]] emit DuckDB oracles for e4/e5 that

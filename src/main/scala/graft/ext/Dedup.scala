@@ -87,7 +87,8 @@ object Dedup {
     * +1.3 s/call on d3 at sf0.1 unmemoized).
     */
   private val enumEstCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+    CorpusMemos.register(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]())
 
   private def enumRowsEstimateCached(key: String, tok: => DataFrame,
       keyCol: String): Double =

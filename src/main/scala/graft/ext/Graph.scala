@@ -271,7 +271,8 @@ object Graph {
     * sf0.1).
     */
   private val cliqueStatsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Double, Long)]()
+    CorpusMemos.register(
+      new java.util.concurrent.ConcurrentHashMap[String, (Double, Long)]())
 
   private[graft] def cliqueStats(s: SparkSession, dir: String): (Double, Long) =
     cliqueStatsCache.computeIfAbsent(dir, _ => {

@@ -40,7 +40,8 @@ object ProductQuant {
   private case class Built(path: String, dsub: Int)
 
   private val built =
-    new java.util.concurrent.ConcurrentHashMap[String, Built]()
+    CorpusMemos.register(
+      new java.util.concurrent.ConcurrentHashMap[String, Built]())
 
   /** Most recent artifact (Verify runs one sf dir per JVM); lets
     * [[graft.SparkEntry.oracleSql]] emit a DuckDB oracle that re-derives
@@ -363,7 +364,8 @@ object ProductQuant {
   val MinShortlist = 100
 
   private val embCountByDir =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    CorpusMemos.register(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]())
 
   private def corpusCount(s: SparkSession, dir: String): Long =
     embCountByDir.computeIfAbsent(dir,
@@ -391,7 +393,8 @@ object ProductQuant {
     * consumed by the x19 oracle's LIMIT (the recordNprobe discipline).
     */
   private val shortlistByIdx =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    CorpusMemos.register(
+      new java.util.concurrent.ConcurrentHashMap[String, Integer]())
 
   private def recordShortlist(idx: String, sl: Int): Unit =
     shortlistByIdx.put(idx, Integer.valueOf(sl)): Unit
@@ -485,12 +488,18 @@ object ProductQuant {
 
   /** x19 oracle (artifact-derived, the x8/x15 technique composed):
     * replays probe → members → ADC → re-rank from the SAME index and
-    * codebook parquet this JVM built. Present once both artifacts exist
-    * (Verify runs every query before dumping oracle_sql.json).
+    * codebook parquet this JVM built. Present only when the engine's
+    * x19 run RECORDED its resolved geometry against that index (the
+    * same presence discipline as the resolved-planes/tables oracles,
+    * ADVICE r14 — artifacts alone, e.g. from an x8/x20-only run, used
+    * to default the shortlist LIMIT to 100 and silently diverge from a
+    * later auto-resolved run instead of failing loudly).
     */
   def x19OracleEntry: Seq[(String, String)] =
     (Option(lastBuilt), Similarity.builtIvfIndexDir) match {
-      case (Some(b), Some(idx)) => Seq(
+      case (Some(b), Some(idx))
+          if Similarity.recordedNprobe(idx).isDefined &&
+            recordedShortlist(idx).isDefined => Seq(
         "x19_ivfpq_topk" ->
           s"""WITH q AS (SELECT embedding AS qe FROM embeddings
                          WHERE vec_id = 0),
@@ -500,7 +509,7 @@ object ProductQuant {
                ORDER BY list_sum(list_transform(list_zip(c.centroid, q.qe),
                           p -> (p[1] - CAST(p[2] AS DOUBLE))
                              * (p[1] - CAST(p[2] AS DOUBLE)))), c.cell
-               LIMIT ${Similarity.recordedNprobe(idx).getOrElse(3)}),
+               LIMIT ${Similarity.recordedNprobe(idx).get}),
              members AS (
                SELECT e.vec_id, CAST(e.cell AS INT) AS cell
                FROM read_parquet('$idx/cells/**/*.parquet',
@@ -533,7 +542,7 @@ object ProductQuant {
              short AS (
                SELECT vec_id, cell FROM adc
                ORDER BY adc_d2, vec_id
-               LIMIT ${recordedShortlist(idx).getOrElse(MinShortlist)})
+               LIMIT ${recordedShortlist(idx).get})
              SELECT s.vec_id, e.label, s.cell,
                     (list_sum(list_transform(range(1, len(q.qe) + 1),
                        i -> CAST(e.embedding[i] AS DOUBLE)

@@ -173,7 +173,8 @@ object QualityClassifier {
   }
 
   private val modelBuilt =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    CorpusMemos.register(
+      new java.util.concurrent.ConcurrentHashMap[String, String]())
 
   /** Train (or reuse) the classifier artifact for a corpus; returns the
     * artifact directory holding `weights` — a DENSE `buckets`-row
@@ -228,7 +229,8 @@ object QualityClassifier {
     * by the artifact-derived oracle (the per-dir-map discipline).
     */
   private val recordedModelByDir =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    CorpusMemos.register(
+      new java.util.concurrent.ConcurrentHashMap[String, String]())
 
   def recordedModel(dir: String): Option[String] =
     Option(recordedModelByDir.get(dir))

@@ -220,7 +220,8 @@ object Similarity {
     * in for the offline index job.
     */
   private val ivfBuilt =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    CorpusMemos.register(
+      new java.util.concurrent.ConcurrentHashMap[String, String]())
 
   /** The IVF index artifact the engine most recently USED — consumed by
     * the SparkEntry x8 oracle (the artifact-derived-oracle pattern;
@@ -276,7 +277,8 @@ object Similarity {
   val IvfCalibK = 10
 
   private val calibNprobeByIdx =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    CorpusMemos.register(
+      new java.util.concurrent.ConcurrentHashMap[String, Integer]())
 
   /** The probe depth an index artifact was CALIBRATED to at build time
     * (r14, replacing the fixed 3/8·nlist ratio as the `nprobe = 0`
@@ -284,15 +286,26 @@ object Similarity {
     * [[IvfRecallFloor]] on the artifact's own held-out probe sample —
     * stored in `$idx/calib` next to the centroids, the same place the
     * resolved geometry already lives. Memoized per artifact path (one
-    * 1-row parquet read); falls back to [[autoNprobe]] for an artifact
-    * without the calib table.
+    * 1-row parquet read). Falls back to [[autoNprobe]] ONLY when the
+    * calib table genuinely does not exist (a pre-r14 artifact) — checked
+    * by path, logged on `graft.autoroute`; a transient read FAILURE
+    * propagates instead of being memoized as a silent fixed-ratio
+    * downgrade for the JVM lifetime (ADVICE r14).
     */
   def calibratedNprobe(s: SparkSession, idx: String): Int =
-    calibNprobeByIdx.computeIfAbsent(idx, _ => Integer.valueOf(
-      try s.read.parquet(s"$idx/calib").select("nprobe").head().getInt(0)
-      catch { case scala.util.control.NonFatal(_) =>
-        autoNprobe(s.read.parquet(s"$idx/centroids").count().toInt) }
-    )).intValue()
+    calibNprobeByIdx.computeIfAbsent(idx, _ => Integer.valueOf {
+      val calib = new org.apache.hadoop.fs.Path(s"$idx/calib")
+      val fs = calib.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(calib))
+        s.read.parquet(s"$idx/calib").select("nprobe").head().getInt(0)
+      else {
+        val np = autoNprobe(s.read.parquet(s"$idx/centroids").count().toInt)
+        Dedup.logRoute(s"calibratedNprobe:$idx",
+          "no calib table (pre-r14 artifact) — fixed-ratio fallback",
+          s"nprobe=$np")
+        np
+      }
+    }).intValue()
 
   /** Build-time probe-depth calibration (VERDICT r13 item 1): ONE exact
     * linear scan scores the [[IvfCalibQueries]] smallest-vec_id probes
@@ -358,7 +371,8 @@ object Similarity {
   }
 
   private val autoNlistByDir =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    CorpusMemos.register(
+      new java.util.concurrent.ConcurrentHashMap[String, Integer]())
 
   private[graft] def resolveNlist(s: SparkSession, dir: String,
       nlist: Int): Int =
@@ -372,7 +386,8 @@ object Similarity {
     * path, the per-dir-map discipline from resolveKnnPlanes).
     */
   private val nprobeByIdx =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    CorpusMemos.register(
+      new java.util.concurrent.ConcurrentHashMap[String, Integer]())
 
   private[graft] def recordNprobe(idx: String, nprobe: Int): Unit =
     nprobeByIdx.put(idx, Integer.valueOf(nprobe)): Unit
@@ -606,7 +621,8 @@ object Similarity {
       _ => Integer.valueOf(autoPlanes(embStats(s, dir)._1))).intValue()
 
   private val autoKnnPlanesByDir =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    CorpusMemos.register(
+      new java.util.concurrent.ConcurrentHashMap[String, Integer]())
 
   /** (row count, max embedding dim) per corpus dir, computed once per
     * JVM (the Dedup memoized-routing-statistics pattern — unmemoized,
@@ -621,7 +637,8 @@ object Similarity {
     })
 
   private val embStatsByDir =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Int)]()
+    CorpusMemos.register(
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, Int)]())
 
   /** Broadcast wall for the kNN-join embedding re-attach: below it the
     * whole vector table ships to every executor ONCE (~60 MB at sf10)
@@ -663,7 +680,8 @@ object Similarity {
   val KnnTablesRecallFloor = 0.6
 
   private val autoKnnTablesByDir =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    CorpusMemos.register(
+      new java.util.concurrent.ConcurrentHashMap[String, Integer]())
 
   /** Per-dir resolved table counts (the autoResolvedKnnPlanes pattern) —
     * consumed by the derived e3/x4 oracles, which must replay the SAME

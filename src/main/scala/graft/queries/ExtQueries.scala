@@ -182,7 +182,8 @@ object ExtQueries {
     * crossJoin, no second aggregation.
     */
   private val cmsCellsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+    graft.ext.CorpusMemos.register(
+      new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]())
 
   private def cmsCells(s: SparkSession, dir: String): Array[Long] = {
     val cells = cmsCellsCache.computeIfAbsent(dir, _ =>

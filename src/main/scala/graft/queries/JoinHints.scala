@@ -2,9 +2,9 @@ package graft.queries
 
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, length, lit, sum}
-import org.apache.spark.sql.types.{BinaryType, StringType}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, length, lit, octet_length, sum, to_json}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, MapType, StringType, StructField, StructType}
 
 /** Size-gated broadcast hints for join sides DERIVED from corpus-scaling
   * tables (r13, generalizing j1's gate to every such site).
@@ -44,34 +44,62 @@ object JoinHints {
     */
   val DimBroadcastBytesMax: Long = 256L * 1024 * 1024
 
-  private val statsCache = new ConcurrentHashMap[String, java.lang.Long]()
+  private val statsCache = graft.ext.CorpusMemos.register(
+    new ConcurrentHashMap[String, java.lang.Long]())
 
   /** Drop every memoized size statistic — for paths that regenerate a
-    * corpus at an existing location within one JVM.
+    * corpus at an existing location within one JVM. (Registered with
+    * [[graft.ext.CorpusMemos]] too, so `clearAll()` covers this map
+    * alongside the calibration memos.)
     */
   def clearStats(): Unit = statsCache.clear()
 
+  /** Is this a type whose per-cell size `defaultSize` cannot bound?
+    * Catalyst charges strings a flat 20 B and containers ONE element's
+    * width (an `array<string>` is "20 B" no matter how many elements),
+    * so every such column must be measured, not trusted (ADVICE r13 for
+    * strings; VERDICT r14 item 1 for arrays/maps/structs — a tokenized
+    * or embedding dim under `defaultSize` keeps exactly the OOM
+    * broadcast this gate exists to prevent, one layer down).
+    */
+  private def isVarWidth(t: DataType): Boolean = t match {
+    case StringType | BinaryType => true
+    case _: ArrayType | _: MapType | _: StructType => true
+    case _ => false
+  }
+
+  /** Measured per-cell bytes for a var-width column. Strings count
+    * UTF-8 OCTETS (`octet_length`) — `length` counts characters, which
+    * under-measures CJK/emoji text up to 4× (ADVICE r14). Binary is
+    * octets already. Containers are measured through their JSON
+    * serialization: for string payloads the quotes/brackets overhead
+    * makes it a modest over-estimate, and for numeric payloads decimal
+    * text ≥ the 4–8 binary bytes — both err toward the exchange join,
+    * the safe direction for an OOM gate.
+    */
+  private def measuredCellBytes(f: StructField): Column = f.dataType match {
+    case StringType => octet_length(col(f.name)).cast("long")
+    case BinaryType => length(col(f.name)).cast("long")
+    case _ => octet_length(to_json(col(f.name))).cast("long")
+  }
+
   /** Estimated in-memory build-side bytes, memoized per `key`. Fixed-
-    * width columns are charged Catalyst's `defaultSize`; string/binary
-    * columns are MEASURED — `sum(length(c))` rides the same aggregate as
-    * the row count — because `defaultSize` charges a flat 20 B for ANY
-    * string, under-estimating a text-heavy dim 10–100× and keeping
-    * exactly the OOM broadcast this gate exists to prevent (ADVICE r13).
-    * Each measured var-width cell is charged 16 B overhead (UnsafeRow
-    * offset/len word + padding) plus its bytes; +16 B per row for the
-    * row header of a broadcast relation row.
+    * width columns are charged Catalyst's `defaultSize`; var-width
+    * columns ([[isVarWidth]] — strings, binary, arrays, maps, structs)
+    * are MEASURED, riding the same aggregate as the row count
+    * ([[measuredCellBytes]] for what each cell is charged). Each
+    * measured var-width cell adds 16 B overhead (UnsafeRow offset/len
+    * word + padding) plus its bytes; +16 B per row for the row header
+    * of a broadcast relation row.
     */
   private[graft] def estBytes(df: DataFrame, key: String): Long =
     statsCache.computeIfAbsent(key, _ => {
       val fields = df.schema.fields.toIndexedSeq
-      val varCols = fields.filter(f =>
-        f.dataType == StringType || f.dataType == BinaryType)
-      val fixedWidth = fields.filterNot(f =>
-        f.dataType == StringType || f.dataType == BinaryType)
+      val varCols = fields.filter(f => isVarWidth(f.dataType))
+      val fixedWidth = fields.filterNot(f => isVarWidth(f.dataType))
         .map(_.dataType.defaultSize).sum + 16 + 16 * varCols.length
       val aggs = count(lit(1)).cast("long") +:
-        varCols.map(f => coalesce(sum(length(col(f.name)).cast("long")),
-          lit(0L)))
+        varCols.map(f => coalesce(sum(measuredCellBytes(f)), lit(0L)))
       val row = df.agg(aggs.head, aggs.drop(1): _*).head()
       val rows = row.getLong(0)
       val varBytes = varCols.indices.map(i => row.getLong(i + 1)).sum

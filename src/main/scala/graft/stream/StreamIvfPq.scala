@@ -180,7 +180,8 @@ object StreamIvfPq {
   private case class X20(idx: String, root: String, np: Int, m: Int,
       dsub: Int)
   private val x20ByDir =
-    new java.util.concurrent.ConcurrentHashMap[String, X20]()
+    graft.ext.CorpusMemos.register(
+      new java.util.concurrent.ConcurrentHashMap[String, X20]())
 
   val X20Tau = 0.4
 

@@ -157,9 +157,12 @@ object ScaleGen {
       spark.read.parquet(s"$srcDir/$dim.parquet")
         .write.mode("overwrite").parquet(s"$outDir/$dim.parquet")
 
-    // the corpus at outDir just changed: any broadcast-gate statistic
-    // memoized against it in THIS JVM (gen-then-bench sessions) is stale
-    graft.queries.JoinHints.clearStats()
+    // the corpus at outDir just changed: EVERY per-corpus memo in this
+    // JVM (broadcast-gate statistics, resolved index geometries,
+    // calibrated nprobe/table counts, artifact paths) is stale — drop
+    // them all through the shared registry (ADVICE r14; r13 cleared
+    // only the JoinHints statistic)
+    graft.ext.CorpusMemos.clearAll()
 
     val nd = spark.read.parquet(s"$outDir/documents.parquet").count()
     val ne = spark.read.parquet(s"$outDir/embeddings.parquet").count()

@@ -265,9 +265,9 @@ class Round13Spec extends SparkSpec {
     spark.sparkContext.addSparkListener(listener)
     try {
       JoinHints.estBytes(dim, s"$dir|r13spec.supp"): Unit
-      // listener events are async; give a submitted job ample time to
-      // surface before declaring the cache clean
-      Thread.sleep(1000)
+      // listener events are async; drain the bus deterministically (a
+      // fixed sleep is slow AND racy on a loaded box — ADVICE r14)
+      org.apache.spark.graftbridge.ListenerDrain.drain(spark.sparkContext)
       assert(jobs.get() == 0L,
         s"cached estBytes ran ${jobs.get()} Spark job(s)")
     } finally spark.sparkContext.removeSparkListener(listener)

@@ -1,0 +1,129 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-15 pins: var-width broadcast-gate measurement one layer down
+  * (UTF-8 octets for strings, measured arrays/maps — VERDICT r14 item 1
+  * + ADVICE r14), the shared per-corpus memo invalidation registry, and
+  * the calibratedNprobe fallback discipline.
+  */
+class Round15Spec extends SparkSpec {
+
+  import graft.queries.JoinHints
+
+  // ---- estBytes: octets, not characters -----------------------------------
+
+  test("JoinHints.estBytes counts UTF-8 OCTETS for strings: a CJK dim " +
+      "is charged ~3 bytes per character, not 1 (ADVICE r14 — length() " +
+      "under-measured non-ASCII text up to 4x, re-admitting the " +
+      "under-estimate-driven OOM broadcast)") {
+    import spark.implicits._
+    // 1000 rows x 90 CJK chars = 270_000 payload bytes but 90_000 chars
+    val dim = (0L until 1000L).toDF("k")
+      .select(col("k"), lit("大数据" * 30).as("t"))
+    val est = JoinHints.estBytes(dim, "r15spec.cjk")
+    val octets = 1000L * 90L * 3L
+    assert(est >= octets,
+      s"estimate $est below the $octets UTF-8 payload bytes")
+  }
+
+  test("JoinHints.estBytes MEASURES array columns: an array-of-string " +
+      "dim that Catalyst defaultSize (one element's 20 B) would " +
+      "broadcast routes to the exchange join, row-identical both ways " +
+      "(VERDICT r14 item 1 — the string fix one layer down)") {
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    // 500 rows x 40-element arrays of 120-char strings ≈ 2.4 MB payload;
+    // defaultSize charges ArrayType(StringType) a flat 20 B per ROW
+    val dim = spark.read.parquet(s"$dir/documents.parquet")
+      .limit(500)
+      .select(col("doc_id").as("d_id"),
+        expr("transform(sequence(1, 40), i -> repeat('tok', 40))")
+          .as("d_toks"))
+    val cap = 1L << 20 // 1 MB
+    val schemaOnlyEst =
+      (dim.schema.map(_.dataType.defaultSize).sum + 16) * 500L
+    assert(schemaOnlyEst < cap,
+      "fixture must be one defaultSize would wrongly broadcast")
+    val measured = JoinHints.estBytes(dim, s"$dir|r15spec.arrdim")
+    assert(measured > cap,
+      s"measured $measured must exceed the $cap cap")
+    val fact = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    def agg(d: org.apache.spark.sql.DataFrame) =
+      fact.join(d, col("doc_id") === col("d_id"))
+        .groupBy(size(col("d_toks")).as("ntok"))
+        .agg(count(lit(1)).as("cnt"), sum("n_chars").as("nc"))
+    val gatedDf = agg(JoinHints.gated(dim, s"$dir|r15spec.arrdim",
+      bytesMax = cap))
+    assert(!gatedDf.queryExecution.optimizedPlan.toString
+      .contains("broadcast"), "over-cap array dim kept its hint")
+    val forced = agg(broadcast(dim))
+    val a = gatedDf.orderBy("ntok").collect().map(_.toSeq).toSeq
+    val b = forced.orderBy("ntok").collect().map(_.toSeq).toSeq
+    assert(a == b, "route changed the rows")
+  }
+
+  // ---- CorpusMemos: one registry clears every per-corpus memo -------------
+
+  test("CorpusMemos.clearAll drops the broadcast-gate statistic: the " +
+      "next estBytes for the same key re-runs its measurement job " +
+      "(ADVICE r14 — the calibration-layer memos had no invalidation " +
+      "hook; ScaleGen now clears ALL of them through the registry)") {
+    import spark.implicits._
+    val dim = (0L until 100L).toDF("k")
+    val key = "r15spec.memoclear"
+    JoinHints.estBytes(dim, key): Unit // prime
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      JoinHints.estBytes(dim, key): Unit // memoized: zero jobs
+      org.apache.spark.graftbridge.ListenerDrain.drain(spark.sparkContext)
+      assert(jobs.get() == 0L, "cached estBytes ran a job")
+      CorpusMemos.clearAll()
+      JoinHints.estBytes(dim, key): Unit // invalidated: re-measures
+      org.apache.spark.graftbridge.ListenerDrain.drain(spark.sparkContext)
+      assert(jobs.get() > 0L,
+        "estBytes after clearAll never re-ran its measurement")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  // ---- calibratedNprobe fallback discipline -------------------------------
+
+  test("calibratedNprobe falls back to the fixed ratio ONLY for a " +
+      "missing calib table; an unreadable one PROPAGATES instead of " +
+      "memoizing a silent downgrade (ADVICE r14)") {
+    import spark.implicits._
+    val idx = java.nio.file.Files
+      .createTempDirectory("r15-ivf-nocalib").toString
+    Seq((0, Seq(0.0, 0.0)), (1, Seq(1.0, 1.0)), (2, Seq(2.0, 2.0)),
+      (3, Seq(3.0, 3.0)), (4, Seq(4.0, 4.0)), (5, Seq(5.0, 5.0)),
+      (6, Seq(6.0, 6.0)), (7, Seq(7.0, 7.0)))
+      .toDF("cell", "centroid").coalesce(1)
+      .write.parquet(s"$idx/centroids")
+    // no calib/ → the documented pre-r14-artifact fallback
+    assert(Similarity.calibratedNprobe(spark, idx) ==
+      Similarity.autoNprobe(8))
+    // corrupt calib/ → the read failure must propagate, not memoize
+    val idx2 = java.nio.file.Files
+      .createTempDirectory("r15-ivf-badcalib").toString
+    spark.read.parquet(s"$idx/centroids").write
+      .parquet(s"$idx2/centroids")
+    val calibDir = new java.io.File(s"$idx2/calib")
+    assert(calibDir.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$idx2/calib/part-00000.parquet"),
+      "not a parquet file".getBytes("UTF-8")): Unit
+    intercept[Exception] {
+      Similarity.calibratedNprobe(spark, idx2): Unit
+    }
+  }
+}
