@@ -1511,22 +1511,19 @@ object SparkEntry {
     "u2_url_parse" -> {
       val url = "'https://www.' || source || lang || '.com/docs/' || " +
         "CAST(doc_id AS VARCHAR) || '?ref=crawl'"
+      val host = s"regexp_extract(url, '${graft.ext.Domains.HostRe}', 1)"
       s"""WITH u AS (SELECT doc_id, $url AS url FROM documents)
          SELECT doc_id, url,
-                regexp_extract(url, '${graft.ext.Domains.HostRe}', 1)
-                  AS host,
-                regexp_extract(
-                  regexp_extract(url, '${graft.ext.Domains.HostRe}', 1),
-                  '${graft.ext.Domains.RegDomainRe}', 1) AS reg_domain,
+                $host AS host,
+                ${graft.ext.Domains.regDomainSql(host)} AS reg_domain,
                 regexp_extract(url, '${graft.ext.Domains.PathRe}', 1)
                   AS path
          FROM u""" },
     "u4_domain_caps" -> {
       val url = "'https://www.' || source || lang || '.com/docs/' || " +
         "CAST(doc_id AS VARCHAR) || '?ref=crawl'"
-      val rd = s"regexp_extract(regexp_extract($url, " +
-        s"'${graft.ext.Domains.HostRe}', 1), " +
-        s"'${graft.ext.Domains.RegDomainRe}', 1)"
+      val rd = graft.ext.Domains.regDomainSql(
+        s"regexp_extract($url, '${graft.ext.Domains.HostRe}', 1)")
       s"""SELECT doc_id, reg_domain, h FROM (
            SELECT doc_id, $rd AS reg_domain, md5(text) AS h,
                   row_number() OVER (PARTITION BY $rd
@@ -1536,9 +1533,8 @@ object SparkEntry {
     "u5_domain_blocklist" -> {
       val url = "'https://www.' || source || lang || '.com/docs/' || " +
         "CAST(doc_id AS VARCHAR) || '?ref=crawl'"
-      val rd = s"regexp_extract(regexp_extract($url, " +
-        s"'${graft.ext.Domains.HostRe}', 1), " +
-        s"'${graft.ext.Domains.RegDomainRe}', 1)"
+      val rd = graft.ext.Domains.regDomainSql(
+        s"regexp_extract($url, '${graft.ext.Domains.HostRe}', 1)")
       val bl = graft.ext.Domains.GateBlocklist
         .map(d => s"'$d'").mkString(", ")
       s"""SELECT doc_id, reg_domain FROM (

@@ -41,19 +41,76 @@ object Domains {
       lit(".com/docs/"), col("doc_id"), lit("?ref=crawl"))
 
   /** RE2-safe URL anatomy: host = authority up to the first `/ : ? #`;
-    * registered domain = last two dot-labels of the host (a built-in
-    * public-suffix list is external data this container doesn't ship;
-    * two labels cover .com/.org-class suffixes — documented
-    * simplification); path = from the authority's end to `? #`.
+    * registered domain = the last two dot-labels of the host, or the
+    * last THREE when the host ends in a known multi-label public
+    * suffix ([[MultiLabelSuffixes]]); path = from the authority's end
+    * to `? #`.
     */
   val HostRe = "^[a-z][a-z0-9+.-]*://([^/:?#]+)"
   val RegDomainRe = "([^.]+\\.[^.]+)$"
   val PathRe = "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)"
 
+  /** Embedded snapshot of the COMMON multi-label public suffixes
+    * (VERDICT r14 item 7): under the bare two-label rule every `co.uk`
+    * host collapsed to the registrable domain "co.uk", merging the
+    * whole UK commercial web into one cap/blocklist bucket. The full
+    * Mozilla Public Suffix List is external data this container cannot
+    * fetch, so this is a literal snapshot of the high-traffic
+    * country-code second-level domains (the same ones every PSL
+    * digest leads with); hosts under any other suffix keep the
+    * documented two-label fallback.
+    */
+  val MultiLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "sch.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.nz", "net.nz", "org.nz", "govt.nz",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "co.za", "org.za", "web.za",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "com.tw", "org.tw", "idv.tw",
+    "co.kr", "or.kr", "ne.kr", "re.kr", "go.kr",
+    "com.mx", "org.mx", "gob.mx",
+    "com.ar", "net.ar", "org.ar",
+    "com.sg", "org.sg", "edu.sg",
+    "com.hk", "org.hk", "edu.hk",
+    "com.my", "net.my", "org.my",
+    "co.th", "or.th", "ac.th", "go.th",
+    "co.id", "or.id", "ac.id", "web.id",
+    "com.tr", "net.tr", "org.tr",
+    "co.il", "org.il", "ac.il",
+    "com.vn", "net.vn", "org.vn",
+    "com.ph", "net.ph", "org.ph",
+    "com.eg", "com.sa", "com.pk", "com.bd", "com.ng", "com.ua")
+
+  /** Three-label extraction anchored on the suffix snapshot — one RE2
+    * alternation, shared verbatim with the DuckDB oracles (non-
+    * capturing group, no lookaround). A host that IS a bare suffix
+    * ("co.uk") has no registrable label and falls through to the
+    * two-label rule.
+    */
+  val RegDomainMultiRe: String =
+    "([^.]+\\.(?:" +
+      MultiLabelSuffixes.map(_.replace(".", "\\.")).mkString("|") +
+      "))$"
+
   def hostOf(url: Column): Column = regexp_extract(url, HostRe, 1)
-  def regDomainOf(url: Column): Column =
-    regexp_extract(hostOf(url), RegDomainRe, 1)
+  def regDomainOf(url: Column): Column = {
+    val host = hostOf(url)
+    val multi = regexp_extract(host, RegDomainMultiRe, 1)
+    when(multi =!= "", multi)
+      .otherwise(regexp_extract(host, RegDomainRe, 1))
+  }
   def pathOf(url: Column): Column = regexp_extract(url, PathRe, 1)
+
+  /** The registered-domain rule as DuckDB SQL over a host expression —
+    * the ONE place the oracle replay and [[regDomainOf]] must agree.
+    */
+  def regDomainSql(hostExpr: String): String =
+    s"""CASE WHEN regexp_extract($hostExpr, '$RegDomainMultiRe', 1) <> ''
+         THEN regexp_extract($hostExpr, '$RegDomainMultiRe', 1)
+         ELSE regexp_extract($hostExpr, '$RegDomainRe', 1) END"""
 
   /** u2: parse every doc's URL — map-only projection, no shuffle. */
   def u2UrlParse(s: SparkSession, dir: String): DataFrame =

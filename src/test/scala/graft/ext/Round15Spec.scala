@@ -96,6 +96,47 @@ class Round15Spec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  // ---- multi-label public suffixes ----------------------------------------
+
+  test("Domains.regDomainOf groups co.uk-style hosts under the correct " +
+      "registrable domain via the embedded suffix snapshot, while " +
+      ".com-class hosts keep the two-label rule (VERDICT r14 item 7 — " +
+      "the bare two-label rule merged the whole UK commercial web into " +
+      "one 'co.uk' bucket)") {
+    import spark.implicits._
+    val cases = Seq(
+      ("https://www.example.co.uk/a?x=1", "example.co.uk"),
+      ("https://deep.sub.example.co.uk/b", "example.co.uk"),
+      ("https://news.bbc.ac.uk/c", "bbc.ac.uk"),
+      ("https://shop.example.com.au/d", "example.com.au"),
+      ("https://www.example.co.jp/e", "example.co.jp"),
+      ("https://www.example.com/f", "example.com"),
+      ("https://api.example.org/g", "example.org"),
+      // a bare suffix host has no registrable label → two-label rule
+      ("https://co.uk/h", "co.uk"))
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), Domains.regDomainOf(col("url")).as("rd"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (url, want) =>
+      assert(got(url) == want, s"$url -> ${got(url)}, want $want")
+    }
+    // the u4 cap now buckets per REGISTRABLE domain: two co.uk hosts
+    // with different subdomains share one cap bucket
+    val docs = Seq(
+      (1L, "https://a.example.co.uk/1", "t1"),
+      (2L, "https://b.example.co.uk/2", "t2"),
+      (3L, "https://c.example.co.uk/3", "t3"))
+      .toDF("doc_id", "url", "text")
+    val capped = graft.plans.TopKPerGroup.topK(
+      docs.select(col("doc_id"),
+        Domains.regDomainOf(col("url")).as("reg_domain"),
+        md5(col("text")).as("h")),
+      Seq("reg_domain"), "h", 2, desc = false,
+      tiebreakCols = Seq("doc_id"))
+    assert(capped.count() == 2L,
+      "three same-registrable-domain docs must cap to 2")
+  }
+
   // ---- calibratedNprobe fallback discipline -------------------------------
 
   test("calibratedNprobe falls back to the fixed ratio ONLY for a " +
