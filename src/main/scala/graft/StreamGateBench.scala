@@ -268,7 +268,7 @@ object StreamGateBench {
     val chJson =
       s""""ivfpq_chained_gate":{"docs_per_sec":${(n / chSec).round},""" +
       s""""sec":${f"$chSec%.2f"},"matched":$chMatched,""" +
-      s""""tau":0.9,"tau_pre":${graft.stream.StreamIvfPq.X20Tau}}"""
+      s""""tau":0.9,"tau_pre":${f"${pqArt.tauPreCalib}%.4f"}}"""
 
     println(s"""{"metric":"stream_gate_docs_per_sec",""" +
       s""""value":${(n / onSec).round},"docs":$n,"batch_size":$batchSize,""" +

@@ -101,11 +101,97 @@ object ProductQuant {
       }
       e.select(col("vec_id"), array(codeCols: _*).as("codes"))
         .write.parquet(s"$out/codes")
+      // ADC self-match floor calibration (r15, VERDICT r14 item 8): the
+      // chained PQ-prefilter threshold used to be a constant justified
+      // ONCE on the gate corpus; measure the artifact's own
+      // reconstruction floor instead — min cos(v, v̂) over a
+      // deterministic hash-thinned sample — and store the derived
+      // prefilter threshold next to the codebooks, the calibrateNprobe
+      // discipline applied to the last fixed chain constant.
+      val cbooks = (0 until m).map(j =>
+        bySub(j).sortBy(_._2).map(_._3.toSeq))
+      val norm2 = cbooks.map(_.map(c => c.map(x => x * x).sum))
+      val cb: Column = typedLit(cbooks.map(_.toSeq))
+      val n2: Column = typedLit(norm2.map(_.toSeq))
+      val nVec = e.count()
+      val thin = math.max(1L, nVec / SelfFloorSample)
+      val qd = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+      val dot = (0 until m).map { j =>
+        aggregate(
+          zip_with(slice(qd, j * dsub + 1, dsub),
+            element_at(element_at(cb, j + 1), col("codes").getItem(j) + 1),
+            (x, c) => x * c),
+          lit(0.0), (acc, v) => acc + v)
+      }.reduce(_ + _)
+      val xn2 = (0 until m).map(j =>
+        element_at(element_at(n2, j + 1), col("codes").getItem(j) + 1))
+        .reduce(_ + _)
+      val qn2 = aggregate(qd, lit(0.0), (acc, x) => acc + x * x)
+      val selfFloor = e
+        .filter(pmod(xxhash64(col("vec_id")), lit(thin)) === 0)
+        .join(s.read.parquet(s"$out/codes"), "vec_id")
+        .select((dot / (sqrt(qn2) * sqrt(xn2))).as("c"))
+        .agg(min("c"), count(lit(1))).head()
+      val (floorCos, nSample) = (selfFloor.getDouble(0), selfFloor.getLong(1))
+      val tauPre = ChainTauPreMargin * floorCos
+      Seq((floorCos, tauPre, ChainTauPreMargin, nSample))
+        .toDF("adc_self_floor", "chain_tau_pre", "margin", "n_sample")
+        .coalesce(1).write.parquet(s"$out/calib")
+      Dedup.logRoute(s"pqCalibrate:$dir",
+        f"adc_self_floor=$floorCos%.3f -> chain_tau_pre=$tauPre%.3f",
+        s"margin=$ChainTauPreMargin nSample=$nSample")
       Built(out, dsub)
     })
     lastBuilt = b
     b.path
   }
+
+  /** Self-floor sample cap: the floor is a distribution statistic of
+    * the codebooks, saturated by a few thousand draws — at 100 TB the
+    * calibration must not re-scan the corpus (the MaxTrainDocs
+    * discipline). Thinning is deterministic (xxhash64(vec_id) mod).
+    */
+  val SelfFloorSample = 2000L
+
+  /** Prefilter-threshold safety margin: a true near-duplicate's
+    * quantized cosine sits NEAR the self-reconstruction floor but can
+    * dip below it (the near-dup differs from the corpus vector the
+    * codes encode), and the floor itself is a sampled min (≥ the true
+    * min). 0.75 is the ratio the old fixed constant encoded
+    * (0.4 ≈ 0.75 × the 0.53 gate-corpus floor) — now applied to each
+    * artifact's own measured floor instead of one corpus's.
+    */
+  val ChainTauPreMargin = 0.75
+
+  /** Fallback chained-prefilter threshold for a PQ artifact without a
+    * calib table (pre-r15 only — every fresh build calibrates): the old
+    * fixed constant, kept for exactly the corpus it was justified on.
+    */
+  val ChainTauPreFallback = 0.4
+
+  private val chainTauPreByRoot =
+    CorpusMemos.register(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]())
+
+  /** The chained-gate prefilter threshold a PQ artifact was calibrated
+    * to at build time (stored in `$root/calib`). Memoized per artifact
+    * root; the calibratedNprobe fallback discipline — missing table
+    * (checked by path) falls back with a log, a read FAILURE propagates.
+    */
+  def chainTauPre(s: SparkSession, root: String): Double =
+    chainTauPreByRoot.computeIfAbsent(root, _ => java.lang.Double.valueOf {
+      val calib = new org.apache.hadoop.fs.Path(s"$root/calib")
+      val fs = calib.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(calib))
+        s.read.parquet(s"$root/calib").select("chain_tau_pre")
+          .head().getDouble(0)
+      else {
+        Dedup.logRoute(s"chainTauPre:$root",
+          "no calib table (pre-r15 artifact) — fixed-constant fallback",
+          s"tauPre=$ChainTauPreFallback")
+        ChainTauPreFallback
+      }
+    }).doubleValue()
 
   /** x14: the code table, one row per (vec_id, subspace, code) — three
     * BIGINTs, so the gate hasher never sees an array column (the r8

@@ -52,7 +52,8 @@ object StreamIvfPq {
   final case class Artifact(centroids: Seq[(Int, Seq[Double])],
       codebooks: IndexedSeq[IndexedSeq[Seq[Double]]],
       norm2: IndexedSeq[IndexedSeq[Double]],
-      m: Int, dsub: Int, codes: DataFrame, nprobeCalib: Int)
+      m: Int, dsub: Int, codes: DataFrame, nprobeCalib: Int,
+      tauPreCalib: Double)
 
   def artifact(s: SparkSession, dir: String): Artifact = {
     val idx = Similarity.ivfIndexDir(s, dir)
@@ -76,7 +77,8 @@ object StreamIvfPq {
         .select(col("vec_id"), col("cell")), Seq("vec_id"))
       .select(col("cell"), col("vec_id").as("corpus_id"), col("codes"))
     Artifact(centroids, codebooks, norm2, m, dsub, codes,
-      math.min(Similarity.calibratedNprobe(s, idx), centroids.length))
+      math.min(Similarity.calibratedNprobe(s, idx), centroids.length),
+      ProductQuant.chainTauPre(s, root))
   }
 
   /** Gate a (vec_id, embedding: array<float>) stream (or batch frame —
@@ -144,12 +146,15 @@ object StreamIvfPq {
     * two stream-static equi-joins), so the same function serves streams
     * and batch frames and stream ≡ batch holds by construction.
     *
-    * `tauPre` is the x20 gate threshold by default — the value the
-    * measured ADC self-match floor justifies on this artifact family: a
-    * true near-duplicate's quantized cosine sits near the reconstruction
-    * floor (≈ the x14v self-cosine), far above X20Tau, so the prefilter
-    * has no false negatives at the exact threshold and the chained match
-    * set is IDENTICAL to exact-verifying every probed-cell member
+    * `tauPre = Double.NaN` (the default) resolves to the threshold the
+    * PQ ARTIFACT was calibrated to at build time
+    * ([[Artifact.tauPreCalib]] = margin × its measured ADC self-match
+    * floor — r15, replacing the fixed x20 constant that was justified
+    * once on the gate corpus): a true near-duplicate's quantized cosine
+    * sits near the reconstruction floor (≈ the x14v self-cosine), far
+    * above the margined threshold, so the prefilter has no false
+    * negatives at the exact threshold and the chained match set is
+    * IDENTICAL to exact-verifying every probed-cell member
     * (spec-pinned; `tauPre = Double.NegativeInfinity` IS that baseline).
     * Plan shape at 100 TB: the float table is touched only by the
     * confirm join, whose left side is the prefilter's output —
@@ -158,10 +163,11 @@ object StreamIvfPq {
     */
   def chainedMatches(stream: DataFrame, art: Artifact,
       corpusEmb: DataFrame, tau: Double = 0.9,
-      tauPre: Double = X20Tau, nprobe: Int = 0): DataFrame = {
+      tauPre: Double = Double.NaN, nprobe: Int = 0): DataFrame = {
     import graft.functions.Expressions.cosineF
+    val tp = if (tauPre.isNaN) art.tauPreCalib else tauPre
     adcScored(stream, art, nprobe)
-      .filter(col("cosine_adc") >= tauPre)
+      .filter(col("cosine_adc") >= tp)
       .join(corpusEmb.select(col("vec_id").as("corpus_id"),
         col("embedding").as("c_emb")), Seq("corpus_id"))
       .withColumn("cosine", cosineF(col("in_emb"), col("c_emb")))

@@ -137,6 +137,80 @@ class Round15Spec extends SparkSpec {
       "three same-registrable-domain docs must cap to 2")
   }
 
+  // ---- chained-gate prefilter threshold calibration -----------------------
+
+  test("chained-gate tauPre is read from the PQ artifact (margin x " +
+      "measured ADC self-match floor), and the prefilter/exact-verify " +
+      "match-set identity holds under it on BOTH the fixture corpus and " +
+      "a clustered one (VERDICT r14 item 8 — the constant was justified " +
+      "once at gate scale; now it is a per-artifact measurement)") {
+    import spark.implicits._
+    import graft.stream.StreamIvfPq
+
+    def checkCorpus(dir: String): Unit = {
+      val art = StreamIvfPq.artifact(spark, dir)
+      val root = ProductQuant.pqDir(spark, dir)
+      val calib = spark.read.parquet(s"$root/calib").head()
+      val storedFloor = calib.getAs[Double]("adc_self_floor")
+      val storedTauPre = calib.getAs[Double]("chain_tau_pre")
+      assert(math.abs(storedTauPre -
+        ProductQuant.ChainTauPreMargin * storedFloor) < 1e-12,
+        s"$dir: stored tauPre not margin x floor")
+      assert(art.tauPreCalib == storedTauPre,
+        s"$dir: artifact carries ${art.tauPreCalib}, stored $storedTauPre")
+      assert(storedFloor > 0.0 && storedFloor <= 1.0)
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val probes = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + lit(100000L)).as("vec_id"),
+          col("embedding"))
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select("in_id", "corpus_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val chained = pairs(
+        StreamIvfPq.chainedMatches(probes, art, emb, tau = 0.9))
+      val baseline = pairs(StreamIvfPq.chainedMatches(probes, art, emb,
+        tau = 0.9, tauPre = Double.NegativeInfinity))
+      assert(chained == baseline,
+        s"$dir: calibrated prefilter dropped exact matches: " +
+          s"missing=${baseline -- chained}")
+      assert(chained.nonEmpty, s"$dir: vacuous — no exact matches")
+    }
+
+    checkCorpus(sf("sf0.001"))
+
+    // a deterministic CLUSTERED corpus: tight quantization -> a much
+    // higher self-floor -> a higher calibrated tauPre, and the identity
+    // must still hold there (the r14 lesson: constants tuned on the
+    // structure-free fixture break on structured data, and vice versa)
+    val cluDir = java.nio.file.Files
+      .createTempDirectory("r15-clu-corpus").toString
+    val rnd = new scala.util.Random(4242)
+    val centers = IndexedSeq.fill(8)(
+      Array.fill(64)(rnd.nextGaussian()))
+    val rows = (0L until 500L).map { i =>
+      val c = centers((i % 8).toInt)
+      val e = c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq
+      (i, e, s"c${i % 8}")
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>")
+        .as("embedding"), col("label"))
+      .repartition(4)
+      .write.parquet(s"$cluDir/embeddings.parquet")
+    checkCorpus(cluDir)
+
+    // the clustered artifact's calibration really differs from the
+    // fixture's — the whole point of measuring per artifact
+    val fixtureTauPre = ProductQuant.chainTauPre(spark,
+      ProductQuant.pqDir(spark, sf("sf0.001")))
+    val cluTauPre = ProductQuant.chainTauPre(spark,
+      ProductQuant.pqDir(spark, cluDir))
+    assert(cluTauPre > fixtureTauPre,
+      f"clustered tauPre $cluTauPre%.3f should exceed the " +
+        f"structure-free fixture's $fixtureTauPre%.3f")
+  }
+
   // ---- calibratedNprobe fallback discipline -------------------------------
 
   test("calibratedNprobe falls back to the fixed ratio ONLY for a " +
