@@ -163,6 +163,8 @@ object SparkEntry {
     // served as one integer fold per row (QualityClassifier.scala)
     "qc1_classifier_scores" ->
       (graft.ext.QualityClassifier.qc1ClassifierScores _),
+    "lc1_lang_predictions" ->
+      (graft.ext.LangClassifier.lc1LangPredictions _),
     // domain-level curation (r14, RefinedWeb-style; Domains.scala)
     "u2_url_parse" -> (graft.ext.Domains.u2UrlParse _),
     "u4_domain_caps" -> ((s, dir) => graft.ext.Domains.u4DomainCaps(s, dir)),
@@ -285,7 +287,8 @@ object SparkEntry {
       graft.ext.ProductQuant.x19OracleEntry ++
       graft.ext.Clustering.oracleEntries() ++ x16OracleEntry ++
       x8OracleEntry ++ e3OracleEntry ++ x4OracleEntry ++
-      graft.stream.StreamIvfPq.x20OracleEntry ++ qc1OracleEntry
+      graft.stream.StreamIvfPq.x20OracleEntry ++ qc1OracleEntry ++
+      lc1OracleEntry
   }
 
   /** qc1 oracle (artifact-derived, r14): replays the classifier's
@@ -324,6 +327,47 @@ object SparkEntry {
              SELECT doc_id, n_tokens, score_micro,
                     CAST(score_micro >= 0 AS INT) AS pred_keep
              FROM sc""")
+      case _ => Seq.empty
+    }
+
+  /** lc1 oracle (artifact-derived, r15): replays the K-class argmax —
+    * fnv1a64(token) % buckets against the per-class weights parquet
+    * THIS JVM trained, integer per-class sums + n·bias, argmax with
+    * ties to the smallest class (row_number ORDER BY score DESC,
+    * class ASC) — the qc1 shape lifted to K classes. Emitted only when
+    * exactly one corpus recorded a model.
+    */
+  private def lc1OracleEntry: Seq[(String, String)] =
+    graft.ext.LangClassifier.recordedModels match {
+      case Seq(md) =>
+        val b = graft.ext.LangClassifier.Buckets
+        Seq("lc1_lang_predictions" ->
+          s"""WITH w AS (SELECT class, b, w_micro
+                         FROM read_parquet('$md/weights/*.parquet')),
+             cls AS (SELECT class, lang
+                     FROM read_parquet('$md/classes/*.parquet')),
+             words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+             wb AS (SELECT doc_id,
+                           CAST((${fnvTokenSqlU("tok")}) % $b AS BIGINT) AS b
+                    FROM words),
+             nt AS (SELECT doc_id, count(*) AS n FROM wb GROUP BY doc_id),
+             ts AS (SELECT wb.doc_id, w.class,
+                           CAST(sum(w.w_micro) AS BIGINT) AS tok_sum
+                    FROM wb JOIN w USING (b) WHERE w.b < $b
+                    GROUP BY wb.doc_id, w.class),
+             sc AS (SELECT ts.doc_id, ts.class,
+                           ts.tok_sum + nt.n * bias.w_micro AS score_micro
+                    FROM ts JOIN nt USING (doc_id)
+                    JOIN w bias ON bias.class = ts.class AND bias.b = $b)
+             SELECT doc_id, labeled_lang, pred_lang, score_micro FROM (
+               SELECT sc.doc_id, d.lang AS labeled_lang,
+                      cls.lang AS pred_lang, sc.score_micro,
+                      row_number() OVER (PARTITION BY sc.doc_id
+                        ORDER BY sc.score_micro DESC, sc.class ASC) AS rn
+               FROM sc JOIN cls USING (class)
+                       JOIN documents d USING (doc_id))
+             WHERE rn = 1""")
       case _ => Seq.empty
     }
 

@@ -252,6 +252,20 @@ object StreamGateBench {
       s""""qc_gate":{"docs_per_sec":${(n / qcSec).round},""" +
       s""""sec":${f"$qcSec%.2f"},"admitted":$qcKept}"""
 
+    // trained lang-id gate (r15): K-class argmax routing (the CCNet
+    // language filter) served as a stateless K-fold projection — the
+    // qc gate's shape with per-class weights; training is the offline
+    // epoch job, not serving cost.
+    val (lcW, lcClasses) = graft.ext.LangClassifier.frozenModel(spark, dir)
+    val lcT0 = System.nanoTime()
+    val lcKept = graft.ext.LangClassifier.langGate(qcStream, lcW, lcClasses,
+      keep = Set("en")).count()
+    val lcSec = (System.nanoTime() - lcT0) / 1e9
+    val lcJson =
+      s""""langid_gate":{"docs_per_sec":${(n / lcSec).round},""" +
+      s""""sec":${f"$lcSec%.2f"},"admitted":$lcKept,""" +
+      s""""k":${lcClasses.size}}"""
+
     // chained IVF-PQ → exact-verify gate (r14): PQ prefilter at the x20
     // threshold, exact-cosine confirm at the semantic gate's tau=0.9 —
     // the x15 shortlist-verify pattern streamed. Float I/O is O(prefilter
@@ -279,7 +293,7 @@ object StreamGateBench {
       s""""fully_admitted":$onAdmitted,"ungated_admitted":$offAdmitted,""" +
       s""""sem_probe_tau":$sweepTau,"sem_probe_truth_pairs":$truth,""" +
       s""""dsir_floor_micro":$dsirFloor,""" +
-      s"""$probeJson,$pqJson,$chJson,$qcJson,"sf_dir":"$dir"}""")
+      s"""$probeJson,$pqJson,$chJson,$qcJson,$lcJson,"sf_dir":"$dir"}""")
     spark.stop()
   }
 }
