@@ -227,6 +227,7 @@ object SparkEntry {
     "x4_ann_topk" -> (ExtQueries.x4AnnTopK _),
     "e3_knn_join" -> (ExtQueries.e3KnnJoin _),
     "x8_ivf_topk" -> (ExtQueries.x8IvfTopK _),
+    "xd1_ivf_delta_topk" -> (ExtQueries.xd1IvfDeltaTopK _),
     "x5_frame_sample" -> (ExtQueries.x5FrameSample _),
     "t6_token_batches" -> (graft.ext.BatchPacking.t6TokenBatches _),
     "t15_sequence_windows" -> (graft.ext.BatchPacking.t15SequenceWindows _),
@@ -286,7 +287,7 @@ object SparkEntry {
     m ++ graft.ext.ProductQuant.x14OracleEntry ++
       graft.ext.ProductQuant.x19OracleEntry ++
       graft.ext.Clustering.oracleEntries() ++ x16OracleEntry ++
-      x8OracleEntry ++ e3OracleEntry ++ x4OracleEntry ++
+      x8OracleEntry ++ xd1OracleEntry ++ e3OracleEntry ++ x4OracleEntry ++
       graft.stream.StreamIvfPq.x20OracleEntry ++ qc1OracleEntry ++
       lc1OracleEntry
   }
@@ -459,19 +460,45 @@ object SparkEntry {
     * cosine. Rank order uses the raw double; the emitted cosine is
     * rounded to 1e-6 on both sides (the e1 pattern).
     */
-  private def x8OracleEntry: Seq[(String, String)] = {
+  private def x8OracleEntry: Seq[(String, String)] =
+    graft.ext.Similarity.builtIvfIndexDir.toSeq.flatMap { idx =>
+      // presence discipline (the x19 fix applied here too): only emit
+      // when the x8 run recorded its probe depth against this artifact
+      graft.ext.Similarity.recordedNprobe(idx).map(np =>
+        ("x8_ivf_topk", ivfProbeOracleSql(idx, np)))
+    }
+
+  /** xd1 oracle (r15): the same probe replay pointed at the
+    * INCREMENTALLY APPENDED artifact (base build + delta append) at the
+    * recalibrated depth — the cells glob picks up the appended files,
+    * so the oracle checks exactly what the engine maintains. Emitted
+    * only when one corpus recorded its delta artifact this JVM.
+    */
+  private def xd1OracleEntry: Seq[(String, String)] =
+    graft.queries.ExtQueries.xd1Recorded match {
+      case Seq((idx, np)) =>
+        Seq("xd1_ivf_delta_topk" -> ivfProbeOracleSql(idx, np))
+      case _ => Seq.empty
+    }
+
+  /** One IVF probe replay (x8/xd1 shared): rank the centroid table
+    * against query vec_id 0 (same element-ordered double d2, ties to
+    * the lower cell, matching the driver-side stable sort), keep the
+    * np probe cells, scan only those hive partitions, re-score with
+    * the element-ordered cosine; raw-double rank order, r6-rounded
+    * emission (the e1 pattern).
+    */
+  private def ivfProbeOracleSql(idx: String, np: Int): String = {
     val dot = (a: String, b: String) =>
       s"list_aggregate(list_transform(list_zip($a, $b), " +
         s"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
-    graft.ext.Similarity.builtIvfIndexDir.toSeq.map { idx => (
-      "x8_ivf_topk",
-      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          probe AS (
            SELECT c.cell FROM read_parquet('$idx/centroids/*.parquet') c, q
            ORDER BY list_sum(list_transform(list_zip(c.centroid, q.qe),
                       p -> (p[1] - CAST(p[2] AS DOUBLE))
                          * (p[1] - CAST(p[2] AS DOUBLE)))), c.cell
-           LIMIT ${graft.ext.Similarity.recordedNprobe(idx).getOrElse(3)}),
+           LIMIT $np),
          scored AS (
            SELECT e.vec_id, e.label, CAST(e.cell AS INT) AS cell,
                   ${dot("e.embedding", "q.qe")}
@@ -484,8 +511,7 @@ object SparkEntry {
              AND e.vec_id <> 0)
          SELECT vec_id, label, cell,
                 floor(cosine * 1000000 + 0.5) / 1000000 AS cosine_r6
-         FROM scored ORDER BY cosine DESC, vec_id LIMIT 20""")
-    }
+         FROM scored ORDER BY cosine DESC, vec_id LIMIT 20"""
   }
 
   /** d3's exact pair graph as a reusable CTE body (d3 selects it

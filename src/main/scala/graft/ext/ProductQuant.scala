@@ -110,27 +110,12 @@ object ProductQuant {
       // discipline applied to the last fixed chain constant.
       val cbooks = (0 until m).map(j =>
         bySub(j).sortBy(_._2).map(_._3.toSeq))
-      val norm2 = cbooks.map(_.map(c => c.map(x => x * x).sum))
-      val cb: Column = typedLit(cbooks.map(_.toSeq))
-      val n2: Column = typedLit(norm2.map(_.toSeq))
       val nVec = e.count()
       val thin = math.max(1L, nVec / SelfFloorSample)
-      val qd = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
-      val dot = (0 until m).map { j =>
-        aggregate(
-          zip_with(slice(qd, j * dsub + 1, dsub),
-            element_at(element_at(cb, j + 1), col("codes").getItem(j) + 1),
-            (x, c) => x * c),
-          lit(0.0), (acc, v) => acc + v)
-      }.reduce(_ + _)
-      val xn2 = (0 until m).map(j =>
-        element_at(element_at(n2, j + 1), col("codes").getItem(j) + 1))
-        .reduce(_ + _)
-      val qn2 = aggregate(qd, lit(0.0), (acc, x) => acc + x * x)
       val selfFloor = e
         .filter(pmod(xxhash64(col("vec_id")), lit(thin)) === 0)
         .join(s.read.parquet(s"$out/codes"), "vec_id")
-        .select((dot / (sqrt(qn2) * sqrt(xn2))).as("c"))
+        .select(selfAdcCosineCol(cbooks, m, dsub).as("c"))
         .agg(min("c"), count(lit(1))).head()
       val (floorCos, nSample) = (selfFloor.getDouble(0), selfFloor.getLong(1))
       val tauPre = ChainTauPreMargin * floorCos
@@ -172,6 +157,88 @@ object ProductQuant {
   private val chainTauPreByRoot =
     CorpusMemos.register(
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]())
+
+  /** cos(v, v-hat) for a (embedding, codes) row against codebook
+    * literals — the reconstruction-quality fold the self-floor
+    * calibration and the delta re-check share.
+    */
+  private def selfAdcCosineCol(cbooks: Seq[Seq[Seq[Double]]],
+      m: Int, dsub: Int): Column = {
+    val norm2 = cbooks.map(_.map(c => c.map(x => x * x).sum))
+    val cb: Column = typedLit(cbooks.map(_.toSeq))
+    val n2: Column = typedLit(norm2.map(_.toSeq))
+    val qd = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    val dot = (0 until m).map { j =>
+      aggregate(
+        zip_with(slice(qd, j * dsub + 1, dsub),
+          element_at(element_at(cb, j + 1), col("codes").getItem(j) + 1),
+          (x, c) => x * c),
+        lit(0.0), (acc, v) => acc + v)
+    }.reduce(_ + _)
+    val xn2 = (0 until m).map(j =>
+      element_at(element_at(n2, j + 1), col("codes").getItem(j) + 1))
+      .reduce(_ + _)
+    val qn2 = aggregate(qd, lit(0.0), (acc, x) => acc + x * x)
+    dot / (sqrt(qn2) * sqrt(xn2))
+  }
+
+  /** Result of one PQ delta append: the re-measured reconstruction
+    * floor and the prefilter threshold now stored in the artifact.
+    */
+  final case class PqDeltaAppend(root: String, added: Long,
+      floorBefore: Double, floorAfter: Double, tauPreAfter: Double)
+
+  /** Incrementally extend a BUILT PQ artifact (r15, VERDICT r14
+    * item 2): encode the delta against the FROZEN codebooks (the same
+    * deterministic argmin projection as the build — a one-shot encode
+    * of the union would emit byte-identical codes), APPEND the code
+    * rows (O(delta) write), and re-check the stored self-floor
+    * calibration on a hash-thinned delta sample: the artifact floor can
+    * only move DOWN when new vectors quantize worse, so the stored
+    * floor becomes min(stored, delta floor) and the chained-gate
+    * prefilter threshold re-derives from it. The per-root threshold
+    * memo is invalidated so gates pick up the re-measured value.
+    */
+  def pqDeltaAppend(s: SparkSession, root: String,
+      delta: DataFrame): PqDeltaAppend = {
+    val books = s.read.parquet(s"$root/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val bySub = books.groupBy(_._1)
+    val m = bySub.keys.max + 1
+    val dsub = books.head._3.length
+    val codeCols = (0 until m).map { j =>
+      codeCol(j * dsub + 1, dsub,
+        bySub(j).map(b => (b._2, b._3)).sortBy(_._1).toSeq)
+    }
+    val deltaCodes = delta
+      .select(col("vec_id"), array(codeCols: _*).as("codes"))
+    deltaCodes.write.mode("append").parquet(s"$root/codes")
+    val added = delta.count()
+    val cbooks = (0 until m).map(j =>
+      bySub(j).sortBy(_._2).map(_._3.toSeq).toSeq)
+    val thin = math.max(1L, added / SelfFloorSample)
+    val deltaRow = delta
+      .filter(pmod(xxhash64(col("vec_id")), lit(thin)) === 0)
+      .select(col("vec_id"), col("embedding"))
+      .join(s.read.parquet(s"$root/codes"), "vec_id")
+      .select(selfAdcCosineCol(cbooks, m, dsub).as("c"))
+      .agg(min("c"), count(lit(1))).head()
+    val (deltaFloor, deltaN) = (deltaRow.getDouble(0), deltaRow.getLong(1))
+    val old = s.read.parquet(s"$root/calib").head()
+    val (floorBefore, nOld) =
+      (old.getAs[Double]("adc_self_floor"), old.getAs[Long]("n_sample"))
+    val floorAfter = math.min(floorBefore, deltaFloor)
+    val tauPre = ChainTauPreMargin * floorAfter
+    import s.implicits._
+    Seq((floorAfter, tauPre, ChainTauPreMargin, nOld + deltaN))
+      .toDF("adc_self_floor", "chain_tau_pre", "margin", "n_sample")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/calib")
+    chainTauPreByRoot.remove(root): Unit
+    Dedup.logRoute(s"pqDeltaAppend:$root",
+      f"appended $added codes, floor $floorBefore%.3f -> $floorAfter%.3f",
+      f"tauPre=$tauPre%.3f deltaSample=$deltaN")
+    PqDeltaAppend(root, added, floorBefore, floorAfter, tauPre)
+  }
 
   /** The chained-gate prefilter threshold a PQ artifact was calibrated
     * to at build time (stored in `$root/calib`). Memoized per artifact

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -322,13 +322,23 @@ object Similarity {
     * paths and the DuckDB oracles replay.
     */
   private def calibrateNprobe(s: SparkSession, out: String,
-      centroids: IndexedSeq[(Int, Array[Double])])
+      centroids: IndexedSeq[(Int, Array[Double])],
+      probeIds: Option[Seq[Long]] = None)
       : (Int, Double, IndexedSeq[Double], Int) = {
     val nlist = centroids.length
     val cellsDf = s.read.option("basePath", s"$out/cells")
       .parquet(s"$out/cells")
-    val probes = cellsDf.select("vec_id", "embedding")
-      .orderBy("vec_id").limit(IvfCalibQueries)
+    // probe selection: smallest vec_ids by default; the delta-append
+    // path passes an explicit DELTA-INCLUSIVE id set so the re-check
+    // measures the geometry the grown corpus actually probes
+    val probeSrc = probeIds match {
+      case Some(ids) => cellsDf.select("vec_id", "embedding")
+        .filter(col("vec_id").isin(ids.map(java.lang.Long.valueOf): _*))
+        .orderBy("vec_id")
+      case None => cellsDf.select("vec_id", "embedding")
+        .orderBy("vec_id").limit(IvfCalibQueries)
+    }
+    val probes = probeSrc
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .toIndexedSeq
     import s.implicits._
@@ -407,10 +417,21 @@ object Similarity {
 
   private def ivfIndexDir0(s: SparkSession, dir: String, nlist: Int,
       seed: Long): String =
-    ivfBuilt.computeIfAbsent(s"$dir|$nlist|$seed", _ => {
+    buildIvfFrom(s, s"$dir|$nlist|$seed", emb(s, dir), nlist, seed)
+
+  /** The IVF build body, parameterized by the corpus FRAME and memo key
+    * (r15): [[ivfIndexDir]] builds over a directory's embeddings table;
+    * the incremental-maintenance path ([[ivfDeltaAppend]] callers, the
+    * xd1 gate query) builds a base index over a SUBSET frame and then
+    * appends deltas to it. Does NOT touch [[lastIvfIndexDir]] — the
+    * x8-family oracles must keep pointing at the whole-corpus artifact.
+    */
+  private[graft] def buildIvfFrom(s: SparkSession, key: String,
+      corpus: DataFrame, nlist: Int, seed: Long = 42L): String =
+    ivfBuilt.computeIfAbsent(key, _ => {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
-      val e = emb(s, dir).withColumn("fv",
+      val e = corpus.withColumn("fv",
         array_to_vector(col("embedding").cast("array<double>")))
       val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
         .setFeaturesCol("fv").setPredictionCol("cell")
@@ -427,7 +448,7 @@ object Similarity {
       // probe-depth calibration rides the build (one linear scan), and
       // the result lives IN the artifact like the rest of the geometry
       val (np, recall, curve, nQueries) = calibrateNprobe(s, out, centroids)
-      Dedup.logRoute(s"ivfCalibrate:$dir",
+      Dedup.logRoute(s"ivfCalibrate:$key",
         s"nprobe=$np of $nlist cells",
         f"recall@$IvfCalibK=$recall%.3f floor=$IvfRecallFloor " +
           f"fallbackRatio=${autoNprobe(nlist)}")
@@ -449,9 +470,20 @@ object Similarity {
     val idx = ivfIndexDir(s, dir, rl)
     val np = if (nprobe > 0) nprobe else calibratedNprobe(s, idx)
     recordNprobe(idx, np)
+    val q = emb(s, dir).filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+    ivfProbe(s, idx, q, queryId, k, np)
+  }
+
+  /** The probe body over an ARTIFACT (r15 factoring — [[ivfTopK]] and
+    * the delta-index query share it): rank the centroid table against
+    * the query driver-side, scan only the np nearest cell partitions,
+    * exact cosine re-rank inside.
+    */
+  private[graft] def ivfProbe(s: SparkSession, idx: String, q: DataFrame,
+      queryId: Long, k: Int, np: Int): DataFrame = {
     val cellsPath = s"$idx/cells"
-    val qEmb = emb(s, dir).filter(col("vec_id") === queryId)
-      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val qEmb = q.head().getSeq[Float](0).map(_.toDouble).toArray
     // rank the nlist centroids driver-side (tiny) → nprobe nearest cells
     val cells = s.read.parquet(s"$idx/centroids").collect()
       .map { r =>
@@ -460,8 +492,6 @@ object Similarity {
         (r.getInt(0), d)
       }
       .sortBy { case (cell, d) => (d, cell) }.take(np).map(_._1)
-    val q = emb(s, dir).filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_embedding"))
     s.read.option("basePath", cellsPath).parquet(cellsPath)
       .filter(col("cell").isin(cells.toIndexedSeq.map(Integer.valueOf): _*) &&
         col("vec_id") =!= queryId) // cell is the partition key → pruned scan
@@ -470,6 +500,89 @@ object Similarity {
       .orderBy(desc("cosine"), col("vec_id"))
       .limit(k)
       .select(col("vec_id"), col("label"), col("cell"), col("cosine"))
+  }
+
+  // ---- incremental IVF maintenance (r15, VERDICT r14 item 2) --------------
+
+  /** Result of one delta append: the re-measured calibration and
+    * whether the frozen geometry has been outgrown.
+    */
+  final case class DeltaAppend(idx: String, added: Long,
+      nprobeBefore: Int, nprobeAfter: Int, recall: Double,
+      rebuildRecommended: Boolean)
+
+  /** Incrementally extend a BUILT IVF artifact with a delta of
+    * embeddings — the curateDelta discipline applied to the index
+    * artifacts (VERDICT r14 item 2: a corpus that grows 1% used to
+    * re-pay the full k-means build plus recalibration):
+    *
+    *   1. assign each delta vector to the FROZEN centroids (stateless
+    *      argmin projection — the StreamIvfPq cell-assignment
+    *      construction, deterministic (d², cell) tie-break, identical
+    *      to what a one-shot assignment of the union would produce);
+    *   2. APPEND the rows to the artifact's cell partitions (hive
+    *      append — no existing file is rewritten; at 100 TB the delta
+    *      write is O(delta), never O(corpus));
+    *   3. re-measure the stored nprobe calibration on DELTA-INCLUSIVE
+    *      probes (half smallest base ids, half smallest delta ids) and
+    *      overwrite `calib`: the recall floor is re-checked against the
+    *      grown corpus, the depth re-resolves if it slipped, and a
+    *      `rebuild_recommended` flag is raised when even the frozen
+    *      worst-case ratio ([[autoNprobe]]) cannot hold the floor —
+    *      the signal that the frozen centroids no longer model the
+    *      corpus and the scheduled full rebuild is due.
+    *
+    * The per-artifact nprobe memo is invalidated so subsequent probes
+    * ride the re-measured depth. `delta` must carry
+    * (vec_id, embedding, label) — the cells schema.
+    */
+  def ivfDeltaAppend(s: SparkSession, idx: String,
+      delta: DataFrame): DeltaAppend = {
+    val centroids = s.read.parquet(s"$idx/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toIndexedSeq
+    val nlist = centroids.length
+    val ctrs: Column = typedLit(centroids.map { case (c, a) =>
+      (c, a.toSeq)
+    })
+    val qd = col("embedding").cast("array<double>")
+    val ranked = array_sort(transform(ctrs, ct =>
+      struct(
+        aggregate(
+          zip_with(qd, ct.getField("_2"), (x, c) => (x - c) * (x - c)),
+          lit(0.0), (acc, v) => acc + v).as("d2"),
+        ct.getField("_1").as("cell"))))
+    // delta-inclusive probe ids for the post-append re-check (bounded
+    // collects: ≤ IvfCalibQueries ids each); base ids read BEFORE the
+    // append so no driver-side delta-exclusion set is ever needed
+    val half = math.max(1, IvfCalibQueries / 2)
+    val deltaIds = delta.select("vec_id").orderBy("vec_id")
+      .limit(half).collect().map(_.getLong(0)).toSeq
+    val baseIds = s.read.parquet(s"$idx/cells").select("vec_id")
+      .orderBy("vec_id").limit(IvfCalibQueries - half)
+      .collect().map(_.getLong(0)).toSeq
+    val assigned = delta
+      .select(col("vec_id"), col("embedding").cast("array<float>")
+        .as("embedding"), col("label"))
+      .withColumn("cell", element_at(ranked, 1).getField("cell"))
+    assigned.write.partitionBy("cell").mode("append")
+      .parquet(s"$idx/cells")
+    val added = delta.count()
+    val npBefore = calibratedNprobe(s, idx)
+    val (np, recall, curve, nQueries) =
+      calibrateNprobe(s, idx, centroids, Some(baseIds ++ deltaIds))
+    import s.implicits._
+    Seq((nlist, np, recall, IvfRecallFloor, IvfCalibK, nQueries, curve))
+      .toDF("nlist", "nprobe", "recall", "floor", "k", "n_queries",
+        "recall_curve")
+      .coalesce(1).write.mode("overwrite").parquet(s"$idx/calib")
+    calibNprobeByIdx.remove(idx): Unit
+    val rebuild = np > autoNprobe(nlist)
+    Dedup.logRoute(s"ivfDeltaAppend:$idx",
+      s"appended $added rows, nprobe $npBefore -> $np of $nlist",
+      f"recall@$IvfCalibK=$recall%.3f floor=$IvfRecallFloor " +
+        s"rebuildRecommended=$rebuild")
+    DeltaAppend(idx, added, npBefore, np, recall, rebuild)
   }
 
   /** The multi-probe bucket set: a row's own `bucket` plus its nPlanes

@@ -763,6 +763,50 @@ object ExtQueries {
   def x4rAnnRecall(s: SparkSession, dir: String): DataFrame =
     Similarity.annRecallViolations(s, dir, nQueries = 10, k = 20)
 
+  /** xd1: top-k probe through an INCREMENTALLY MAINTAINED IVF index
+    * (r15, VERDICT r14 item 2). The corpus splits deterministically into
+    * a 98% base (vec_id mod 50 != 0) and a 2% delta; the index is BUILT
+    * on the base only, the delta is then appended through
+    * [[Similarity.ivfDeltaAppend]] (frozen-centroid assignment, hive
+    * append, delta-inclusive recalibration), and the query probes a
+    * DELTA vector (vec_id 0) against the union at the re-measured
+    * depth. Same output shape as x8; the oracle replays the probe from
+    * the grown artifact's own parquet at the recorded depth — so the
+    * gate checks the appended artifact end-to-end, not a rebuilt one.
+    */
+  private val xd1Built =
+    graft.ext.CorpusMemos.register(
+      new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]())
+
+  /** (artifact dir, recorded nprobe) per corpus — the per-dir-map
+    * discipline for the derived oracle.
+    */
+  def xd1Recorded: Seq[(String, Int)] = {
+    import scala.jdk.CollectionConverters._
+    xd1Built.values.asScala.toSeq.distinct
+  }
+
+  def xd1IvfDeltaTopK(s: SparkSession, dir: String): DataFrame = {
+    val rec = xd1Built.computeIfAbsent(dir, _ => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val base = e.filter(pmod(col("vec_id"), lit(50L)) =!= 0)
+      val delta = e.filter(pmod(col("vec_id"), lit(50L)) === 0)
+      val nlist = Similarity.autoNlist(base.count())
+      val idx = Similarity.buildIvfFrom(s, s"$dir|xd1base|$nlist",
+        base, nlist)
+      Similarity.ivfDeltaAppend(s, idx, delta): Unit
+      (idx, Similarity.calibratedNprobe(s, idx))
+    })
+    val (idx, np) = rec
+    val q = s.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 0L)
+      .select(col("embedding").as("q_embedding"))
+    Similarity.ivfProbe(s, idx, q, queryId = 0L, k = 20, np = np)
+      .withColumn("cosine_r6",
+        floor(col("cosine") * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+      .drop("cosine")
+  }
+
   /** IVF coarse-quantized ANN (k-means cells + nprobe probing).
     * Oracle-exact since r10 (artifact-derived: the DuckDB side re-ranks
     * the centroid parquet, probes the same 3 cells, and re-scores with
