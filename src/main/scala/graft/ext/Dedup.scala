@@ -688,6 +688,16 @@ object Dedup {
       .repartition(col("k"))
       .sortWithinPartitions("k", "n", "doc_id")
       .as[(Long, Long, Long)]
+    // Pair orientation (least/greatest), the self-pair drop, and the
+    // size-ratio gate run INSIDE the slider lambda, and the two doc
+    // sizes pack into one long — so the row entering the pair-dedup
+    // exchange is 3 longs, not the 5 the Catalyst formulation shuffled
+    // (the r15 shuffle diet: D7ShuffleProbe measured the pair exchange
+    // as the largest d7 shuffle writer, and every byte here is written
+    // once and read twice by the byA/byB cap consumers). Same Long ×
+    // Double arithmetic as the old Catalyst filter, so the emitted pair
+    // SET is bit-identical. The 31-bit n-pack is guarded: n counts
+    // shingles per document — 2^31 shingles would be a 2 GB document.
     val pairs = sorted.mapPartitions { it =>
       var curKey = 0L
       var started = false
@@ -696,28 +706,32 @@ object Dedup {
         if (!started || k != curKey) {
           curKey = k; started = true; buf.clear()
         }
-        val out = buf.toVector.map { case (d0, n0) => (d0, n0, doc, n) }
+        val out = buf.toVector.flatMap { case (d0, n0) =>
+          if (d0 == doc) None // key repeats within one doc (multiset)
+          else {
+            val (a, na, b, nb) =
+              if (d0 < doc) (d0, n0, doc, n) else (doc, n, d0, n0)
+            if (na * jaccardMin <= nb && nb * jaccardMin <= na) {
+              if (((na | nb) & 0xFFFFFFFF80000000L) != 0L)
+                throw new IllegalStateException(
+                  s"snmCandidates: doc size $na/$nb overflows the " +
+                    "31-bit n-pack")
+              Some((a, b, (na << 32) | nb))
+            } else None
+          }
+        }
         buf.append((doc, n))
         if (buf.length > cap) { buf.removeHead(): Unit }
         out
       }
-    }.toDF("doc_id", "n", "nb_doc_id", "nb_n")
+    }.toDF("doc_a", "doc_b", "n_pack")
     pairs
-      .select(
-        least(col("doc_id"), col("nb_doc_id")).as("doc_a"),
-        greatest(col("doc_id"), col("nb_doc_id")).as("doc_b"),
-        when(col("doc_id") < col("nb_doc_id"), col("n"))
-          .otherwise(col("nb_n")).as("n_a"),
-        when(col("doc_id") < col("nb_doc_id"), col("nb_n"))
-          .otherwise(col("n")).as("n_b"))
-      // a doc can meet itself when a key repeats within one doc (winnow
-      // fingerprints are a multiset); the exact joins exclude self-pairs
-      .filter(col("doc_a") =!= col("doc_b"))
-      .filter(col("n_a") * lit(jaccardMin) <= col("n_b") &&
-        col("n_b") * lit(jaccardMin) <= col("n_a"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("shared_keys"),
-        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+        first(col("n_pack")).as("np"))
+      .select(col("doc_a"), col("doc_b"), col("shared_keys"),
+        shiftright(col("np"), 32).as("n_a"),
+        col("np").bitwiseAND(lit(0xFFFFFFFFL)).as("n_b"))
   }
 
   private def capCandidates(cand: DataFrame, cap: Int): DataFrame =

@@ -50,6 +50,9 @@ class PlanWasteSpec extends SparkSpec {
     // IVF probe: nearest-cells-per-query vs (nlist ≤ 32)-row centroid
     // table; bounded by construction
     "x8_ivf_topk" -> Set("BroadcastNestedLoopJoin"),
+    // delta-maintained IVF probe: the same 1-row query-vector broadcast
+    // crossJoin as x8 (ivfProbe is shared)
+    "xd1_ivf_delta_topk" -> Set("BroadcastNestedLoopJoin"),
     "x8v_ivf_subset_exact" -> Set("BroadcastNestedLoopJoin"),
     "x15_pq_adc_topk" -> Set("BroadcastNestedLoopJoin"),
     // composed IVF-PQ: same 1-row query-vector broadcast as x8/x15 in
