@@ -48,17 +48,28 @@ object LangClassifier {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** The flat-key weight map as an ARRAY literal (the qc1 r15 lesson:
+    * a map literal's element_at linearly scans all K·Stride entries
+    * per lookup — measured 250 s for lc1's K=5 serving pass at sf10;
+    * the keys are dense by construction, so the O(1) array index is
+    * bit-identical).
+    */
+  private def wArrLit(w: Map[Long, Long], k: Int): Column =
+    typedLit((0L until k * Stride).map(i => w.getOrElse(i, 0L)))
+
   /** The per-class integer score as ONE column:
     * score_c = Σ_t w[c·Stride + b(t)] + n · w[c·Stride + Buckets].
-    * Shared by serving, training, and the streaming gate.
+    * Shared by serving, training, and the streaming gate. `wLit` is
+    * [[wArrLit]]'s flat array literal (1-based element_at).
     */
   private def scoreColFor(wLit: Column, c: Int, textCol: String): Column = {
     val toks = split(col(textCol), " ")
     val n = size(toks).cast("long")
     val base = aggregate(toks, lit(0L), (acc, t) =>
       acc + element_at(wLit,
-        lit(c * Stride) + pmod(fnv1a64(t), lit(Buckets.toLong))))
-    base + n * element_at(wLit, lit(c * Stride + Buckets))
+        (lit(c * Stride + 1L) +
+          pmod(fnv1a64(t), lit(Buckets.toLong))).cast("int")))
+    base + n * element_at(wLit, lit((c * Stride + Buckets + 1L).toInt))
   }
 
   /** Argmax over the K integer scores, ties to the SMALLEST class
@@ -113,7 +124,7 @@ object LangClassifier {
     */
   private def step(s: SparkSession, slice: DataFrame, k: Int,
       nDocs: Long, w: Map[Long, Long]): Map[Long, Long] = {
-    val wLit = typedLit(w)
+    val wLit = wArrLit(w, k)
     val n = size(split(col("text"), " ")).cast("long")
     val margins = (0 until k).map(c =>
       scoreColFor(wLit, c, "text").cast("double") / lit(1e6) /
@@ -214,7 +225,7 @@ object LangClassifier {
       textCol: String = "text"): DataFrame = {
     require(w.size == classes.size * Stride,
       s"langGate: ${w.size} weights for ${classes.size} classes")
-    val (pred, _) = predCol(typedLit(w), classes, textCol)
+    val (pred, _) = predCol(wArrLit(w, classes.size), classes, textCol)
     stream.filter(pred.isin(keep.toSeq.map(lit(_)): _*))
   }
 
@@ -226,7 +237,7 @@ object LangClassifier {
   def lc1LangPredictions(s: SparkSession, dir: String): DataFrame = {
     val (w, classes) = frozenModel(s, dir)
     recordedModelByDir.put(dir, modelDir(s, dir))
-    val (pred, score) = predCol(typedLit(w), classes, "text")
+    val (pred, score) = predCol(wArrLit(w, classes.size), classes, "text")
     docs(s, dir).select(col("doc_id"), col("lang").as("labeled_lang"),
       pred.as("pred_lang"), score.as("score_micro"))
   }

@@ -81,19 +81,34 @@ object QualityClassifier {
     LenThresholds.map(t => when(n >= t, lit(1L)).otherwise(lit(0L)))
       .reduce(_ + _)
 
+  /** The dense weight map as a FLAT ARRAY literal (index = bucket id,
+    * 1-based for element_at). A map literal's element_at is a LINEAR
+    * scan of the 1 040 entries per lookup — measured 41 s for qc1 at
+    * sf10 (r15); the array lookup is O(1) and the keys are dense by
+    * construction, so the scores are bit-identical.
+    */
+  private[ext] def wArrLit(
+      w: Map[Long, Long]): org.apache.spark.sql.Column = {
+    val size = Buckets.toLong + LenBuckets
+    typedLit((0L until size).map(i => w.getOrElse(i, 0L)))
+  }
+
   /** The serving score as ONE integer column:
     * score_micro = Σ_t w_micro[b(t)]  +  n · w_micro[Buckets + lb(n)].
     * Dividing by 1e6·n gives the mean-pooled margin, so pred = sum ≥ 0.
     * Shared verbatim by the batch query, the gradient pass, and the
     * streaming gate ([[classifierGate]]) — one expression, all surfaces.
+    * `wLit` is [[wArrLit]]'s flat array literal.
     */
   def scoreCol(wLit: org.apache.spark.sql.Column,
       textCol: String): org.apache.spark.sql.Column = {
     val toks = split(col(textCol), " ")
     val n = size(toks).cast("long")
     val base = aggregate(toks, lit(0L), (acc, t) =>
-      acc + element_at(wLit, pmod(fnv1a64(t), lit(Buckets.toLong))))
-    base + n * element_at(wLit, lit(Buckets.toLong) + lenBucketCol(n))
+      acc + element_at(wLit,
+        (pmod(fnv1a64(t), lit(Buckets.toLong)) + 1L).cast("int")))
+    base + n * element_at(wLit,
+      (lit(Buckets.toLong + 1L) + lenBucketCol(n)).cast("int"))
   }
 
   /** Stateless streaming admission gate (the dsirGate shape with trained
@@ -106,7 +121,7 @@ object QualityClassifier {
       floorMicro: Long = 0L, textCol: String = "text"): DataFrame = {
     require(w.size == Buckets + LenBuckets,
       s"classifierGate: ${w.size} weights, expected ${Buckets + LenBuckets}")
-    stream.filter(scoreCol(typedLit(w), textCol) >= floorMicro)
+    stream.filter(scoreCol(wArrLit(w), textCol) >= floorMicro)
   }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -148,7 +163,7 @@ object QualityClassifier {
     */
   private def step(s: SparkSession, slice: DataFrame,
       w: Map[Long, Long]): Map[Long, Long] = {
-    val wLit = typedLit(w)
+    val wLit = wArrLit(w)
     val n = size(split(col("text"), " ")).cast("long")
     val margin = scoreCol(wLit, "text").cast("double") / lit(1e6) /
       n.cast("double")
@@ -220,7 +235,7 @@ object QualityClassifier {
     recordedModelByDir.put(dir, modelDir(s, dir))
     docs(s, dir).select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"),
-      scoreCol(typedLit(w), "text").as("score_micro"))
+      scoreCol(wArrLit(w), "text").as("score_micro"))
       .withColumn("pred_keep",
         (col("score_micro") >= 0L).cast("int"))
   }
