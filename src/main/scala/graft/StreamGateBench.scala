@@ -120,7 +120,7 @@ object StreamGateBench {
       col("lang") === "en", dsirBuckets)
     val dsirFloor = spark.createDataset(rows.map(_._2)).toDF("text")
       .select(graft.ext.TextAnalysis.dsirScoreCol(
-        typedLit(dsirModel), dsirBuckets, "text").cast("double").as("sc"))
+        dsirModel, dsirBuckets, "text").cast("double").as("sc"))
       .stat.approxQuantile("sc", Array(0.1), 0.0).head.toLong
 
     def run(gates: Boolean): (Double, Long, Long, Long, Long) = {

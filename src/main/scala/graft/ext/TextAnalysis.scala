@@ -230,29 +230,41 @@ object TextAnalysis {
   }
 
   /** The per-ROW DSIR score: one `aggregate` fold over the token array
-    * through a bucket→lr_micro map column — stateless, no explode, no
-    * per-doc shuffle. This is the ONE scoring expression the batch
+    * through the frozen bucket→lr_micro model — stateless, no explode,
+    * no per-doc shuffle. This is the ONE scoring expression the batch
     * operator and the streaming gate share (the qualityGate/withEntNano
-    * pattern); only the map's delivery differs (broadcast frame vs
-    * frozen literal).
+    * pattern). The model rides a dense ARRAY literal indexed by bucket
+    * (the qc1/lc1 r15 lesson: a MAP literal's element_at linearly scans
+    * all `buckets` entries per token — measured 3–7× on the classifier
+    * serving passes at sf10); density is REQUIRED here, so the map
+    * delivery's NULL-on-missing-bucket safety net is enforced eagerly
+    * instead.
     */
-  def dsirScoreCol(modelMap: Column, buckets: Int,
-      textCol: String): Column =
+  def dsirScoreCol(model: Map[Long, Long], buckets: Int,
+      textCol: String): Column = {
+    require(model.size == buckets &&
+        (0L until buckets.toLong).forall(model.contains),
+      s"dsirScoreCol: model covers ${model.size} of $buckets buckets — " +
+        "a missing bucket would mis-score every doc hashing into it; " +
+        "build the model with dsirModelHashed (which densifies all " +
+        "buckets)")
+    val arr = typedLit((0L until buckets.toLong).map(model))
     aggregate(split(col(textCol), " "), lit(0L),
-      (acc, w) => acc +
-        element_at(modelMap, pmod(fnv1a64(w), lit(buckets.toLong))))
+      (acc, w) => acc + element_at(arr,
+        pmod(fnv1a64(w), lit(buckets.toLong)).cast("int") + 1))
+  }
 
   /** Score a batch frame against a hashed DSIR model frame: the model
     * is collected ONCE (it is ≤`buckets` rows by construction — the
     * centroid/codebook artifact pattern, not a data-sized collect) and
-    * embedded as a frozen map literal, then [[dsirScoreCol]] folds per
-    * row — the scored side never shuffles and the corpus-scale model
-    * plan executes exactly one job. Completeness is validated on the
-    * collected rows: dsirScoreCol's element_at yields NULL for a bucket
-    * missing from the map, and a NULL nulls the WHOLE fold, so a
-    * partial model would silently produce NULL scores. This is the same
-    * frozen-literal delivery [[graft.stream.StreamDsir.dsirGate]] uses,
-    * so batch and stream score through identical expressions.
+    * embedded as a frozen dense-array literal, then [[dsirScoreCol]]
+    * folds per row — the scored side never shuffles and the
+    * corpus-scale model plan executes exactly one job. Completeness is
+    * validated on the collected rows (and again inside dsirScoreCol):
+    * a bucket missing from the model would mis-score every doc hashing
+    * into it. This is the same frozen-literal delivery
+    * [[graft.stream.StreamDsir.dsirGate]] uses, so batch and stream
+    * score through identical expressions.
     */
   def withDsirHashed(df: DataFrame, model: DataFrame, buckets: Int,
       textCol: String, out: String): DataFrame = {
@@ -260,10 +272,10 @@ object TextAnalysis {
     val m = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
     require(rows.length == buckets && m.size == buckets,
       s"withDsirHashed: model covers ${m.size} of $buckets buckets " +
-        s"(${rows.length} rows) - a " +
-        "missing bucket would NULL the whole per-row score fold; build " +
-        "the model with dsirModelHashed (which densifies all buckets)")
-    df.withColumn(out, dsirScoreCol(typedLit(m), buckets, textCol))
+        s"(${rows.length} rows) - " +
+        "build the model with dsirModelHashed (which densifies all " +
+        "buckets)")
+    df.withColumn(out, dsirScoreCol(m, buckets, textCol))
   }
 
   /** Language ID by stopword-hit heuristic: count hits from tiny per-

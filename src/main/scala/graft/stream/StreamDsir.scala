@@ -39,7 +39,7 @@ object StreamDsir {
       s"dsirGate: model has ${model.size} buckets, expected $buckets — " +
         "fit and gate must agree on the hash width")
     stream.filter(
-      graft.ext.TextAnalysis.dsirScoreCol(typedLit(model), buckets,
+      graft.ext.TextAnalysis.dsirScoreCol(model, buckets,
         textCol) >= floorMicro)
   }
 }
