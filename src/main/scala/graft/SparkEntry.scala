@@ -142,6 +142,7 @@ object SparkEntry {
     "z1_zorder_key" -> (ExtQueries.z1ZorderKey _),
     "d5_embedding_bucket_dedup" -> (ExtQueries.d5EmbeddingBucketDedup _),
     "ct1_contamination" -> (ExtQueries.ct1Contamination _),
+    "ct3_decontam_survivors" -> (graft.ext.Decontam.ct3DecontamSurvivors _),
     "t7_repetition_ratio" -> (ExtQueries.t7RepetitionRatio _),
     "t8_normalize_stopwords" -> (ExtQueries.t8NormalizeStopwords _),
     "d6_winnow_fingerprints" -> (ExtQueries.d6WinnowFingerprints _),
@@ -1766,6 +1767,28 @@ object SparkEntry {
                       unnest(generate_series(0, greatest(n - 21, 0), 80)) AS gs
                FROM (SELECT doc_id, len(string_split(text, ' ')) AS n
                      FROM documents))""",
+    // ct3: the frozen-benchmark admission rule — eval slice is the 50
+    // smallest (md5(text), doc_id) docs (a FIXED-size benchmark, not a
+    // corpus fraction); survivors share no 24-char shingle with it.
+    // String-gram replay like ct1 (the engine probes 64-bit FNV gram
+    // hashes; same collision caveat ct1 carries, validated green).
+    "ct3_decontam_survivors" ->
+      """WITH ev AS (SELECT doc_id, text FROM documents
+                     ORDER BY md5(text), doc_id LIMIT 50),
+         eg AS (SELECT DISTINCT substr(text, i, 24) AS ng
+                FROM (SELECT text, unnest(generate_series(1,
+                        greatest(length(text) - 23, 1))) AS i FROM ev)),
+         tr AS (SELECT doc_id, text FROM documents
+                WHERE doc_id NOT IN (SELECT doc_id FROM ev)),
+         bad AS (SELECT DISTINCT doc_id
+                 FROM (SELECT doc_id, substr(text, i, 24) AS ng
+                       FROM (SELECT doc_id, text,
+                                    unnest(generate_series(1,
+                                      greatest(length(text) - 23, 1))) AS i
+                             FROM tr))
+                 JOIN eg USING (ng))
+         SELECT doc_id FROM tr
+         WHERE doc_id NOT IN (SELECT doc_id FROM bad)""",
     "ct1_contamination" ->
       """WITH d AS (SELECT doc_id, substr(md5(text), 1, 2) AS h2, text
                     FROM documents),

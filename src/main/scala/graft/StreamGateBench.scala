@@ -266,6 +266,21 @@ object StreamGateBench {
       s""""sec":${f"$lcSec%.2f"},"admitted":$lcKept,""" +
       s""""k":${lcClasses.size}}"""
 
+    // frozen-benchmark decontamination gate (r15): the GPT-3/Gopher
+    // n-gram admission rule — per-row binary search of each doc shingle
+    // into the sorted benchmark-gram literal. Artifact is
+    // O(benchmark), frozen before the clock (the eval set changes at
+    // benchmark epochs, not per batch); serving is stateless.
+    val (_, ctGrams) = graft.ext.Decontam.frozenEval(spark, dir)
+    val ctT0 = System.nanoTime()
+    val ctKept = graft.stream.StreamDecontam.decontamGate(qcStream, ctGrams)
+      .count()
+    val ctSec = (System.nanoTime() - ctT0) / 1e9
+    val ctJson =
+      s""""decontam_gate":{"docs_per_sec":${(n / ctSec).round},""" +
+      s""""sec":${f"$ctSec%.2f"},"admitted":$ctKept,""" +
+      s""""eval_grams":${ctGrams.length}}"""
+
     // chained IVF-PQ → exact-verify gate (r14): PQ prefilter at the x20
     // threshold, exact-cosine confirm at the semantic gate's tau=0.9 —
     // the x15 shortlist-verify pattern streamed. Float I/O is O(prefilter
@@ -293,7 +308,8 @@ object StreamGateBench {
       s""""fully_admitted":$onAdmitted,"ungated_admitted":$offAdmitted,""" +
       s""""sem_probe_tau":$sweepTau,"sem_probe_truth_pairs":$truth,""" +
       s""""dsir_floor_micro":$dsirFloor,""" +
-      s"""$probeJson,$pqJson,$chJson,$qcJson,$lcJson,"sf_dir":"$dir"}""")
+      s"""$probeJson,$pqJson,$chJson,$qcJson,$lcJson,$ctJson,""" +
+      s""""sf_dir":"$dir"}""")
     spark.stop()
   }
 }

@@ -73,19 +73,25 @@ object LangClassifier {
   }
 
   /** Argmax over the K integer scores, ties to the SMALLEST class
-    * index (fold ascending, replace on strictly-greater — the
-    * t3 langGuess construction, made integer-exact).
+    * index. The scores ride ONE unconditional array;
+    * `array_position(scores, array_max(scores))` returns the FIRST
+    * index attaining the max — the same strictly-greater-replacement
+    * semantics as a fold, integer-exact. Unconditional matters: the
+    * previous when-chain nested the accumulated struct in BOTH
+    * branches, so whether class c's fold evaluated once or
+    * O(2^(K-c)) times rested on codegen's conditional subexpression
+    * elimination catching it; the array form is evaluate-once by
+    * construction (measured neutral at sf10 — lc1 is
+    * training-dominated — but no longer CSE-dependent).
     */
   private def predCol(wLit: Column, classes: IndexedSeq[String],
       textCol: String): (Column, Column) = {
-    val best = classes.zipWithIndex.tail.foldLeft(
-      struct(scoreColFor(wLit, 0, textCol).as("s"),
-        lit(classes(0)).as("l"))) { case (acc, (lang, c)) =>
-      val sc = scoreColFor(wLit, c, textCol)
-      when(sc > acc.getField("s"),
-        struct(sc.as("s"), lit(lang).as("l"))).otherwise(acc)
-    }
-    (best.getField("l"), best.getField("s"))
+    val scores = array(classes.indices.map(c =>
+      scoreColFor(wLit, c, textCol)): _*)
+    val best = array_max(scores)
+    val lang = element_at(typedLit(classes),
+      array_position(scores, best).cast("int"))
+    (lang, best)
   }
 
   /** Training slice: the [[QualityClassifier]] sampling discipline —

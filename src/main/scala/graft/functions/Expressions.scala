@@ -236,6 +236,8 @@ object Expressions {
     GraftBridge.column(MinHashSig(GraftBridge.expression(c), k))
   def sortedIntersectSize(a: Column, b: Column): Column =
     GraftBridge.column(SortedIntersectSize(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def sortedContainsAny(a: Column, b: Column): Column =
+    GraftBridge.column(SortedContainsAny(GraftBridge.expression(a), GraftBridge.expression(b)))
   def winnowFingerprints(c: Column, k: Int, w: Int): Column =
     GraftBridge.column(WinnowFingerprints(GraftBridge.expression(c), k, w))
   def gramArray(c: Column, k: Int): Column =
@@ -404,6 +406,34 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   * |A| + |B| - |A∩B|.
   */
 object SortedArr {
+  /** True iff ANY element of `a` occurs in the SORTED long array `b` —
+    * per-element binary search, O(|a|·log|b|). Built for the
+    * frozen-eval-set membership probe where `b` is a corpus-scale-
+    * bounded literal (tens of KB to a few MB) and `a` is one doc's
+    * gram set: a merge walk ([[intersectSize]]) pays O(|b|) per ROW
+    * regardless of |a|, while the search pays |a|·log|b| ≈ thousands
+    * of comparisons per doc against a 100k-gram benchmark set.
+    */
+  def containsAny(a: ArrayData, b: ArrayData): Boolean = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    while (i < na) {
+      val x = a.getLong(i)
+      var lo = 0
+      var hi = nb - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val y = b.getLong(mid)
+        if (y == x) return true
+        else if (y < x) lo = mid + 1
+        else hi = mid - 1
+      }
+      i += 1
+    }
+    false
+  }
+
   def intersectSize(a: ArrayData, b: ArrayData): Long = {
     val (na, nb) = (a.numElements(), b.numElements())
     var i = 0
@@ -429,6 +459,23 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     defineCodeGen(ctx, ev,
       (a, b) => s"graft.functions.SortedArr.intersectSize($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectSize =
+    copy(left = l, right = r)
+}
+
+/** True iff any element of `left` occurs in the SORTED long array
+  * `right` ([[SortedArr.containsAny]] — per-element binary search;
+  * `left` needs no ordering). The membership probe for
+  * frozen-benchmark decontamination (ct3 / the streaming gate).
+  */
+case class SortedContainsAny(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedArr.containsAny(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SortedArr.containsAny($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedContainsAny =
     copy(left = l, right = r)
 }
 
