@@ -255,16 +255,26 @@ object StreamGateBench {
     // trained lang-id gate (r15): K-class argmax routing (the CCNet
     // language filter) served as a stateless K-fold projection — the
     // qc gate's shape with per-class weights; training is the offline
-    // epoch job, not serving cost.
+    // epoch job, not serving cost. The driver fixture's lang labels
+    // are text-INDEPENDENT (LangClassifierSpec pins learnability on a
+    // signal corpus instead), so a fixed keep-class can be one the
+    // model routes nothing to; keep the model's own majority route on
+    // this mix so the measured filter demonstrably admits AND drops
+    // (the probe job runs before the clock).
     val (lcW, lcClasses) = graft.ext.LangClassifier.frozenModel(spark, dir)
+    val lcMajority = graft.ext.LangClassifier
+      .withPredictedLang(qcStream, lcW, lcClasses)
+      .groupBy("pred_lang").count()
+      .orderBy(col("count").desc, col("pred_lang")).limit(1)
+      .collect().head.getString(0)
     val lcT0 = System.nanoTime()
     val lcKept = graft.ext.LangClassifier.langGate(qcStream, lcW, lcClasses,
-      keep = Set("en")).count()
+      keep = Set(lcMajority)).count()
     val lcSec = (System.nanoTime() - lcT0) / 1e9
     val lcJson =
       s""""langid_gate":{"docs_per_sec":${(n / lcSec).round},""" +
       s""""sec":${f"$lcSec%.2f"},"admitted":$lcKept,""" +
-      s""""k":${lcClasses.size}}"""
+      s""""keep":"$lcMajority","k":${lcClasses.size}}"""
 
     // frozen-benchmark decontamination gate (r15): the GPT-3/Gopher
     // n-gram admission rule — per-row binary search of each doc shingle

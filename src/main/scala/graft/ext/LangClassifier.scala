@@ -221,6 +221,19 @@ object LangClassifier {
     (w, classes)
   }
 
+  /** Predicted language for an arbitrary frame (stream or batch) with
+    * frozen weights: the serving projection behind [[langGate]]/lc1,
+    * exposed so callers can inspect the route distribution.
+    */
+  def withPredictedLang(df: DataFrame, w: Map[Long, Long],
+      classes: IndexedSeq[String], textCol: String = "text",
+      out: String = "pred_lang"): DataFrame = {
+    require(w.size == classes.size * Stride,
+      s"withPredictedLang: ${w.size} weights for ${classes.size} classes")
+    val (pred, _) = predCol(wArrLit(w, classes.size), classes, textCol)
+    df.withColumn(out, pred)
+  }
+
   /** Stateless streaming language gate: admit docs whose PREDICTED
     * language is in `keep` — the CCNet routing move as an ingest
     * filter. Pure projection + filter; serves streams and batch frames
