@@ -61,20 +61,30 @@ object Graph {
     * every round, so its subtrees are never identical).
     */
   def pageRank(s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    // r15 lean loop (guide §2.4 — remove exchanges outright), output
+    // row-identical to the pre-r15 shape (exceptAll 0 both ways at
+    // sf0.1 AND sf1, tools/G1Decomp):
+    //  - `outdeg` is joined into the edge table ONCE outside the loop
+    //    (loop-invariant), so each iteration is one edge⋈pr join + one
+    //    keyed aggregate instead of two joins + an aggregate.
+    //  - the per-iteration `nodes ⟕ in` re-attach is DROPPED: the edge
+    //    set is symmetric by construction (both directions unioned), so
+    //    every node appears as a dst in every iteration — the left join
+    //    could never add or drop a row and the coalesce never fired.
+    //    Removing it removes a node-sized join + exchange per round.
+    // Measured: sf0.1 warm 4.95 → 4.44 s, cold 11.2 → 6.0 s;
+    // sf1 26.0/35.0 → 19.3/20.0 s.
     val edges = coOrderEdges(s, dir)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val nodes = deg.select(col("src").as("node"), col("outdeg"))
-    var pr = nodes.select(col("node"), lit(1000000L).as("pr"))
+    val ed = edges.join(deg, "src")
+    var pr = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
     for (_ <- 1 to iters) {
-      val in = edges
-        .join(deg, "src")
+      pr = ed
         .join(pr.withColumnRenamed("node", "src"), "src")
         .select(col("dst"), expr("pr div outdeg").as("share"))
         .groupBy("dst")
         .agg(sum(col("share")).as("in_pr"))
-      pr = nodes
-        .join(in, col("node") === col("dst"), "left")
-        .select(col("node"),
+        .select(col("dst").as("node"),
           (lit(150000L) + expr("(coalesce(in_pr, 0L) * 85) div 100"))
             .as("pr"))
     }
@@ -97,19 +107,19 @@ object Graph {
     */
   def labelProp(s: SparkSession, dir: String, iters: Int = 3,
       managed: Boolean = true): DataFrame = {
-    // The edge set is loop-invariant: materialize it ONCE. Lazy
-    // unrolling re-runs the 20M-row co-order self-join per round
-    // (measured at sf1: 16 parquet scans, ZERO reused exchanges — AQE
-    // replans each stage). persist() beats localCheckpoint here (sf1
-    // interleaved A/B in tools/G2Plan: ~13-15 s vs ~19 s vs ~15-35 s
-    // lazy) AND keeps the full edge-build plan visible during the loop.
     // `managed` (default, r11): the function OWNS the one action — the
-    // final node-sized label table is eagerly localCheckpoint'd and the
-    // edge cache is unpersisted before returning, so callers hold one
-    // small self-contained block (the d4/pageRankUntil pattern) instead
-    // of an edge-pair-sized cache pinned past the query. managed=false
-    // keeps the fully-lazy frame (plan-shape inspection, A/B probes).
-    val edges = coOrderEdges(s, dir).persist()
+    // final node-sized label table is eagerly localCheckpoint'd, so
+    // callers hold one small self-contained block (the d4/pageRankUntil
+    // pattern). managed=false keeps the fully-lazy frame (plan-shape
+    // inspection, A/B probes).
+    // r15: the edge persist() is GONE. Re-measured interleaved
+    // (tools/G2G3Probe): persist+managed 8.9–43.7 s vs lazy+managed
+    // 6.4–15.8 s at sf0.1/sf1 — the persist's blocking materialization
+    // plus cached-plan AQE penalties cost more than the lazy re-reads
+    // it saves on both measured scales; rows identical (exceptAll 0).
+    // The broadcast build per round still executes each round's label
+    // subtree exactly once, so the loop is not re-running prior rounds.
+    val edges = coOrderEdges(s, dir)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to iters) {
@@ -129,11 +139,7 @@ object Graph {
     }
     val out = labels.select(col("node").as("part_key"), col("label"))
     if (!managed) out
-    else {
-      val pinned = out.localCheckpoint(true)
-      edges.unpersist(false)
-      pinned
-    }
+    else out.localCheckpoint(true)
   }
 
   /** Distinct order↔part incidence — the BIPARTITE edge set. Linear in
@@ -172,23 +178,31 @@ object Graph {
     */
   def pageRankBipartite(s: SparkSession, dir: String,
       iters: Int = 3): DataFrame = {
+    // r15 lean loop (the pageRank rewrite applied to both hops), output
+    // row-identical (tools/G2G3Probe exceptAll 0 both ways, sf0.1/sf1):
+    // pd/od are joined into the incidence ONCE outside the loop
+    // (loop-invariant subtrees — AQE materializes each exchange once),
+    // and the final `pdeg ⟕ partIn` re-attach is dropped — every ord
+    // appears in orderMass (all ords have ≥ 1 incidence) so every part
+    // appears in partIn; the left join could never add or drop a row.
+    // Measured: sf1 17.4–18.3 → 16.1–16.2 s; sf0.1 in-noise to −0.7 s.
     val inc = orderPartEdges(s, dir)
     val pdeg = inc.groupBy("part").agg(count(lit(1)).as("pd"))
     val odeg = inc.groupBy("ord").agg(count(lit(1)).as("od"))
+    val incP = inc.join(pdeg, "part")
+    val incO = inc.join(odeg, "ord")
     var pr = pdeg.select(col("part"), lit(1000000L).as("pr"))
     for (_ <- 1 to iters) {
-      val orderMass = inc
-        .join(pr.join(pdeg, "part"), "part")
+      val orderMass = incP
+        .join(pr, "part")
         .select(col("ord"), expr("pr div pd").as("share"))
         .groupBy("ord")
         .agg(sum(col("share")).as("om"))
-      val partIn = inc
-        .join(orderMass.join(odeg, "ord"), "ord")
+      pr = incO
+        .join(orderMass, "ord")
         .select(col("part"), expr("om div od").as("share"))
         .groupBy("part")
         .agg(sum(col("share")).as("in_pr"))
-      pr = pdeg
-        .join(partIn, Seq("part"), "left")
         .select(col("part"),
           (lit(150000L) + expr("(coalesce(in_pr, 0L) * 85) div 100"))
             .as("pr"))
