@@ -461,13 +461,21 @@ object ProductQuant {
   def x15PqAdcTopK(s: SparkSession, dir: String, queryId: Long = 0L,
       k: Int = 20, shortlist: Int = 100): DataFrame = {
     val root = pqDir(s, dir)
+    x15PqAdcTopKFrom(s, dir, root, queryId, k, shortlist,
+      fetchQVec(s, dir, queryId), fetchBooks(s, root))
+  }
+
+  /** Prefetched-artifact core of [[x15PqAdcTopK]]: identical plan, but
+    * the query vector and codebooks arrive as arguments so a pooled
+    * caller (x15r — 10 queries) fetches each artifact ONCE instead of
+    * paying one q-vector job + one codebook collect per query (r15;
+    * guide §5 — driver-side jobs were the invariant's dominant cost).
+    */
+  private def x15PqAdcTopKFrom(s: SparkSession, dir: String, root: String,
+      queryId: Long, k: Int, shortlist: Int, q: Array[Double],
+      books: Map[(Int, Int), Array[Double]]): DataFrame = {
     val e = emb(s, dir)
-    val q = e.filter(col("vec_id") === queryId)
-      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
     val dsub = q.length / M
-    val books = s.read.parquet(s"$root/codebooks").collect()
-      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
-      .toMap
     // driver-side ADC table: dt(j)(code) = ||q_j - c_{j,code}||^2
     val dt: IndexedSeq[Column] = (0 until M).map { j =>
       val qj = q.slice(j * dsub, (j + 1) * dsub)
@@ -489,6 +497,33 @@ object ProductQuant {
         cosineF(col("embedding"), col("q_emb")).as("cosine"))
       .orderBy(desc("cosine"), col("vec_id")).limit(k)
   }
+
+  /** One query vector to the driver (one job). */
+  private def fetchQVec(s: SparkSession, dir: String,
+      queryId: Long): Array[Double] =
+    emb(s, dir).filter(col("vec_id") === queryId)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+
+  /** All query vectors below `nQueries` in ONE job. */
+  private def fetchQVecs(s: SparkSession, dir: String,
+      nQueries: Int): Map[Long, Array[Double]] =
+    emb(s, dir).filter(col("vec_id") < nQueries)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+
+  /** The PQ codebooks, one collect. */
+  private def fetchBooks(s: SparkSession,
+      root: String): Map[(Int, Int), Array[Double]] =
+    s.read.parquet(s"$root/codebooks").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      .toMap
+
+  /** The IVF centroid table, one collect. */
+  private def fetchCentroids(s: SparkSession,
+      idx: String): Array[(Int, Seq[Double])] =
+    s.read.parquet(s"$idx/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
 
   /** x19: the COMPOSED IVF-PQ search — the production billion-vector
     * ANN shape (Jégou et al. 2011 §IV, the IVFADC system): probe the
@@ -567,14 +602,27 @@ object ProductQuant {
     val sl = if (shortlist > 0) shortlist
       else autoShortlist(np, corpusCount(s, dir), rl)
     recordShortlist(idx, sl)
+    ivfPqTopKFrom(s, dir, root, idx, queryId, k, np, sl,
+      fetchQVec(s, dir, queryId), fetchCentroids(s, idx),
+      fetchBooks(s, root))
+  }
+
+  /** Prefetched-artifact core of [[ivfPqTopK]] (the x15 pattern): the
+    * query vector, centroid table and codebooks arrive as arguments so
+    * the pooled x19r caller fetches each ONCE for its 10 queries —
+    * previously every per-query plan re-paid one q-vector job, one
+    * centroid collect and one codebook collect (~30 driver jobs per
+    * x19r evaluation). Plan per query is unchanged.
+    */
+  private def ivfPqTopKFrom(s: SparkSession, dir: String, root: String,
+      idx: String, queryId: Long, k: Int, np: Int, sl: Int,
+      q: Array[Double], centroids: Array[(Int, Seq[Double])],
+      books: Map[(Int, Int), Array[Double]]): DataFrame = {
     val e = emb(s, dir)
-    val q = e.filter(col("vec_id") === queryId)
-      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
     val dsub = q.length / M
-    val cells = s.read.parquet(s"$idx/centroids").collect()
-      .map { r =>
-        val c = r.getSeq[Double](1)
-        (r.getInt(0), c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+    val cells = centroids
+      .map { case (cell, c) =>
+        (cell, c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
       }
       .sortBy { case (cell, d) => (d, cell) }.take(np).map(_._1)
     val members = s.read.option("basePath", s"$idx/cells")
@@ -582,9 +630,6 @@ object ProductQuant {
       .filter(col("cell").isin(cells.toIndexedSeq.map(Integer.valueOf): _*)
         && col("vec_id") =!= queryId)
       .select(col("vec_id"), col("cell"))
-    val books = s.read.parquet(s"$root/codebooks").collect()
-      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
-      .toMap
     val dt: IndexedSeq[Column] = (0 until M).map { j =>
       val qj = q.slice(j * dsub, (j + 1) * dsub)
       array((0 until KSub).map { code =>
@@ -625,8 +670,24 @@ object ProductQuant {
         cosineF(col("embedding"), col("q_emb")).as("cosine"))
     val exact = graft.plans.TopKPerGroup.topK(exactCand, Seq("src_id"),
       "cosine", k, desc = true, tiebreakCols = Seq("nb_id"))
+    // r15: resolve the index geometry and fetch the shared artifacts
+    // ONCE for the pool — per-query [[ivfPqTopK]] calls paid ~3 driver
+    // jobs each (q vector, centroids, codebooks) for identical data;
+    // the per-query PLAN is unchanged (ivfPqTopKFrom).
+    val root = pqDir(s, dir)
+    val rl = Similarity.resolveNlist(s, dir, 0)
+    val idx = Similarity.ivfIndexDir(s, dir, rl)
+    val np = Similarity.calibratedNprobe(s, idx)
+    Similarity.recordNprobe(idx, np)
+    val sl = if (shortlist > 0) shortlist
+      else autoShortlist(np, corpusCount(s, dir), rl)
+    recordShortlist(idx, sl)
+    val qvecs = fetchQVecs(s, dir, nQueries)
+    val centroids = fetchCentroids(s, idx)
+    val books = fetchBooks(s, root)
     val got = (0L until nQueries.toLong).map { qid =>
-      ivfPqTopK(s, dir, qid, k, shortlist = shortlist)
+      ivfPqTopKFrom(s, dir, root, idx, qid, k, np, sl, qvecs(qid),
+        centroids, books)
         .select(lit(qid).as("src_id"), col("vec_id").as("nb_id"))
     }.reduce(_ unionAll _).withColumn("hit", lit(1L))
     exact.select("src_id", "nb_id")
@@ -732,8 +793,13 @@ object ProductQuant {
         cosineF(col("embedding"), col("q_emb")).as("cosine"))
     val exact = graft.plans.TopKPerGroup.topK(exactCand, Seq("src_id"),
       "cosine", k, desc = true, tiebreakCols = Seq("nb_id"))
+    // r15: q vectors and codebooks fetched ONCE for the 10-query pool
+    // (x15PqAdcTopKFrom — plans unchanged, ~20 driver jobs saved).
+    val root = pqDir(s, dir)
+    val qvecs = fetchQVecs(s, dir, nQueries)
+    val books = fetchBooks(s, root)
     val pq = (0L until nQueries.toLong).map { qid =>
-      x15PqAdcTopK(s, dir, qid, k, shortlist)
+      x15PqAdcTopKFrom(s, dir, root, qid, k, shortlist, qvecs(qid), books)
         .select(lit(qid).as("src_id"), col("vec_id").as("nb_id"))
     }.reduce(_ unionAll _).withColumn("hit", lit(1L))
     exact.select("src_id", "nb_id")
