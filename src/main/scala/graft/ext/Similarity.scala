@@ -973,12 +973,23 @@ object Similarity {
       yield (i, j)).toDF("bi", "bj")
     val l = e.alias("l")
     val r = e.alias("r")
+    // r15: the r side used to attach by `bj === r.blk` alone — a join
+    // key with only `blocks` distinct values, so the Θ(n²) scoring ran
+    // on ≤ 8 tasks of a 32-core box (guide §2.5, synthetic keys with
+    // too few distinct values). Both sides now replicate through the
+    // broadcast block table and join on the (bi, bj) PAIR — blocks²
+    // distinct keys — the cosineNearDupPairsBlocked tiling. Exact at
+    // any B (B only tiles the ordered-pair space); rows identical.
+    val re = r.join(broadcast(blockPairs), col("r.blk") === col("bj"))
+      .select(col("bi").as("rbi"), col("bj").as("rbj"),
+        col("r.vec_id").as("r_vec_id"),
+        col("r.embedding").as("r_embedding"), col("r.nrm").as("r_nrm"))
     val cand = l.join(broadcast(blockPairs), col("l.blk") === col("bi"))
-      .join(r, col("bj") === col("r.blk"))
-      .filter(col("l.vec_id") =!= col("r.vec_id"))
-      .select(col("l.vec_id").as("src_id"), col("r.vec_id").as("nb_id"),
+      .join(re, col("bi") === col("rbi") && col("bj") === col("rbj"))
+      .filter(col("l.vec_id") =!= col("r_vec_id"))
+      .select(col("l.vec_id").as("src_id"), col("r_vec_id").as("nb_id"),
         cosinePreF(col("l.embedding"), col("l.nrm"),
-          col("r.embedding"), col("r.nrm")).as("cosine"))
+          col("r_embedding"), col("r_nrm")).as("cosine"))
     val exact = graft.plans.TopKPerGroup.topK(cand, Seq("src_id"), "cosine",
       k, desc = true, tiebreakCols = Seq("nb_id"))
     exact.select("src_id", "nb_id")
@@ -1167,37 +1178,50 @@ object Similarity {
       .select(col("a"), col("b"),
         floor(cosineF(col("ea"), col("eb")) * lit(1000000.0) + lit(0.5))
           .cast("long").as("sim_micro"))
-      .localCheckpoint(true)
-    import s.implicits._
-    var sel = Seq.empty[(Long, Long, Long)]
-      .toDF("rank", "doc_id", "mmr_micro")
-    var prevSel: DataFrame = null
-    for (r <- 1 to k) {
-      val maxSim = pairs
-        .join(sel.select(col("doc_id").as("b")), "b")
-        .groupBy(col("a").as("doc_id")).agg(max("sim_micro").as("ms"))
-      val pick = cands.select("doc_id", "rel_micro")
-        .join(sel.select("doc_id"), Seq("doc_id"), "left_anti")
-        .join(maxSim, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          (lit(wRel.toLong) * col("rel_micro") -
-            lit(wDiv.toLong) * coalesce(col("ms"), lit(0L)))
-            .as("mmr_micro"))
-        .orderBy(col("mmr_micro").desc, col("doc_id"))
-        .limit(1)
-        .select(lit(r.toLong).as("rank"), col("doc_id"), col("mmr_micro"))
-      sel = sel.unionByName(pick).localCheckpoint(true)
-      // Release the superseded round's checkpoint (the labelPropBipartite
-      // supersession discipline): round r's union materializes everything
-      // round r-1 held, so the old RDD is dead weight — k-1 pinned RDDs
-      // per call otherwise.
-      if (prevSel != null) Dedup.unpersistCheckpoint(prevSel)
-      prevSel = sel
-    }
-    // The returned frame derives only from the FINAL sel checkpoint
-    // (eagerly materialized), so the candidate/pair scaffolding can go.
+    // r15: the k greedy rounds used to run as k tiny Spark jobs with a
+    // localCheckpoint each (~2 jobs/round of scheduler latency over
+    // ≤ n·(n−1) rows). Both inputs are BOUNDED BY CONSTRUCTION — n is a
+    // page size (50), pairs n·(n−1) (2 450) — so the selection loop runs
+    // driver-side over the two collected tables instead: same
+    // engine-computed rel/sim micros (cosineF floors untouched), same
+    // pure-BIGINT argmax (7·rel − 3·maxSim, ties to the smallest
+    // doc_id), bit-identical rows (R15OptSpec pins vs the unrolled SQL
+    // CTE oracle at sf0.001/sf0.01). 2 bounded collects replace ~2k
+    // driver jobs; the recursive-CTE oracle is unchanged.
+    val relRows = cands.select(col("doc_id"), col("rel_micro")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val simRows = pairs.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     Dedup.unpersistCheckpoint(cands)
-    Dedup.unpersistCheckpoint(pairs)
-    sel.select(col("rank"), col("doc_id"))
+    val relMap = relRows.toMap
+    val candIds = relRows.map(_._1).sorted
+    val selected = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val chosen = scala.collection.mutable.Set[Long]()
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val remaining = candIds.filterNot(chosen)
+      if (remaining.isEmpty) exhausted = true
+      else {
+        // argmax of mmr_micro, ties to the SMALLEST doc_id — candIds is
+        // ascending, so maxBy keeps the first (smallest) on ties only if
+        // strict improvement is required; fold explicitly to be exact.
+        var bestDoc = -1L
+        var bestMmr = Long.MinValue
+        remaining.foreach { d =>
+          val ms = selected.iterator
+            .map { case (_, b) => simRows.getOrElse((d, b), Long.MinValue) }
+            .foldLeft(Long.MinValue)(math.max)
+          val mmr = wRel.toLong * relMap(d) -
+            wDiv.toLong * (if (selected.isEmpty) 0L else ms)
+          if (mmr > bestMmr) { bestMmr = mmr; bestDoc = d }
+        }
+        selected += ((r.toLong, bestDoc))
+        chosen += bestDoc
+        r += 1
+      }
+    }
+    import s.implicits._
+    selected.toSeq.toDF("rank", "doc_id")
   }
 }

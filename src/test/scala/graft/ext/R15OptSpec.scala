@@ -47,6 +47,74 @@ class R15OptSpec extends SparkSpec {
         "pooled invariant's verdict")
   }
 
+  test("e3r block tiling is exact at any B: forcing the recall row out " +
+      "(floor > 1) reads the identical recall value for blocks 4/8/13 — " +
+      "the (bi,bj)-keyed two-sided tiling only partitions the pair space") {
+    val dir = sf("sf0.001")
+    val recalls = Seq(4, 8, 13).map { b =>
+      val r = Similarity.knnRecallViolations(spark, dir, k = 3,
+        floor = 1.01, blocks = b).collect()
+      assert(r.length == 1, s"blocks=$b emitted ${r.length} rows")
+      r.head.getDouble(1)
+    }
+    assert(recalls.distinct.length == 1,
+      s"recall varies with block count: $recalls")
+  }
+
+  test("mmr1 driver-side greedy selection is bit-identical to the " +
+      "unrolled DataFrame loop (the pre-r15 shape, re-created inline)") {
+    import org.apache.spark.sql.DataFrame
+    for (dirName <- Seq("sf0.001", "sf0.01")) {
+      val dir = sf(dirName)
+      val (n, k, wRel, wDiv, queryId) = (50, 10, 7, 3, 0L)
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val q = e.filter(col("vec_id") === queryId)
+        .select(col("embedding").as("q_embedding"))
+      val cands = e.filter(col("vec_id") =!= queryId)
+        .crossJoin(broadcast(q))
+        .withColumn("cosraw", graft.functions.Expressions
+          .cosineF(col("embedding"), col("q_embedding")))
+        .orderBy(desc("cosraw"), col("vec_id"))
+        .limit(n)
+        .select(col("vec_id").as("doc_id"), col("embedding"),
+          floor(col("cosraw") * lit(1000000.0) + lit(0.5)).cast("long")
+            .as("rel_micro"))
+        .localCheckpoint(true)
+      val pairs = cands
+        .select(col("doc_id").as("a"), col("embedding").as("ea"))
+        .join(cands.select(col("doc_id").as("b"), col("embedding").as("eb")),
+          col("a") =!= col("b"))
+        .select(col("a"), col("b"),
+          floor(graft.functions.Expressions.cosineF(col("ea"), col("eb"))
+            * lit(1000000.0) + lit(0.5)).cast("long").as("sim_micro"))
+        .localCheckpoint(true)
+      import spark.implicits._
+      var sel = Seq.empty[(Long, Long, Long)]
+        .toDF("rank", "doc_id", "mmr_micro")
+      for (r <- 1 to k) {
+        val maxSim = pairs
+          .join(sel.select(col("doc_id").as("b")), "b")
+          .groupBy(col("a").as("doc_id")).agg(max("sim_micro").as("ms"))
+        val pick = cands.select("doc_id", "rel_micro")
+          .join(sel.select("doc_id"), Seq("doc_id"), "left_anti")
+          .join(maxSim, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (lit(wRel.toLong) * col("rel_micro") -
+              lit(wDiv.toLong) * coalesce(col("ms"), lit(0L)))
+              .as("mmr_micro"))
+          .orderBy(col("mmr_micro").desc, col("doc_id"))
+          .limit(1)
+          .select(lit(r.toLong).as("rank"), col("doc_id"), col("mmr_micro"))
+        sel = sel.unionByName(pick).localCheckpoint(true)
+      }
+      val reference = sel.select("rank", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val got = Similarity.mmrTopK(spark, dir, queryId, n, k, wRel, wDiv)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == reference, s"$dirName: driver-side MMR diverged")
+    }
+  }
+
   test("x15r pooled codebook fetch: per-query public x15PqAdcTopK rows " +
       "are unchanged by pooling (spot-check q=0..2 against a fresh call)") {
     val dir = sf("sf0.001")
