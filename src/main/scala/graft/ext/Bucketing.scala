@@ -25,6 +25,29 @@ object Bucketing {
   private val built = CorpusMemos.register(
     new ConcurrentHashMap[String, (String, String)]())
 
+  /** Fingerprint of the two SOURCE parquet dirs a bucketed twin pair was
+    * built from (file names + lengths + mtimes). Stored as a `_graft_src`
+    * marker inside each table dir (underscore-prefixed files are invisible
+    * to Spark's file listing, the `_SUCCESS` convention), so a memo MISS
+    * can prove the on-disk table still matches the corpus and adopt it
+    * instead of destructively rebuilding. Rebuild-on-every-miss was a
+    * correctness hazard: `CorpusMemos.clearAll()` (corpus-regen hook, also
+    * fired by tests) made the next caller DELETE + rewrite the table under
+    * any in-flight reader planned against the old file list →
+    * FAILED_READ_FILE mid-query. Now the delete happens only when the
+    * source corpus actually changed — where every plan against the old
+    * table is invalid anyway.
+    */
+  private def srcFingerprint(dir: String): String = {
+    def files(sub: String): Seq[String] = {
+      val d = new java.io.File(dir, sub)
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.isFile).sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length()}:${f.lastModified()}").toSeq
+    }
+    (files("orders.parquet") ++ files("customer.parquet")).mkString("\n")
+  }
+
   /** Bucketed twin tables of orders/customer for `dir`, keyed on the
     * o_custkey = c_custkey join; returns their catalog names.
     */
@@ -45,26 +68,46 @@ object Bucketing {
     built.remove(s"$dir|$buckets")
     built.computeIfAbsent(s"$dir|$buckets", _ => {
       val (ot, ct) = names
-      // a FRESH session's in-memory catalog doesn't know about a previous
-      // JVM's on-disk table, and saveAsTable refuses to reuse the
-      // location — drop both sides of the stale state before writing
-      for (t <- Seq(ot, ct)) {
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        val wh = new java.net.URI(
-          s.conf.get("spark.sql.warehouse.dir")).getPath
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-          f.delete(): Unit
-        }
-        rm(new java.io.File(wh, t))
+      val wh = new java.net.URI(
+        s.conf.get("spark.sql.warehouse.dir")).getPath
+      val fp = srcFingerprint(dir)
+      def marker(t: String) = new java.io.File(new java.io.File(wh, t),
+        "_graft_src")
+      def markerOk(t: String): Boolean = {
+        val m = marker(t)
+        m.isFile && new String(java.nio.file.Files.readAllBytes(
+          m.toPath), "UTF-8") == fp
       }
-      s.read.parquet(s"$dir/orders.parquet").write.mode("overwrite")
-        .bucketBy(buckets, "o_custkey").sortBy("o_custkey")
-        .format("parquet").saveAsTable(ot)
-      s.read.parquet(s"$dir/customer.parquet").write.mode("overwrite")
-        .bucketBy(buckets, "c_custkey").sortBy("c_custkey")
-        .format("parquet").saveAsTable(ct)
-      (ot, ct)
+      // memo lost (e.g. CorpusMemos.clearAll) but the session catalog
+      // still holds both tables AND their stored source fingerprints
+      // match the corpus on disk → the tables are current; adopt them.
+      if (s.catalog.tableExists(ot) && s.catalog.tableExists(ct) &&
+          markerOk(ot) && markerOk(ct)) {
+        Dedup.logRoute("bucketing", "adopted existing tables",
+          s"dir=$dir buckets=$buckets")
+        (ot, ct)
+      } else {
+        // a FRESH session's in-memory catalog doesn't know about a
+        // previous JVM's on-disk table, and saveAsTable refuses to reuse
+        // the location — drop both sides of the stale state before writing
+        for (t <- Seq(ot, ct)) {
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(): Unit
+          }
+          rm(new java.io.File(wh, t))
+        }
+        s.read.parquet(s"$dir/orders.parquet").write.mode("overwrite")
+          .bucketBy(buckets, "o_custkey").sortBy("o_custkey")
+          .format("parquet").saveAsTable(ot)
+        s.read.parquet(s"$dir/customer.parquet").write.mode("overwrite")
+          .bucketBy(buckets, "c_custkey").sortBy("c_custkey")
+          .format("parquet").saveAsTable(ct)
+        for (t <- Seq(ot, ct))
+          java.nio.file.Files.write(marker(t).toPath, fp.getBytes("UTF-8"))
+        (ot, ct)
+      }
     })
   }
 
@@ -115,7 +158,8 @@ object Bucketing {
       .join(s.table(ct), col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        sum(graft.functions.Expressions.moneyDec2(col("o_totalprice"), 18))
+          .cast("double")
           .as("total_price"))
   }
 }

@@ -96,6 +96,28 @@ class Round15Spec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("ensureBucketed after CorpusMemos.clearAll ADOPTS the existing " +
+      "tables when the source corpus is unchanged — no destructive " +
+      "rebuild (a rebuild deletes the part files under any in-flight " +
+      "reader planned against the old list → FAILED_READ_FILE; with " +
+      "parallel suites the clearAll test fired exactly that race)") {
+    val dir = sf("sf0.001")
+    val (ot, _) = Bucketing.ensureBucketed(spark, dir)
+    def partFiles(t: String): Set[String] = {
+      val wh = new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath
+      Option(new java.io.File(wh, t).listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(_.startsWith("part-")).toSet
+    }
+    val before = partFiles(ot)
+    assert(before.nonEmpty)
+    CorpusMemos.clearAll()
+    val (ot2, _) = Bucketing.ensureBucketed(spark, dir)
+    assert(ot2 == ot)
+    assert(partFiles(ot) == before,
+      "unchanged corpus was destructively rebuilt after memo clear")
+  }
+
   // ---- multi-label public suffixes ----------------------------------------
 
   test("Domains.regDomainOf groups co.uk-style hosts under the correct " +
@@ -417,5 +439,45 @@ class Round15Spec extends SparkSpec {
     intercept[Exception] {
       Similarity.calibratedNprobe(spark, idx2): Unit
     }
+  }
+
+  // ---- MoneyDec2: the fast money cast is value-identical ------------------
+
+  test("MoneyDec2 equals cast(double as decimal(p,2)) on EVERY money " +
+      "column the q-family reads, and the 2-decimal precondition holds " +
+      "(r15 — the built-in cast's per-row Double.toString+BigDecimal " +
+      "parse was the dominant CPU of the relational aggregates)") {
+    import graft.functions.Expressions.moneyDec2
+    val cols: Seq[(String, String, Int)] = Seq(
+      ("lineitem", "l_extendedprice", 12), ("lineitem", "l_discount", 4),
+      ("lineitem", "l_quantity", 12), ("orders", "o_totalprice", 18),
+      ("part", "p_retailprice", 12), ("events", "value", 18))
+    for (sfd <- Seq("sf0.001", "sf0.01"); (tbl, c, p) <- cols) {
+      val df =
+        if (tbl == "events") graft.sources.EventsTable.load(spark, sf(sfd))
+        else spark.read.parquet(s"${sf(sfd)}/$tbl.parquet")
+      val r = df.select(
+        sum(when(moneyDec2(col(c), p) =!=
+          col(c).cast(s"decimal($p,2)"), 1).otherwise(0)).as("diff"),
+        max(abs(col(c) * 100 - round(col(c) * 100))).as("maxerr"),
+        count(lit(1)).as("n")).head()
+      assert(r.getLong(0) == 0L, s"$sfd/$tbl.$c: ${r.getLong(0)} of " +
+        s"${r.getLong(2)} rows differ from the built-in cast")
+      assert(r.getDouble(1) < 1e-6,
+        s"$sfd/$tbl.$c: 2-decimal precondition violated (${r.getDouble(1)})")
+    }
+    // edge contract: NaN/Infinity/overflow → NULL (the non-ANSI cast shape)
+    import spark.implicits._
+    val edges = Seq(Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, 1e18, -1e18).toDF("v")
+      .select(moneyDec2(col("v"), 12).as("d"))
+    assert(edges.filter(col("d").isNotNull).count() == 0)
+    // and the derived (1 - discount) double used by q15 matches too
+    val li = spark.read.parquet(s"${sf("sf0.01")}/lineitem.parquet")
+    val dd = li.select(
+      sum(when(moneyDec2(lit(1) - col("l_discount"), 4) =!=
+        (lit(1) - col("l_discount")).cast("decimal(4,2)"), 1)
+        .otherwise(0)).as("diff")).head()
+    assert(dd.getLong(0) == 0L)
   }
 }
