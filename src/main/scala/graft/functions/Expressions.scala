@@ -46,6 +46,57 @@ import org.apache.spark.unsafe.types.UTF8String
     override protected def withNewChildInternal(c: Expression): Fnv1a64 = copy(c)
   }
 
+  /** Fast double→DECIMAL(p,2) for MONEY doubles (r15). Spark's
+    * `cast(double AS decimal)` goes through `Double.toString` (Ryū) +
+    * `BigDecimal` parse + `setScale` PER ROW — measured as the dominant
+    * cost of the whole relational aggregate tail at gate scale (q1: a
+    * cast-free twin of the same aggregate runs 0.25 s vs 1.0 s). This
+    * expression builds the long-backed Decimal directly from
+    * `Math.round(v·100)` — no string, no BigDecimal, stays in codegen.
+    *
+    * VALUE-IDENTICAL PRECONDITION (measured, spec-pinned): every money
+    * column holds doubles within 1e-6·cents of a 2-decimal value (the
+    * fixture maxes at 3.7e-9 across all tables incl. events.value, and
+    * ScaleGen copies values). For such doubles the shortest-string
+    * HALF_UP of the cast and `Math.round(v·100)` agree; the expression
+    * is NOT a general replacement for doubles with ≥3 significant
+    * decimals near a half-cent boundary. Overflow/NaN/Infinity return
+    * NULL, matching the non-ANSI cast.
+    */
+  object Money {
+    def cents2(v: Double, precision: Int): Decimal = {
+      if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v))
+        return null
+      val cents = Math.round(v * 100.0)
+      // overflow → null, the non-ANSI cast contract. precision ≤ 18 so
+      // 10^precision fits in a Long; Math.round saturates at
+      // Long.{Max,Min}Value which both fall outside every bound. Compare
+      // both signs directly — abs(Long.MinValue) is negative.
+      var bound = 1L
+      var i = 0
+      while (i < precision) { bound *= 10; i += 1 }
+      if (cents >= bound || cents <= -bound) null
+      else Decimal(cents, precision, 2)
+    }
+  }
+
+  case class MoneyDec2(child: Expression, precision: Int)
+      extends UnaryExpression {
+    require(precision >= 3 && precision <= 18,
+      "long-backed decimal only (precision 3..18)")
+    override def dataType: DataType = DecimalType(precision, 2)
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      Money.cents2(v.asInstanceOf[Double], precision)
+    override protected def doGenCode(ctx: CodegenContext,
+        ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.functions.Money.cents2($c, $precision);
+        if (${ev.value} == null) { ${ev.isNull} = true; }""")
+    override protected def withNewChildInternal(c: Expression): MoneyDec2 =
+      copy(child = c)
+  }
+
   /** 64-bit SimHash over whitespace tokens: each token's FNV hash votes
     * ±1 per bit position; the sign vector packs into a Long. Near-duplicate
     * documents land within a small Hamming distance. (Charikar, STOC 2002 —
@@ -192,6 +243,13 @@ import org.apache.spark.unsafe.types.UTF8String
 object Expressions {
 
   def fnv1a64(c: Column): Column = GraftBridge.column(Fnv1a64(GraftBridge.expression(c)))
+
+  /** Fast double→DECIMAL(p,2) for measured-2-decimal money doubles —
+    * value-identical to `c.cast(s"decimal($p,2)")` on such inputs (see
+    * [[MoneyDec2]]; precondition + identity spec-pinned in Round15Spec).
+    */
+  def moneyDec2(c: Column, precision: Int): Column =
+    GraftBridge.column(MoneyDec2(GraftBridge.expression(c), precision))
   def simhash64(c: Column): Column = GraftBridge.column(SimHash64(GraftBridge.expression(c)))
   def dotF(a: Column, b: Column): Column =
     GraftBridge.column(DotF(GraftBridge.expression(a), GraftBridge.expression(b)))

@@ -30,11 +30,23 @@ object CoreQueries {
   private def events(s: SparkSession, dir: String): DataFrame =
     graft.sources.EventsTable.load(s, dir)
 
+  /** double→DECIMAL(p,2) for money columns. Same value as
+    * `c.cast("decimal(p,2)")` on the corpus (measured: every money double
+    * is within 4e-9 cents of a 2-decimal value, so shortest-string HALF_UP
+    * and `Math.round(v·100)` agree — identity spec-pinned in Round15Spec)
+    * but ~10× cheaper per row: the built-in cast allocates
+    * `Double.toString` + a BigDecimal parse per row, and was measured as
+    * the dominant CPU of the whole q-family's scan stages (r15,
+    * OPTIMIZATION_r15.md §money-decimal).
+    */
+  private def dec2(c: org.apache.spark.sql.Column, p: Int) =
+    graft.functions.Expressions.moneyDec2(c, p)
+
   /** Money-exact sum: cast each value to DECIMAL(18,2) first (exact,
     * commutative), return as double (cent-exact up to 2^53).
     */
   private def moneySum(c: org.apache.spark.sql.Column) =
-    sum(c.cast("decimal(18,2)")).cast("double")
+    sum(dec2(c, 18)).cast("double")
 
   /** Discounted price in the DECIMAL domain end-to-end. Computing
     * `price * (1 - discount)` in doubles and then casting to decimal is NOT
@@ -45,8 +57,8 @@ object CoreQueries {
     * decimal multiply/sum is exact on both engines.
     */
   private def discPrice =
-    col("l_extendedprice").cast("decimal(12,2)") *
-      (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
+    dec2(col("l_extendedprice"), 12) *
+      (lit(1).cast("decimal(4,2)") - dec2(col("l_discount"), 4))
 
   /** Deterministic HALF_UP rounding via floor(x*10^s + 0.5)/10^s: identical
     * double ops on both engines. Spark's round() goes through the shortest
@@ -137,7 +149,7 @@ object CoreQueries {
       .agg(
         // decimal-sum / count instead of avg(): order-independent, so the
         // round(4) can't straddle a boundary vs the oracle (value has 2dp)
-        r4(sum(col("value").cast("decimal(18,2)")).cast("double") /
+        r4(sum(dec2(col("value"), 18)).cast("double") /
           count(lit(1))).as("avg_value"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"),
@@ -176,7 +188,7 @@ object CoreQueries {
     */
   def w1RollingSma(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val vDec = col("value").cast("decimal(18,2)")
+    val vDec = dec2(col("value"), 18)
     def frameAvg(lo: Int) =
       r4(sum(vDec).over(w.rowsBetween(lo, 0)).cast("double") /
         count(lit(1)).over(w.rowsBetween(lo, 0)))
@@ -248,7 +260,7 @@ object CoreQueries {
         sum(col("l_quantity")).as("sum_qty"),
         moneySum(col("l_extendedprice")).as("sum_base_price"),
         sum(discPrice).cast("double").as("sum_disc_price"),
-        r4(sum(col("l_discount").cast("decimal(4,2)")).cast("double") /
+        r4(sum(dec2(col("l_discount"), 4)).cast("double") /
           count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
@@ -461,7 +473,7 @@ object CoreQueries {
   def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
     val big = t(s, dir, "lineitem")
       .groupBy("l_orderkey")
-      .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+      .agg(sum(dec2(col("l_quantity"), 12)).cast("double")
         .as("sum_qty"))
       .filter(col("sum_qty") > 300)
     t(s, dir, "orders").join(big, col("o_orderkey") === col("l_orderkey"))
@@ -658,8 +670,8 @@ object CoreQueries {
     t(s, dir, "lineitem")
       .filter(col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
       .agg(
-        sum((col("l_extendedprice").cast("decimal(12,2)") *
-          col("l_discount").cast("decimal(4,2)"))).cast("double")
+        sum((dec2(col("l_extendedprice"), 12) *
+          dec2(col("l_discount"), 4))).cast("double")
           .as("revenue_delta"),
         count(lit(1)).as("n_rows"))
 
@@ -807,7 +819,7 @@ object CoreQueries {
     events(s, dir)
       .select(col("event_id"), col("user_id"),
         unix_timestamp(col("ts")).as("ts_s"),
-        col("value").cast("decimal(14,2)").as("v"))
+        dec2(col("value"), 14).as("v"))
       .select(col("event_id"), col("user_id"),
         (sum(col("v")).over(w) * 100).cast("long").as("trail_1h_cents"))
   }
@@ -972,8 +984,8 @@ object CoreQueries {
       .filter(col("l_shipdate") >= "1995-01-01" &&
         col("l_shipdate") < "1995-04-01")
       .groupBy(col("l_suppkey").as("suppkey"))
-      .agg((sum(col("l_extendedprice").cast("decimal(12,2)") *
-        (lit(1) - col("l_discount")).cast("decimal(4,2)")) * 10000)
+      .agg((sum(dec2(col("l_extendedprice"), 12) *
+        dec2(lit(1) - col("l_discount"), 4)) * 10000)
         .cast("long").as("revenue_c4"))
     val mx = rev.agg(max(col("revenue_c4")).as("mx"))
     rev.join(broadcast(mx), col("revenue_c4") === col("mx"))

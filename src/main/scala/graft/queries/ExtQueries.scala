@@ -594,7 +594,7 @@ object ExtQueries {
   def sk1SaltedSum(s: SparkSession, dir: String): DataFrame = {
     val e = graft.sources.EventsTable.load(s, dir)
       .select(col("user_id"), col("event_id"),
-        col("value").cast("decimal(18,2)").as("v"))
+        graft.functions.Expressions.moneyDec2(col("value"), 18).as("v"))
     graft.ext.SkewSafe.saltedSum(e, col("user_id"), col("v"),
       col("event_id"), salts = 16)
       .select(col("k").as("user_id"), col("total").cast("double").as("total"))

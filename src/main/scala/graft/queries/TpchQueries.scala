@@ -24,13 +24,17 @@ object TpchQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Fast measured-2-decimal double→decimal — see CoreQueries.dec2. */
+  private def dec2(c: org.apache.spark.sql.Column, p: Int) =
+    graft.functions.Expressions.moneyDec2(c, p)
+
   /** price * (1-discount) in the DECIMAL domain (see CoreQueries.discPrice). */
   private def discPrice =
-    col("l_extendedprice").cast("decimal(12,2)") *
-      (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
+    dec2(col("l_extendedprice"), 12) *
+      (lit(1).cast("decimal(4,2)") - dec2(col("l_discount"), 4))
 
   private def cents(c: org.apache.spark.sql.Column) =
-    (c.cast("decimal(12,2)") * 100).cast("long")
+    (dec2(c, 12) * 100).cast("long")
 
   /** TPC-H Q2 shape: correlated per-group MIN subquery join — for each
     * SMALL part sized 10-15, the supplier(s) whose line price equals the
@@ -125,8 +129,10 @@ object TpchQueries {
       .join(broadcast(t(s, dir, "nation")),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("nation"))
-    val cost = col("p_retailprice").cast("decimal(12,2)") *
-      col("l_quantity").cast("decimal(4,0)")
+    // quantity is integral 1..50 (measured) — double→long→decimal skips
+    // the string-parse decimal cast and is value-identical for integers
+    val cost = dec2(col("p_retailprice"), 12) *
+      col("l_quantity").cast("long").cast("decimal(4,0)")
     t(s, dir, "lineitem")
       .join(JoinHints.gated(redParts, s"$dir|q9.redParts"),
         col("l_partkey") === col("p_partkey"))
@@ -189,7 +195,7 @@ object TpchQueries {
       .agg(sum("qty_c").as("sum_c"), count(lit(1)).as("n"))
     li.join(stats, Seq("partkey"))
       .filter(col("qty_c") * 5 * col("n") < col("sum_c"))
-      .agg((sum(col("l_extendedprice").cast("decimal(12,2)")) * 100)
+      .agg((sum(dec2(col("l_extendedprice"), 12)) * 100)
         .cast("long").as("revenue_cents"))
   }
 
