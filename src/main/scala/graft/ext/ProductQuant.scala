@@ -461,8 +461,9 @@ object ProductQuant {
   def x15PqAdcTopK(s: SparkSession, dir: String, queryId: Long = 0L,
       k: Int = 20, shortlist: Int = 100): DataFrame = {
     val root = pqDir(s, dir)
-    x15PqAdcTopKFrom(s, dir, root, queryId, k, shortlist,
-      fetchQVec(s, dir, queryId), fetchBooks(s, root))
+    x15PqAdcTopKFrom(s, queryId, k, shortlist,
+      fetchQVec(s, dir, queryId), fetchBooks(s, root),
+      s.read.parquet(s"$root/codes"), emb(s, dir))
   }
 
   /** Prefetched-artifact core of [[x15PqAdcTopK]]: identical plan, but
@@ -471,10 +472,10 @@ object ProductQuant {
     * paying one q-vector job + one codebook collect per query (r15;
     * guide §5 — driver-side jobs were the invariant's dominant cost).
     */
-  private def x15PqAdcTopKFrom(s: SparkSession, dir: String, root: String,
+  private def x15PqAdcTopKFrom(s: SparkSession,
       queryId: Long, k: Int, shortlist: Int, q: Array[Double],
-      books: Map[(Int, Int), Array[Double]]): DataFrame = {
-    val e = emb(s, dir)
+      books: Map[(Int, Int), Array[Double]],
+      codesDf: DataFrame, e: DataFrame): DataFrame = {
     val dsub = q.length / M
     // driver-side ADC table: dt(j)(code) = ||q_j - c_{j,code}||^2
     val dt: IndexedSeq[Column] = (0 until M).map { j =>
@@ -486,7 +487,7 @@ object ProductQuant {
     }
     val adc = (0 until M).map(j =>
       element_at(dt(j), col("codes").getItem(j) + 1)).reduce(_ + _)
-    val short = s.read.parquet(s"$root/codes")
+    val short = codesDf
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), adc.as("adc_d2"))
       .orderBy(col("adc_d2"), col("vec_id")).limit(shortlist)
@@ -602,9 +603,11 @@ object ProductQuant {
     val sl = if (shortlist > 0) shortlist
       else autoShortlist(np, corpusCount(s, dir), rl)
     recordShortlist(idx, sl)
-    ivfPqTopKFrom(s, dir, root, idx, queryId, k, np, sl,
+    ivfPqTopKFrom(s, queryId, k, np, sl,
       fetchQVec(s, dir, queryId), fetchCentroids(s, idx),
-      fetchBooks(s, root))
+      fetchBooks(s, root),
+      s.read.option("basePath", s"$idx/cells").parquet(s"$idx/cells"),
+      s.read.parquet(s"$root/codes"), emb(s, dir))
   }
 
   /** Prefetched-artifact core of [[ivfPqTopK]] (the x15 pattern): the
@@ -614,19 +617,18 @@ object ProductQuant {
     * centroid collect and one codebook collect (~30 driver jobs per
     * x19r evaluation). Plan per query is unchanged.
     */
-  private def ivfPqTopKFrom(s: SparkSession, dir: String, root: String,
-      idx: String, queryId: Long, k: Int, np: Int, sl: Int,
+  private def ivfPqTopKFrom(s: SparkSession,
+      queryId: Long, k: Int, np: Int, sl: Int,
       q: Array[Double], centroids: Array[(Int, Seq[Double])],
-      books: Map[(Int, Int), Array[Double]]): DataFrame = {
-    val e = emb(s, dir)
+      books: Map[(Int, Int), Array[Double]],
+      cellsDf: DataFrame, codesDf: DataFrame, e: DataFrame): DataFrame = {
     val dsub = q.length / M
     val cells = centroids
       .map { case (cell, c) =>
         (cell, c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
       }
       .sortBy { case (cell, d) => (d, cell) }.take(np).map(_._1)
-    val members = s.read.option("basePath", s"$idx/cells")
-      .parquet(s"$idx/cells")
+    val members = cellsDf
       .filter(col("cell").isin(cells.toIndexedSeq.map(Integer.valueOf): _*)
         && col("vec_id") =!= queryId)
       .select(col("vec_id"), col("cell"))
@@ -639,7 +641,7 @@ object ProductQuant {
     }
     val adc = (0 until M).map(j =>
       element_at(dt(j), col("codes").getItem(j) + 1)).reduce(_ + _)
-    val short = s.read.parquet(s"$root/codes")
+    val short = codesDf
       .join(members, Seq("vec_id"))
       .select(col("vec_id"), col("cell"), adc.as("adc_d2"))
       .orderBy(col("adc_d2"), col("vec_id")).limit(sl)
@@ -685,9 +687,18 @@ object ProductQuant {
     val qvecs = fetchQVecs(s, dir, nQueries)
     val centroids = fetchCentroids(s, idx)
     val books = fetchBooks(s, root)
+    // r15 opt 2: the RELATIONS are pooled too — each read.parquet call
+    // builds a fresh InMemoryFileIndex (one parallel listing job for the
+    // hive-partitioned cells dir + a schema read, ~0.3 s of driver time),
+    // and the per-query plans re-paid it 3× per query (StageProbe:
+    // ~4.2 s of x19r's 6 s was repeated listing/planning). One DataFrame
+    // per artifact reuses one FileIndex across the pool.
+    val cellsDf = s.read.option("basePath", s"$idx/cells")
+      .parquet(s"$idx/cells")
+    val codesDf = s.read.parquet(s"$root/codes")
     val got = (0L until nQueries.toLong).map { qid =>
-      ivfPqTopKFrom(s, dir, root, idx, qid, k, np, sl, qvecs(qid),
-        centroids, books)
+      ivfPqTopKFrom(s, qid, k, np, sl, qvecs(qid),
+        centroids, books, cellsDf, codesDf, e)
         .select(lit(qid).as("src_id"), col("vec_id").as("nb_id"))
     }.reduce(_ unionAll _).withColumn("hit", lit(1L))
     exact.select("src_id", "nb_id")
@@ -798,8 +809,12 @@ object ProductQuant {
     val root = pqDir(s, dir)
     val qvecs = fetchQVecs(s, dir, nQueries)
     val books = fetchBooks(s, root)
+    // r15 opt 2: pool the codes RELATION too (see x19rIvfPqRecall) —
+    // per-query read.parquet re-paid a listing + schema job each.
+    val codesDf = s.read.parquet(s"$root/codes")
     val pq = (0L until nQueries.toLong).map { qid =>
-      x15PqAdcTopKFrom(s, dir, root, qid, k, shortlist, qvecs(qid), books)
+      x15PqAdcTopKFrom(s, qid, k, shortlist, qvecs(qid), books,
+        codesDf, e)
         .select(lit(qid).as("src_id"), col("vec_id").as("nb_id"))
     }.reduce(_ unionAll _).withColumn("hit", lit(1L))
     exact.select("src_id", "nb_id")
