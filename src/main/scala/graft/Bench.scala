@@ -64,6 +64,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-query executor task metrics (VERDICT r15 item 1): run/CPU/GC
+    // time, peak execution memory, shuffle and spill bytes land in the
+    // artifact next to each wall second, so a contaminated run (wall ≫
+    // run time, GC/spill growth) is distinguishable from a regression.
+    val metrics = new BenchMetrics
+    spark.sparkContext.addSparkListener(metrics)
+    // Warm-up work is timed and reported as its OWN field (warmup_sec):
+    // session init plus the offline artifact builds below are excluded
+    // from the per-query numbers by design (index build is a scheduled
+    // job; the queries measure the probe), and the artifact must show
+    // the excluded cost instead of hiding it.
+    val warmupT0 = System.nanoTime()
     // Warm up the session (codegen compiler, scheduler, shuffle machinery)
     // so the first timed query doesn't absorb ~4 s of JVM init.
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -76,14 +88,18 @@ object Bench {
       .find(p => new java.io.File(p).exists())
       .foreach(p => spark.read.parquet(p).limit(10).collect())
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Option[String]) = {
+        : (Double, Option[String], String) = {
+      metrics.drain() // previous query's straggler events, not this one's
+      metrics.reset()
       val t0 = System.nanoTime()
       val err = try {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save(); None
       } catch { case e: Throwable =>
         Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
-      ((System.nanoTime() - t0) / 1e9, err)
+      val sec = (System.nanoTime() - t0) / 1e9
+      metrics.drain()
+      (sec, err, metrics.snapshotJson)
     }
     // Between-query hygiene: d4-style iterative queries localCheckpoint
     // their final result, and those blocks stay pinned in storage memory
@@ -91,10 +107,23 @@ object Bench {
     // for every query that follows (measured: d4 19.8 s / e1 11.8 s
     // inside the sweep vs 5.4 s / 0.5 s standalone). Each query is an
     // independent measurement; drop leaked blocks before the next one.
+    // BLOCKING since r16 (VERDICT r15 item 1b): the async unpersist left
+    // a window where the next query timed against still-pinned blocks;
+    // now removal completes before the next measurement starts, and any
+    // RDD still registered afterwards is counted loudly in the artifact
+    // (leak_check_failures) instead of silently poisoning the sweep.
+    var leakCheckFailures = 0
     def dropLeakedBlocks(): Unit = {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
+      val left = spark.sparkContext.getPersistentRDDs
+      if (left.nonEmpty) {
+        leakCheckFailures += 1
+        System.err.println(s"[bench] WARN ${left.size} RDDs still " +
+          s"registered after blocking unpersist: ${left.keys.toSeq.sorted
+            .take(8).mkString(",")}")
+      }
     }
     // SPARK_GRAFT_ONLY=<regex> restricts the run — segment reruns for
     // localizing in-sweep effects (a query can behave differently inside
@@ -122,32 +151,38 @@ object Bench {
       graft.ext.Similarity.ivfIndexDir(spark, sfDir)
     if (names.exists(n => n.startsWith("d4") || n.startsWith("d9")))
       graft.ext.Dedup.warmSharedArtifacts(spark, sfDir)
+    val warmupSec = (System.nanoTime() - warmupT0) / 1e9
     val results = toRun.map { case (name, fn) =>
       dropLeakedBlocks()
-      val (t1, err1) = once(fn)
+      val (t1, err1, m1) = once(fn)
       // A first run over 1 s mixes first-touch costs (parquet footer
       // reads, codegen compiles) and scheduler noise into the signal;
       // re-run once and keep the min. Bounded: only the slow tail pays
       // a second pass. A re-run FAILURE must surface, not read as a
-      // fast success.
-      val (t, err) = if (err1.isEmpty && t1 > 1.0 && !oneRun) {
-        val (t2, err2) = once(fn)
-        if (err2.isEmpty) (math.min(t1, t2), None) else (t2, err2)
-      } else (t1, err1)
+      // fast success. Task metrics follow the kept (min) attempt.
+      val (t, err, m) = if (err1.isEmpty && t1 > 1.0 && !oneRun) {
+        val (t2, err2, m2) = once(fn)
+        if (err2.isEmpty) {
+          if (t2 <= t1) (t2, None, m2) else (t1, None, m1)
+        } else (t2, err2, m2)
+      } else (t1, err1, m1)
       // Progress to stderr as each query lands: an hour-scale sweep was
       // previously a black box until the final JSON, and a per-query
       // timestamped trail is what localizes in-sweep anomalies (r13:
       // queries 4-16x slower in-sweep than standalone).
       System.err.println(f"[bench] $name ${t}%.2f s" +
         err.map(m => s" ERROR $m").getOrElse(""))
-      (name, t, err)
+      (name, t, err, m)
     }
-    def jsonMap(rs: Seq[(String, Double, Option[String])]): String =
-      rs.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    def jsonMap(rs: Seq[(String, Double, Option[String], String)]): String =
+      rs.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
     val (inv, ops) = results.partition(r => SparkEntry.invariantQueries(r._1))
-    val errs = results.collect { case (k, _, Some(m)) =>
+    val errs = results.collect { case (k, _, Some(m), _) =>
       "\"" + k + "\":\"" + m.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+    }.mkString("{", ",", "}")
+    val taskMetrics = results.map { case (k, _, _, m) =>
+      "\"" + k + "\":" + m
     }.mkString("{", ",", "}")
     val opTotal = ops.map(_._2).sum
     val invTotal = inv.map(_._2).sum
@@ -159,7 +194,11 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","valid":$valid,""" +
       s""""operator_total":$opTotal,"invariant_total":$invTotal,""" +
+      s""""warmup_sec":$warmupSec,""" +
+      s""""jvm_max_heap_bytes":${Runtime.getRuntime.maxMemory},""" +
+      s""""leak_check_failures":$leakCheckFailures,""" +
       s""""queries":${jsonMap(ops)},"invariants":${jsonMap(inv)},""" +
+      s""""task_metrics":$taskMetrics,""" +
       s""""errors":$errs,"skip_invariants":$skipInvariants,"sf":"$sfDir"}"""
     // stdout FIRST: a bad SPARK_GRAFT_BENCH_OUT path must not throw away
     // a completed sweep (the file exists to survive stdout truncation,

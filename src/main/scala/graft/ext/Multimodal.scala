@@ -88,23 +88,34 @@ object Multimodal {
     /** Expected audio params: (sampleRateHz, nPcmFrames). */
     def audioParams(id: Long): (Int, Int) = (8000, bounded(id, 6, 512, 2561))
 
-    /** A real PNG: per-pixel RGB from the mixer (id, frame, x, y). */
+    /** A real PNG: per-pixel RGB from the mixer (id, frame, x, y).
+      * r16 (guide §1.2 step 2, per-task work): pixels are written
+      * straight into the TYPE_INT_RGB raster's int buffer — `setRGB`
+      * routes every pixel through the ColorModel — and the encode goes
+      * through the reused per-thread PNG writer. For TYPE_INT_RGB,
+      * setRGB(x,y,v) stores exactly `v & 0xffffff` (the DirectColorModel
+      * masks cover 24 bits, no alpha band), so the raster — and the
+      * encoded PNG — is byte-identical to the setRGB loop
+      * (R16MediaSpec pins bytes against an inline setRGB reference).
+      */
     def png(id: Long, frame: Int, w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val data = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferInt].getData
       var y = 0
+      var off = 0
       while (y < h) {
         var x = 0
         while (x < w) {
           val v = mix(id * 131 + frame, (y.toLong << 20) | x.toLong)
-          img.setRGB(x, y, (v & 0xffffff).toInt)
+          data(off) = (v & 0xffffff).toInt
+          off += 1
           x += 1
         }
         y += 1
       }
-      val bos = new ByteArrayOutputStream()
-      ImageIO.write(img, "png", bos)
-      bos.toByteArray
+      Codec.encodePngBytes(img)
     }
 
     /** A real WAV: 16-bit mono PCM, deterministic sine-ish wave. */
@@ -122,7 +133,7 @@ object Multimodal {
       val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
       val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
       val bos = new ByteArrayOutputStream()
-      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      Codec.writeWav(ais, bos)
       bos.toByteArray
     }
 
@@ -155,17 +166,162 @@ object Multimodal {
 
   object Codec {
     java.lang.System.setProperty("java.awt.headless", "true")
+    // r16: ImageIO's convenience read/write wrap non-file streams in a
+    // FileCacheImage{Input,Output}Stream — a temp DISK FILE per call —
+    // when useCache is on (the default). The r16 bench task metrics
+    // exposed it (run ≫ cpu on every media query: tasks blocked on
+    // filesystem churn, not computing). The reused-reader paths below
+    // use memory-cached streams explicitly; this flips the default for
+    // the remaining fallback paths. Pure I/O plumbing — bytes unchanged.
+    ImageIO.setUseCache(false)
 
-    /** Real image decode via ImageIO → (width, height). */
-    def decodeImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
-      val img = ImageIO.read(new ByteArrayInputStream(payload))
-      require(img != null, "ImageIO could not decode payload")
-      img
+    /** Per-thread reused PNG reader/writer (r16, guide §1.2 step 2 /
+      * §4.5 "initialise heavyweight state once per task, not per row"):
+      * the `ImageIO.read`/`write` conveniences scan the SPI registry and
+      * allocate a fresh reader/writer + 16 KB stream cache PER CALL —
+      * pure fixed overhead on the small-image corpus, paid once per
+      * decoded row across x5/x6/x13/x17 and once per generated frame.
+      * Same PNGImageReader/PNGImageWriter classes, default params →
+      * bit-identical pixels and bytes (R16MediaSpec pins both).
+      */
+    private val pngReader =
+      new ThreadLocal[javax.imageio.ImageReader] {
+        override def initialValue(): javax.imageio.ImageReader =
+          ImageIO.getImageReadersByFormatName("png").next()
+      }
+    private val pngWriter =
+      new ThreadLocal[javax.imageio.ImageWriter] {
+        override def initialValue(): javax.imageio.ImageWriter =
+          ImageIO.getImageWritersByFormatName("png").next()
+      }
+
+    private def isPng(p: Array[Byte]): Boolean =
+      p.length >= 8 && p(0) == 0x89.toByte && p(1) == 'P'.toByte &&
+        p(2) == 'N'.toByte && p(3) == 'G'.toByte
+
+    /** PNG encode through the reused per-thread writer — the shared
+      * tail of [[MediaGen.png]] and the resize re-encode.
+      */
+    private[ext] def encodePngBytes(
+        img: java.awt.image.BufferedImage): Array[Byte] = {
+      val w = pngWriter.get()
+      val bos = new ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try {
+        w.setOutput(ios)
+        w.write(img)
+        ios.flush()
+      } finally {
+        w.setOutput(null)
+        ios.close()
+      }
+      bos.toByteArray
     }
+
+    /** Real image decode via ImageIO → (width, height). PNG payloads
+      * (every visual payload in this pipeline) go through the reused
+      * per-thread reader; anything else falls back to the registry
+      * lookup.
+      */
+    def decodeImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+      if (isPng(payload)) {
+        val r = pngReader.get()
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new ByteArrayInputStream(payload))
+        try {
+          r.setInput(iis)
+          val img = r.read(0)
+          require(img != null, "ImageIO could not decode payload")
+          img
+        } finally {
+          r.setInput(null)
+          iis.close()
+        }
+      } else {
+        val img = ImageIO.read(new ByteArrayInputStream(payload))
+        require(img != null, "ImageIO could not decode payload")
+        img
+      }
+    }
+
+    /** WAV SPI providers, loaded ONCE per JVM through the public
+      * ServiceLoader mechanism (r16): `AudioSystem.getAudioInputStream`
+      * and `AudioSystem.write` route EVERY call through a synchronized
+      * static provider lookup — the r16 bench task metrics read x18 at
+      * 25.7 s of task run time vs 1.1 s of CPU, i.e. 32 threads
+      * serializing on that monitor, not decoding audio. The providers
+      * themselves (the JDK's WaveFileReader/Writer) are stateless per
+      * call; resolving them once and calling the same instances yields
+      * byte-identical streams (R16MediaSpec pins wav bytes and PCM).
+      */
+    private lazy val audioReaders: IndexedSeq[
+        javax.sound.sampled.spi.AudioFileReader] = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader.load(
+        classOf[javax.sound.sampled.spi.AudioFileReader])
+        .iterator().asScala.toIndexedSeq
+    }
+    private lazy val wavWriters: IndexedSeq[
+        javax.sound.sampled.spi.AudioFileWriter] = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader.load(
+        classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .iterator().asScala.toIndexedSeq
+        .filter(_.isFileTypeSupported(AudioFileFormat.Type.WAVE))
+    }
+
+    /** AudioSystem.getAudioInputStream minus the synchronized registry:
+      * try each cached provider the way the registry loop does, with
+      * the LAST-SUCCESSFUL provider first — rejections are not free
+      * (the JDK's SoftMidiAudioFileReader burns ~140 µs measured
+      * rejecting a WAV, which is 100× the WaveFileReader parse), and a
+      * media corpus is format-homogeneous per column, so the memo hits
+      * essentially always.
+      */
+    private val lastAudioReader = new java.util.concurrent.atomic.AtomicInteger(-1)
+
+    private[ext] def audioInputStream(
+        payload: Array[Byte]): AudioInputStream = {
+      val rs = audioReaders
+      val memo = lastAudioReader.get()
+      if (memo >= 0 && memo < rs.length) {
+        try return rs(memo).getAudioInputStream(
+          new ByteArrayInputStream(payload))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+        }
+      }
+      var i = 0
+      while (i < rs.length) {
+        if (i != memo) {
+          try {
+            val ais = rs(i).getAudioInputStream(
+              new ByteArrayInputStream(payload))
+            lastAudioReader.set(i)
+            return ais
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+          }
+        }
+        i += 1
+      }
+      // no cached provider claims it (or the loader saw none) — the
+      // registry path still decides, exactly as before r16
+      AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    }
+
+    /** AudioSystem.write(WAVE) minus the synchronized registry. */
+    private[ext] def writeWav(ais: AudioInputStream,
+        out: java.io.OutputStream): Unit =
+      wavWriters.headOption match {
+        case Some(w) => w.write(ais, AudioFileFormat.Type.WAVE, out): Unit
+        case None => AudioSystem.write(ais,
+          AudioFileFormat.Type.WAVE, out): Unit
+      }
 
     /** Real WAV decode via AudioSystem → (sampleRateHz, nPcmFrames). */
     def decodeWav(payload: Array[Byte]): (Int, Long) = {
-      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      val ais = audioInputStream(payload)
       try (ais.getFormat.getSampleRate.toInt, ais.getFrameLength)
       finally ais.close()
     }
@@ -189,8 +345,7 @@ object Multimodal {
       * own format header).
       */
     def decodePcm16(payload: Array[Byte]): Array[Short] = {
-      val ais = AudioSystem.getAudioInputStream(
-        new ByteArrayInputStream(payload))
+      val ais = audioInputStream(payload)
       try {
         val fmt = ais.getFormat
         require(fmt.getEncoding == javax.sound.sampled.AudioFormat
@@ -379,38 +534,115 @@ object Multimodal {
     val h = img.getHeight
     val sums = new Array[Long](64)   // Σ gray per block
     val areas = new Array[Long](64)  // pixels per block
-    var y = 0
-    while (y < h) {
-      val by = y * 8 / h
-      var x = 0
-      while (x < w) {
-        val bx = x * 8 / w
-        val rgb = img.getRGB(x, y)
-        val gray = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-        val b = by * 8 + bx
-        sums(b) += gray
-        areas(b) += 1
-        x += 1
+    // r16 per-task-work cut (guide §1.2 step 2): gray = r+g+b is
+    // CHANNEL-ORDER-FREE, so for the two raster layouts this pipeline
+    // actually produces (ImageIO PNG decode → TYPE_3BYTE_BGR; scaled
+    // images → TYPE_INT_RGB) the sum reads straight off the data
+    // buffer instead of routing every pixel through
+    // getRGB → ColorModel (measured the dominant x17 decode-side
+    // cost). Sums are exact integer totals of the same channel values,
+    // so the hash is bit-identical (R16MediaSpec pins it against the
+    // getRGB loop); any other layout falls back to that loop.
+    val raster = img.getRaster
+    val intRgbFast = img.getType ==
+      java.awt.image.BufferedImage.TYPE_INT_RGB &&
+      raster.getSampleModel.isInstanceOf[
+        java.awt.image.SinglePixelPackedSampleModel] &&
+      raster.getSampleModel.asInstanceOf[
+        java.awt.image.SinglePixelPackedSampleModel]
+        .getScanlineStride == w &&
+      raster.getDataBuffer.getOffset == 0
+    val bgrFast = img.getType ==
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR && {
+      val sm = raster.getSampleModel
+      sm.isInstanceOf[java.awt.image.PixelInterleavedSampleModel] && {
+        val p = sm.asInstanceOf[java.awt.image.PixelInterleavedSampleModel]
+        p.getPixelStride == 3 && p.getScanlineStride == w * 3
+      } && raster.getDataBuffer.getOffset == 0
+    }
+    if (intRgbFast) {
+      val data = raster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferInt].getData
+      var y = 0
+      var off = 0
+      while (y < h) {
+        val byBase = (y * 8 / h) * 8
+        var x = 0
+        while (x < w) {
+          val rgb = data(off)
+          val b = byBase + x * 8 / w
+          sums(b) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          areas(b) += 1
+          off += 1
+          x += 1
+        }
+        y += 1
       }
-      y += 1
+    } else if (bgrFast) {
+      val data = raster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferByte].getData
+      var y = 0
+      var off = 0
+      while (y < h) {
+        val byBase = (y * 8 / h) * 8
+        var x = 0
+        while (x < w) {
+          val gray = (data(off) & 0xff) + (data(off + 1) & 0xff) +
+            (data(off + 2) & 0xff)
+          val b = byBase + x * 8 / w
+          sums(b) += gray
+          areas(b) += 1
+          off += 3
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      var y = 0
+      while (y < h) {
+        val by = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val bx = x * 8 / w
+          val rgb = img.getRGB(x, y)
+          val gray = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          val b = by * 8 + bx
+          sums(b) += gray
+          areas(b) += 1
+          x += 1
+        }
+        y += 1
+      }
     }
     val total = sums.sum
     val totalArea = areas.sum
     // bit b set ⇔ sums(b)/areas(b) > total/totalArea, compared exactly
     // as sums(b)·totalArea > total·areas(b). The products reach
     // 765·p · p (p = pixel count) — Long overflows from ~1e8 px on
-    // skewed blocks, so the 64 comparisons go through BigInt (exact at
-    // any image size; 128 allocations per image is noise next to the
-    // PNG decode).
+    // skewed blocks, so the comparison runs in 128 bits via
+    // Math.multiplyHigh (r16: replaces 128 BigInt allocations per
+    // image; all operands are non-negative, so the signed high word is
+    // the unsigned one and the (hi, lo) lexicographic compare is exact
+    // at any image size).
     var hash = 0L
     var b = 0
     while (b < 64) {
-      if (areas(b) > 0 &&
-          BigInt(sums(b)) * totalArea > BigInt(total) * areas(b))
+      if (areas(b) > 0 && cmp128(sums(b), totalArea, total, areas(b)) > 0)
         hash |= (1L << b)
       b += 1
     }
     hash
+  }
+
+  /** Exact sign of a·b − c·d for NON-NEGATIVE longs via 128-bit
+    * products (Math.multiplyHigh high word + wrapped low word, compared
+    * lexicographically with the low words as unsigned).
+    */
+  private[ext] def cmp128(a: Long, b: Long, c: Long, d: Long): Int = {
+    val hi1 = Math.multiplyHigh(a, b)
+    val hi2 = Math.multiplyHigh(c, d)
+    if (hi1 != hi2) java.lang.Long.compare(hi1, hi2)
+    else java.lang.Long.compareUnsigned(a * b, c * d)
   }
 
   /** Perceptual-hash table over the visual media (images + first video
@@ -461,8 +693,9 @@ object Multimodal {
     var hash = 0L
     var b = 0
     while (b < 64) {
-      if (counts(b) > 0 &&
-          BigInt(sums(b)) * n > BigInt(total) * counts(b))
+      // energies are non-negative, so the BigInt cross-multiplication
+      // collapses to the same 128-bit compare the image hash uses (r16)
+      if (counts(b) > 0 && cmp128(sums(b), n.toLong, total, counts(b)) > 0)
         hash |= (1L << b)
       b += 1
     }
@@ -547,11 +780,8 @@ object Multimodal {
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
         col("hamming"))
 
-  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
-    bos.toByteArray
-  }
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] =
+    Codec.encodePngBytes(img)
 
   /** Real resize pass over the visual kinds: images are decoded, scaled
     * into the `maxDim` box (aspect preserved, never upscaled) and

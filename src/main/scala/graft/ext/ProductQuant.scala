@@ -472,7 +472,7 @@ object ProductQuant {
     * paying one q-vector job + one codebook collect per query (r15;
     * guide §5 — driver-side jobs were the invariant's dominant cost).
     */
-  private def x15PqAdcTopKFrom(s: SparkSession,
+  private[ext] def x15PqAdcTopKFrom(s: SparkSession,
       queryId: Long, k: Int, shortlist: Int, q: Array[Double],
       books: Map[(Int, Int), Array[Double]],
       codesDf: DataFrame, e: DataFrame): DataFrame = {
@@ -506,7 +506,7 @@ object ProductQuant {
       .select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
 
   /** All query vectors below `nQueries` in ONE job. */
-  private def fetchQVecs(s: SparkSession, dir: String,
+  private[ext] def fetchQVecs(s: SparkSession, dir: String,
       nQueries: Int): Map[Long, Array[Double]] =
     emb(s, dir).filter(col("vec_id") < nQueries)
       .select("vec_id", "embedding").collect()
@@ -514,7 +514,7 @@ object ProductQuant {
         r.getSeq[Float](1).map(_.toDouble).toArray).toMap
 
   /** The PQ codebooks, one collect. */
-  private def fetchBooks(s: SparkSession,
+  private[ext] def fetchBooks(s: SparkSession,
       root: String): Map[(Int, Int), Array[Double]] =
     s.read.parquet(s"$root/codebooks").collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))

@@ -1209,11 +1209,18 @@ object Similarity {
         var bestDoc = -1L
         var bestMmr = Long.MinValue
         remaining.foreach { d =>
-          val ms = selected.iterator
-            .map { case (_, b) => simRows.getOrElse((d, b), Long.MinValue) }
-            .foldLeft(Long.MinValue)(math.max)
+          // max over the sims that EXIST, 0 when none do — the exact
+          // coalesce(max(sim), 0) semantics of the pre-r15 DataFrame
+          // loop (ADVICE r15: a Long.MinValue missing-pair sentinel
+          // would overflow the subtraction and invert the selection if
+          // a pair ever went missing; today the pair map is complete,
+          // so behavior is unchanged)
+          var ms = Long.MinValue
+          selected.foreach { case (_, b) =>
+            simRows.get((d, b)).foreach(v => if (v > ms) ms = v)
+          }
           val mmr = wRel.toLong * relMap(d) -
-            wDiv.toLong * (if (selected.isEmpty) 0L else ms)
+            wDiv.toLong * (if (ms == Long.MinValue) 0L else ms)
           if (mmr > bestMmr) { bestMmr = mmr; bestDoc = d }
         }
         selected += ((r.toLong, bestDoc))

@@ -46,10 +46,36 @@ object StageProbe {
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    // r16: in-process stack sampler over the executor threads (local
+    // mode shares the JVM) — attach tooling is unavailable in the
+    // sandbox, and run ≫ cpu task metrics need frame-level attribution.
+    val sampling = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val frameCounts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val sampler = new Thread(() => {
+      while (sampling.get()) {
+        import scala.jdk.CollectionConverters._
+        Thread.getAllStackTraces.asScala.foreach { case (t, st) =>
+          if (t.getName.startsWith("Executor task launch") && st.nonEmpty) {
+            val top = st.take(6).map(_.toString).mkString(" <- ")
+            frameCounts.merge(top, 1, (a, b) => a + b): Unit
+          }
+        }
+        Thread.sleep(10)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
     val t0 = System.nanoTime()
     fn(spark, sfDir).write.mode("overwrite").format("noop").save()
     val wall = (System.nanoTime() - t0) / 1e9
+    sampling.set(false)
     Thread.sleep(1500) // drain the async listener bus (dev tool)
+    locally {
+      import scala.jdk.CollectionConverters._
+      println("[stageprobe] top sampled executor frames:")
+      frameCounts.asScala.toSeq.sortBy(_._2.intValue()).reverse.take(15)
+        .foreach { case (f, c) => println(f"[stageprobe]   $c%5d  $f") }
+    }
     println(f"[stageprobe] $name wall=$wall%.2f s")
     import scala.jdk.CollectionConverters._
     val ss = stages.asScala.toSeq.sortBy(_.submitted)

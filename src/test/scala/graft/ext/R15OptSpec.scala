@@ -116,12 +116,21 @@ class R15OptSpec extends SparkSpec {
   }
 
   test("x15r pooled codebook fetch: per-query public x15PqAdcTopK rows " +
-      "are unchanged by pooling (spot-check q=0..2 against a fresh call)") {
+      "equal the POOLED prefetched-artifact path itself (ADVICE r15 — " +
+      "the old spot-check compared two identical public calls, pinning " +
+      "determinism but not pooled-vs-unpooled equality)") {
     val dir = sf("sf0.001")
+    val root = ProductQuant.pqDir(spark, dir)
+    val qvecs = ProductQuant.fetchQVecs(spark, dir, 3)
+    val books = ProductQuant.fetchBooks(spark, root)
+    val codesDf = spark.read.parquet(s"$root/codes")
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
     (0L until 3L).foreach { q =>
       val a = ProductQuant.x15PqAdcTopK(spark, dir, q, 10)
-      val b = ProductQuant.x15PqAdcTopK(spark, dir, q, 10)
-      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+      val b = ProductQuant.x15PqAdcTopKFrom(spark, q, 10, 100,
+        qvecs(q), books, codesDf, e)
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"q=$q: pooled path rows diverge from the public per-query API")
     }
     assert(ProductQuant.x15rPqRecall(spark, dir).count() == 0,
       "x15r recall floor violated on the fixture")

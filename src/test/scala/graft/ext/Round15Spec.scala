@@ -480,4 +480,18 @@ class Round15Spec extends SparkSpec {
         .otherwise(0)).as("diff")).head()
     assert(dd.getLong(0) == 0L)
   }
+
+  test("l_quantity is exactly INTEGRAL on every fixture SF (ADVICE r15: " +
+      "q9's cast('long') truncates toward zero where the old " +
+      "decimal(4,0) cast rounded HALF_UP — equivalent only when every " +
+      "quantity is a whole number, which the 2-decimal MoneyDec2 " +
+      "precondition alone does not pin)") {
+    for (sfd <- Seq("sf0.001", "sf0.01")) {
+      val r = spark.read.parquet(s"${sf(sfd)}/lineitem.parquet")
+        .agg(max(abs(col("l_quantity") - round(col("l_quantity"))))
+          .as("maxfrac"), count(lit(1))).head()
+      assert(r.getDouble(0) == 0.0,
+        s"$sfd: l_quantity carries a fractional part (${r.getDouble(0)})")
+    }
+  }
 }
