@@ -31,7 +31,11 @@ object StageProbe {
       completed: Long, tasks: Int, runTimeMs: Long, cpuMs: Long,
       inRows: Long, outRows: Long, shRead: Long, shWrite: Long)
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[St]()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
       override def onStageCompleted(
           e: SparkListenerStageCompleted): Unit = {
         val si = e.stageInfo
@@ -76,7 +80,7 @@ object StageProbe {
       frameCounts.asScala.toSeq.sortBy(_._2.intValue()).reverse.take(15)
         .foreach { case (f, c) => println(f"[stageprobe]   $c%5d  $f") }
     }
-    println(f"[stageprobe] $name wall=$wall%.2f s")
+    println(f"[stageprobe] $name wall=$wall%.2f s jobs=${jobs.get()}")
     import scala.jdk.CollectionConverters._
     val ss = stages.asScala.toSeq.sortBy(_.submitted)
     val minT = ss.headOption.map(_.submitted).getOrElse(0L)
