@@ -76,11 +76,25 @@ object Graph {
     // sf1 26.0/35.0 → 19.3/20.0 s.
     val edges = coOrderEdges(s, dir)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val ed = edges.join(deg, "src")
+    // r16 (VERDICT r15 item 6 — remove the per-round exchange): the
+    // degree-joined edge table is hash-partitioned by dst ONCE — lazily,
+    // so ReuseExchange materializes the repartition a single time and
+    // its HashPartitioning(dst) flows through each round's broadcast
+    // join (a localCheckpoint was measured and REJECTED here: under AQE
+    // the LogicalRDD records UnknownPartitioning, so every round
+    // re-exchanged anyway) — and each round joins the NODE-SIZED rank
+    // table by broadcast, so the round's keyed aggregate reuses the dst
+    // distribution and the loop body adds ZERO shuffle exchanges
+    // (plans/r16/g1_*: per-round Exchange gone; 2 shuffles total).
+    // Broadcasting pr is safe on every corpus this path serves: the
+    // auto front door routes to the bipartite formulation above ~3e7
+    // clique edges, so the clique node table is bounded far below
+    // broadcast limits. Rows identical (R16OptSpec pins old-vs-new).
+    val ed = edges.join(deg, "src").repartition(col("dst"))
     var pr = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
     for (_ <- 1 to iters) {
       pr = ed
-        .join(pr.withColumnRenamed("node", "src"), "src")
+        .join(broadcast(pr.withColumnRenamed("node", "src")), "src")
         .select(col("dst"), expr("pr div outdeg").as("share"))
         .groupBy("dst")
         .agg(sum(col("share")).as("in_pr"))
@@ -119,15 +133,23 @@ object Graph {
     // it saves on both measured scales; rows identical (exceptAll 0).
     // The broadcast build per round still executes each round's label
     // subtree exactly once, so the loop is not re-running prior rounds.
+    // r16 (VERDICT r15 item 6, the g1 treatment): edges are
+    // dst-partitioned ONCE — lazily, reused across rounds by
+    // ReuseExchange (see pageRank for why not a localCheckpoint) — so
+    // with the (unchanged) per-round broadcast of the node-sized label
+    // table BOTH keyed aggregates reuse the distribution:
+    // HashPartitioning(dst) satisfies the (dst, label) clustering and
+    // the node rollup alike, and the loop body adds ZERO shuffle
+    // exchanges. Rows identical (R16OptSpec).
     val edges = coOrderEdges(s, dir)
+      .repartition(col("dst"))
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to iters) {
       // labels is node-sized (8+8 bytes/row) — broadcast it so the fat
       // edge table never re-shuffles; the (dst, label) count then
-      // partial-aggregates map-side before its one narrow exchange. At
-      // billions of nodes swap the hint for a src-bucketed layout; the
-      // aggregate shape is unchanged.
+      // partial-aggregates map-side. At billions of nodes swap the hint
+      // for a src-bucketed layout; the aggregate shape is unchanged.
       labels = edges
         .join(broadcast(labels.select(col("node").as("src"), col("label"))),
           "src")
