@@ -909,11 +909,10 @@ object Similarity {
       col("bucket"))
     // Hot buckets (a templated-content corpus hashing to one signature)
     // are capped via the skew-safe join — no single quadratic task.
-    val pairs = SkewSafe.cappedEquiJoin(l, r, Seq("table_id", "bucket"),
+    val rawPairs = SkewSafe.cappedEquiJoin(l, r, Seq("table_id", "bucket"),
         xxhash64(col("nb_id")), cap = 1024)
       .filter(col("src_id") =!= col("nb_id"))
       .select("src_id", "nb_id")
-      .distinct()
     // norms computed once per ROW in the re-attach projections, not per
     // candidate pair (bit-identical — see cosinePreF): on a dup-heavy
     // corpus the deduped pair set is far larger than n, so the per-pair
@@ -934,19 +933,42 @@ object Similarity {
     val (nVec, dim) = embStats(s, dir)
     val attachBytes = nVec * (4L * dim + 48L)
     val broadcastAttach = attachBytes <= AttachBroadcastBytesMax
-    if (broadcastAttach)
-      Dedup.logRoute("knnJoin", "broadcast attach",
+    if (broadcastAttach) {
+      // r16 (VERDICT r15 item 3 — cut e3's candidate volume at the
+      // exchange): when the vector table fits the broadcast wall, the
+      // candidate MULTISET is scored AT GENERATION through the two
+      // broadcast attaches and the cross-table multiplicity (a pair
+      // recurs once per LSH table that collides it — ×16 at the
+      // calibrated sf10 OR-depth) folds inside the dedup-aware bounded
+      // top-k. The pair `distinct` — the largest e3 shuffle at sf10
+      // (E3Decomp: the 16-byte pair exchange carries the full raw
+      // multiset) — disappears; a duplicate now costs one repeated
+      // cosine against broadcast-resident vectors instead of a trip
+      // through the exchange. Output-identical: cosine is a
+      // deterministic function of the pair, so top-k-distinct over the
+      // multiset equals top-k over the deduped set (R16OptSpec pins it,
+      // TopKDistinctSpec pins the operator fold; the e3 oracle is
+      // unchanged). Above the wall the id-keyed shuffle attach still
+      // requires the dedup first — unchanged, the 100 TB shape.
+      Dedup.logRoute("knnJoin", "broadcast attach + generation-time score",
         f"attachBytes=$attachBytes%.3g max=$AttachBroadcastBytesMax")
-    val cand = (if (broadcastAttach)
-        pairs.join(broadcast(eSrc), Seq("src_id"))
-          .join(broadcast(eNb), Seq("nb_id"))
-      else
-        pairs.join(eSrc, Seq("src_id")).join(eNb, Seq("nb_id")))
-      .select(col("src_id"), col("nb_id"),
-        cosinePreF(col("src_emb"), col("src_nrm"),
-          col("nb_emb"), col("nb_nrm")).as("cosine"))
-    graft.plans.TopKPerGroup.topK(cand, Seq("src_id"), "cosine", k,
-      desc = true, tiebreakCols = Seq("nb_id"))
+      val cand = rawPairs
+        .join(broadcast(eSrc), Seq("src_id"))
+        .join(broadcast(eNb), Seq("nb_id"))
+        .select(col("src_id"), col("nb_id"),
+          cosinePreF(col("src_emb"), col("src_nrm"),
+            col("nb_emb"), col("nb_nrm")).as("cosine"))
+      graft.plans.TopKPerGroup.topK(cand, Seq("src_id"), "cosine", k,
+        desc = true, tiebreakCols = Seq("nb_id"), distinctRows = true)
+    } else {
+      val cand = rawPairs.distinct()
+        .join(eSrc, Seq("src_id")).join(eNb, Seq("nb_id"))
+        .select(col("src_id"), col("nb_id"),
+          cosinePreF(col("src_emb"), col("src_nrm"),
+            col("nb_emb"), col("nb_nrm")).as("cosine"))
+      graft.plans.TopKPerGroup.topK(cand, Seq("src_id"), "cosine", k,
+        desc = true, tiebreakCols = Seq("nb_id"))
+    }
   }
 
   /** e3 invariant (recall direction, VERDICT r5 item 2): aggregate

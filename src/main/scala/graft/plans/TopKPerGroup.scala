@@ -61,7 +61,8 @@ import org.apache.spark.sql.execution.metric.SQLMetrics
   * arbitrarily, as row_number's are).
   */
 case class TopKPerGroupPlan(groupExprs: Seq[Expression], order: Seq[SortOrder],
-    k: Int, child: LogicalPlan) extends UnaryNode {
+    k: Int, child: LogicalPlan,
+    distinctRows: Boolean = false) extends UnaryNode {
   require(k > 0, s"topK requires k > 0, got $k")
   require(groupExprs.nonEmpty,
     "topK requires grouping keys — global top-k is orderBy(...).limit(k), " +
@@ -78,7 +79,8 @@ case class TopKPerGroupPlan(groupExprs: Seq[Expression], order: Seq[SortOrder],
   * EnsureRequirements inserts the one hash exchange between the two.
   */
 case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
-    k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+    k: Int, partial: Boolean, child: SparkPlan,
+    distinctRows: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -102,6 +104,7 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
     val ord = order
     val kk = k
     val isPartial = partial
+    val dedup = distinctRows
     val thresholdRows = conf.getConfString(
       TopKPerGroup.SpillThresholdKey, TopKPerGroup.SpillThresholdDefault).toLong
     val thresholdBytes = conf.getConfString(
@@ -119,7 +122,7 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
       // generated (executor-side) comparator implementing the SortOrder;
       // heap head = WORST retained row, so the comparator is reversed
       val lt = GenerateOrdering.generate(ord, childOutput)
-      val acc = new TopKPerGroup.HeapMap(kk, lt)
+      val acc = new TopKPerGroup.HeapMap(kk, lt, dedup)
       def overThreshold: Boolean =
         acc.retainedRows >= thresholdRows || acc.retainedBytes >= thresholdBytes
 
@@ -169,7 +172,7 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
             acc.spillSortedRun(tail)
             runs += tail
             TopKPerGroup.mergeRuns(runs.toSeq, childOutput.length,
-              kk, lt, outGroups)
+              kk, lt, outGroups, dedup)
           }
         out.map { r => outRows += 1; r }
       }
@@ -189,10 +192,11 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
   */
 class TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroupPlan(g, o, k, child) =>
+    case TopKPerGroupPlan(g, o, k, child, dedup) =>
       val gn = g.map(GraftBridge.normalizeFloatingNumbers)
-      val partial = TopKPerGroupExec(gn, o, k, partial = true, planLater(child))
-      TopKPerGroupExec(gn, o, k, partial = false, partial) :: Nil
+      val partial = TopKPerGroupExec(gn, o, k, partial = true,
+        planLater(child), dedup)
+      TopKPerGroupExec(gn, o, k, partial = false, partial, dedup) :: Nil
     case _ => Nil
   }
 }
@@ -217,13 +221,35 @@ object TopKPerGroup {
 
   /** One k-bounded heap per group key, with the bookkeeping both exec
     * passes share. Not thread-safe (per-task use only).
+    *
+    * `dedup` (r16, the knnJoin multiplicity fold): a row that compares
+    * EQUAL under the full sort order to a row already retained for its
+    * group is skipped. With a unique tiebreak column the order
+    * determines the row, so this makes top-k-over-a-MULTISET equal
+    * top-k-over-the-SET without a distinct ever materializing — and the
+    * k-bounded heap keeps the check O(k). Exactness of the multiset
+    * fold: duplicates never coexist in a heap (the insert check), and a
+    * duplicate of an EVICTED row cannot re-enter — eviction only
+    * happens for a STRICTLY better row, so after eviction every
+    * retained row is strictly better than the evictee and its twin is
+    * rejected by the ordinary bound check.
     */
-  final class HeapMap(k: Int, lt: java.util.Comparator[InternalRow]) {
+  final class HeapMap(k: Int, lt: java.util.Comparator[InternalRow],
+      dedup: Boolean = false) {
     private val heaps =
       new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
     var retainedRows: Long = 0L
     var retainedBytes: Long = 0L
     def numGroups: Int = heaps.size()
+
+    private def containsEqual(heap: java.util.PriorityQueue[UnsafeRow],
+        row: InternalRow): Boolean = {
+      val it = heap.iterator()
+      while (it.hasNext) {
+        if (lt.compare(row, it.next()) == 0) return true
+      }
+      false
+    }
 
     def insert(keyProj: UnsafeProjection, toUnsafe: UnsafeProjection,
         row: InternalRow): Unit = {
@@ -237,15 +263,19 @@ object TopKPerGroup {
         heaps.put(kc, heap)
       }
       if (heap.size < k) {
-        val rc = toUnsafe(row).copy()
-        retainedBytes += rc.getSizeInBytes
-        heap.offer(rc)
-        retainedRows += 1
+        if (!(dedup && containsEqual(heap, row))) {
+          val rc = toUnsafe(row).copy()
+          retainedBytes += rc.getSizeInBytes
+          heap.offer(rc)
+          retainedRows += 1
+        }
       } else if (lt.compare(row, heap.peek()) < 0) {
-        retainedBytes -= heap.poll().getSizeInBytes
-        val rc = toUnsafe(row).copy()
-        retainedBytes += rc.getSizeInBytes
-        heap.offer(rc)
+        if (!(dedup && containsEqual(heap, row))) {
+          retainedBytes -= heap.poll().getSizeInBytes
+          val rc = toUnsafe(row).copy()
+          retainedBytes += rc.getSizeInBytes
+          heap.offer(rc)
+        }
       }
     }
 
@@ -363,7 +393,8 @@ object TopKPerGroup {
     */
   private[plans] def mergeRuns(files: Seq[File], numRowFields: Int,
       k: Int, lt: java.util.Comparator[InternalRow],
-      outGroups: org.apache.spark.sql.execution.metric.SQLMetric)
+      outGroups: org.apache.spark.sql.execution.metric.SQLMetric,
+      dedup: Boolean = false)
       : Iterator[InternalRow] = {
     val pq = new java.util.PriorityQueue[RunReader](math.max(1, files.size),
       (x: RunReader, y: RunReader) => compareBytes(x.keyBytes, y.keyBytes))
@@ -385,12 +416,22 @@ object TopKPerGroup {
           val key = first.keyBytes
           val heap = new java.util.PriorityQueue[UnsafeRow](
             math.max(1, math.min(k, 16)), lt.reversed())
+          def containsEqual(r: UnsafeRow): Boolean = {
+            val it = heap.iterator()
+            while (it.hasNext) {
+              if (lt.compare(r, it.next()) == 0) return true
+            }
+            false
+          }
           def fold(rows: Array[UnsafeRow]): Unit = {
             var i = 0
             while (i < rows.length) {
               val r = rows(i)
-              if (heap.size < k) heap.offer(r)
-              else if (lt.compare(r, heap.peek()) < 0) { heap.poll(); heap.offer(r) }
+              if (heap.size < k) {
+                if (!(dedup && containsEqual(r))) heap.offer(r): Unit
+              } else if (lt.compare(r, heap.peek()) < 0) {
+                if (!(dedup && containsEqual(r))) { heap.poll(); heap.offer(r): Unit }
+              }
               i += 1
             }
           }
@@ -423,8 +464,17 @@ object TopKPerGroup {
     * first use (idempotent), so it works on ANY session, not just ones
     * built with GraftExtensions.
     */
+  /** `distinctRows = true` folds rows that compare EQUAL under the full
+    * (orderCol, tiebreakCols) order into one retained row per group —
+    * top-k of a multiset equals top-k of its set, with no distinct
+    * exchange. Only valid when the order FUNCTIONALLY DETERMINES the
+    * row within a group (a unique tiebreak whose equal rows are
+    * identical rows, e.g. candidate pairs duplicated across LSH
+    * tables); otherwise which duplicate survives is arbitrary.
+    */
   def topK(df: DataFrame, groupCols: Seq[String], orderCol: String, k: Int,
-      desc: Boolean = true, tiebreakCols: Seq[String] = Nil): DataFrame = {
+      desc: Boolean = true, tiebreakCols: Seq[String] = Nil,
+      distinctRows: Boolean = false): DataFrame = {
     // synchronized check-then-append: concurrent first uses (e.g. serving
     // threads) must not lose or duplicate the registration
     TopKPerGroup.synchronized {
@@ -448,6 +498,6 @@ object TopKPerGroup {
       SortOrder(attr(orderCol), if (desc) Descending else Ascending) +:
         tiebreakCols.map(c => SortOrder(attr(c), Ascending))
     GraftBridge.ofRows(df.sparkSession,
-      TopKPerGroupPlan(groupCols.map(attr), order, k, analyzed))
+      TopKPerGroupPlan(groupCols.map(attr), order, k, analyzed, distinctRows))
   }
 }

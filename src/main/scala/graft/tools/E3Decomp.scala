@@ -34,8 +34,9 @@ object E3Decomp {
       a
     }
     val planes = Similarity.resolveKnnPlanes(spark, dir, 0)
-    println(s"[e3decomp] planes=$planes")
-    val b = Similarity.lshBucketsMulti(spark, dir, planes, 4)
+    val tables = Similarity.resolveKnnTables(spark, dir, 0)
+    println(s"[e3decomp] planes=$planes tables=$tables")
+    val b = Similarity.lshBucketsMulti(spark, dir, planes, tables)
       .select("vec_id", "table_id", "bucket")
     time("1-buckets")(b.write.mode("overwrite").format("noop").save())
     val probes = array((Seq(col("bucket")) ++ (0 until planes).map(i =>

@@ -63,6 +63,49 @@ class R16OptSpec extends SparkSpec {
     }
   }
 
+  test("e3 knnJoin generation-time scoring (broadcast path, no pair " +
+      "distinct) equals the pre-r16 dedup-then-attach construction " +
+      "row-for-row on both fixture SFs") {
+    for (dirName <- Seq("sf0.001", "sf0.01")) {
+      val dir = sf(dirName)
+      val planes = Similarity.resolveKnnPlanes(spark, dir, 0)
+      val tables = Similarity.resolveKnnTables(spark, dir, 0)
+      // pre-r16 reference: dedup the candidate pairs, then attach + score
+      val b = Similarity.lshBucketsMulti(spark, dir, planes, tables)
+        .select("vec_id", "table_id", "bucket")
+      val probes = array((Seq(col("bucket")) ++ (0 until planes).map(i =>
+        col("bucket").bitwiseXOR(lit(1L << i)))): _*)
+      val l = b.select(col("vec_id").as("src_id"), col("table_id"),
+        explode(probes).as("bucket"))
+      val r = b.select(col("vec_id").as("nb_id"), col("table_id"),
+        col("bucket"))
+      val pairs = SkewSafe.cappedEquiJoin(l, r, Seq("table_id", "bucket"),
+          xxhash64(col("nb_id")), cap = 1024)
+        .filter(col("src_id") =!= col("nb_id"))
+        .select("src_id", "nb_id")
+        .distinct()
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"),
+          graft.functions.Expressions.normF(col("embedding")).as("nrm"))
+      val cand = pairs
+        .join(e.select(col("vec_id").as("src_id"),
+          col("embedding").as("src_emb"), col("nrm").as("src_nrm")),
+          Seq("src_id"))
+        .join(e.select(col("vec_id").as("nb_id"),
+          col("embedding").as("nb_emb"), col("nrm").as("nb_nrm")),
+          Seq("nb_id"))
+        .select(col("src_id"), col("nb_id"),
+          graft.functions.Expressions.cosinePreF(col("src_emb"),
+            col("src_nrm"), col("nb_emb"), col("nb_nrm")).as("cosine"))
+      val ref = graft.plans.TopKPerGroup.topK(cand, Seq("src_id"),
+        "cosine", 3, desc = true, tiebreakCols = Seq("nb_id"))
+      val got = Similarity.knnJoin(spark, dir, k = 3)
+      assert(got.exceptAll(ref).count() == 0 &&
+        ref.exceptAll(got).count() == 0,
+        s"$dirName: e3 rows diverged from the dedup-then-attach reference")
+    }
+  }
+
   test("g1/g2 loop bodies plan with ZERO added shuffle exchanges: the " +
       "formatted plan holds a CONSTANT shuffle count (edge build + one " +
       "dst repartition), not one per round — the r15 plan re-exchanged " +
